@@ -1,0 +1,396 @@
+"""Deduplication operators.
+
+Reference surface: the last-wins lookup-map build
+(``pd.Series(...).to_dict()``, Angelo_ETL_Task.py:163-176) — duplicate keys
+resolve to the LAST row in file order. Spark has no implicit row order, so
+the operator takes an explicit order column (SURVEY.md §7.4).
+
+LLM-pipeline surface (100 TB training-data dedup): exact, normalized-text,
+MinHash+LSH, SimHash, and n-gram-Jaccard near-dup. All are shuffle-on-key
+group-bys or bucket-joins — nothing collects to the driver; candidate
+generation is always blocked/banded so no O(n²) pair explosion.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .partitioning import spread as _spread
+
+
+def last_wins(df: DataFrame, keys: Sequence[str], order_col: str) -> DataFrame:
+    """Keep, per key, the row with the greatest ``order_col`` (last-wins).
+
+    Spark-native equivalent of ``pd.Series(values, index=keys).to_dict()``
+    duplicate-key semantics (Angelo_ETL_Task.py:163,166,169,176): one shuffle
+    on the key, no global sort. Use `first_wins` semantics by passing a
+    negated/inverted order column.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_dedup(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Exact duplicate removal on ``cols`` (default: all columns).
+
+    ``dropDuplicates`` is a hash aggregate — map-side partial dedup first,
+    then one shuffle on the dedup key. The survivor row is arbitrary; use
+    :func:`last_wins` when survivor identity matters.
+    """
+    return df.dropDuplicates(list(cols) if cols else None)
+
+
+def exact_dedup_by_hash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content dedup via md5(text): keeps the minimum id per distinct content.
+
+    Deterministic survivor (min id) — unlike dropDuplicates — so results are
+    reproducible run to run, which matters for training-data lineage. Only
+    the 32-char digest and the id shuffle, not the document bodies.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for near-dup detection: lowercase, strip
+    punctuation, collapse whitespace."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^\p{L}\p{N}\s]", " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c
+
+
+def normalized_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup level 0: dedup on normalized text (case/punct/ws-insensitive)."""
+    return (
+        df.select(
+            F.md5(normalize_text(F.col(text_col))).alias("content_hash"),
+            F.col(id_col),
+        )
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup.
+#
+# Pipeline: shingle (word n-grams) → per-shingle 64-bit hashes → k minhash
+# values (one per permutation, computed as min over xor-mixed hashes — the
+# standard "one hash function, k mixers" trick) → band the signature → exact
+# group-by on (band_id, band_hash) → candidate pairs → optional exact Jaccard
+# confirm. Every step is a map or a key-shuffle; candidate volume is bounded
+# by band collisions, never n².
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array from raw text (normalized first)."""
+    toks = F.split(normalize_text(col), r"\s+")
+    # slide a window of n tokens; transform gives us JVM-side loop
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+            lambda s: F.length(s) > 0,
+        )
+    )
+
+
+def _permutation_mix(i: int):
+    # closure factory: a 1-arg lambda so F.transform doesn't treat the second
+    # parameter as the element index
+    return lambda h: F.xxhash64(h, F.lit(i))
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """k-element minhash signature over a shingle array.
+
+    Each shingle STRING is hashed exactly once (the expensive part); the k
+    "permutations" then re-mix the resulting int64 with xxhash64(h, i) —
+    a cheap long-hash, so cost is O(shingles + k·shingles·long_mix) instead
+    of O(k·shingles·string_hash). All JVM-side, no Python. Returns
+    array<bigint> of length ``num_hashes``.
+    """
+    base = F.transform(shingle_col, lambda s: F.xxhash64(s))
+    return F.array(
+        *[
+            F.array_min(F.transform(base, _permutation_mix(i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    rows = num_hashes/bands; P(candidate) ≈ 1-(1-j^rows)^bands for Jaccard j.
+    Defaults (64 hashes, 16 bands × 4 rows) catch j ≳ 0.5 reliably.
+
+    Scale shape: signature build is a pure map; banding explodes each doc
+    into ``bands`` rows; the self-join on (band, band_hash) is an equi-join
+    whose cost is bounded by real collisions. Returns (id_a, id_b) with
+    id_a < id_b, distinct.
+    """
+    rows = num_hashes // bands
+    # staged projections so the shingle array and its base hashes materialize
+    # ONCE per row (a single nested expression would re-hash the strings for
+    # every one of the k permutations)
+    sig = (
+        _spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col), shingles(F.col(text_col), shingle_n).alias("_sh")
+        )
+        .select(
+            F.col(id_col),
+            F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_bh"),
+        )
+        .select(
+            F.col(id_col),
+            F.array(
+                *[
+                    F.array_min(F.transform(F.col("_bh"), _permutation_mix(i)))
+                    for i in range(num_hashes)
+                ]
+            ).alias("_sig"),
+        )
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", F.slice(F.col("_sig"), b * rows + 1, rows)
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.band_hash")
+    # persist: the self-join would otherwise (a) compute the signatures twice
+    # and (b) let constraint inference push the whole signature expression
+    # into the file scan as an IsNotNull filter — single-partition and
+    # pre-repartition. Signatures are tiny next to the text; MEMORY_AND_DISK
+    # is safe at any scale.
+    banded = banded.persist()
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col(f"a.band") == F.col("b.band"),
+                F.col(f"a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (confirm stage after LSH).
+
+    Joins shingle arrays back onto the (id_a, id_b) candidates — two
+    broadcast-able joins when the candidate set is small, shuffled otherwise
+    — and computes |A∩B|/|A∪B| with JVM array intrinsics.
+    """
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("_sh")
+    )
+    out = (
+        candidates.join(sh.withColumnRenamed(id_col, "id_a"), on="id_a")
+        .withColumnRenamed("_sh", "_sh_a")
+        .join(sh.withColumnRenamed(id_col, "id_b"), on="id_b")
+        .withColumnRenamed("_sh", "_sh_b")
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        out.select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_quadrants(hashes: Column) -> Column:
+    """64-bit SimHash fingerprint as 4×16-bit quadrants (array<int>, len 4),
+    computed from a MATERIALIZED array of per-shingle int64 hashes (callers
+    project ``transform(shingles, xxhash64)`` into a column first so the
+    string hashing runs once, not once per bit).
+
+    For each bit position the weighted vote (+1/-1) is summed across shingle
+    hashes; the sign of the sum sets the output bit. Packing into 16-bit
+    quadrants (instead of one int64) keeps arithmetic overflow-free under
+    ANSI mode and gives the LSH blocking key for free. All higher-order
+    array functions — no UDF.
+    """
+
+    def vote_bit(pos: Column) -> Column:
+        # +1 if majority of shingle hashes have this bit set, else 0
+        tally = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(F.getbit(h, pos) == 1, 1).otherwise(-1),
+        )
+        return F.when(tally > 0, 1).otherwise(0)
+
+    def quadrant(q: int) -> Column:
+        # Horner over the 16 bits of quadrant q, MSB first: acc*2 + bit
+        return F.aggregate(
+            F.sequence(F.lit(15), F.lit(0), F.lit(-1)),
+            F.lit(0),
+            lambda acc, i: acc * 2 + vote_bit(F.lit(q * 16) + i),
+        )
+
+    return F.array(*[quadrant(q) for q in range(4)])
+
+
+def _simhash_quadrants_arrow():
+    """Arrow-vectorized simhash: array<int64> shingle hashes → 4×16-bit
+    quadrants. Produces EXACTLY the same fingerprints as
+    :func:`simhash_quadrants` (parity-tested) but ~100× faster: the per-bit
+    vote matrix is numpy C instead of one interpreted Catalyst lambda per
+    (shingle × bit). This is the documented exception to the no-Python rule:
+    built-ins CAN express it, but 64 interpreted lambda dispatches per
+    shingle make the hot path Python-slow anyway; Arrow+numpy is the
+    scale-correct implementation."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def simhash_from_hashes(bh: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
+        # MSB-first packing within each 16-bit quadrant (bit q*16+15 is the
+        # quadrant's MSB) — must match simhash_quadrants' Horner order
+        weights = (1 << np.arange(16, dtype=np.int64))  # bit i → 2^i
+        out = []
+        for arr in bh:
+            if arr is None or len(arr) == 0:
+                out.append([0, 0, 0, 0])
+                continue
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            votes = 2 * bits.sum(axis=0) - len(h)
+            fpb = (votes > 0).astype(np.int64)
+            quads = [
+                int((fpb[q * 16 : (q + 1) * 16] * weights).sum())
+                for q in range(4)
+            ]
+            out.append(quads)
+        return pd.Series(out)
+
+    return simhash_from_hashes
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Candidate generation blocks on the 16-bit quadrants (pigeonhole: any
+    pair within Hamming 3 must agree on at least one of 4 quadrants), so the
+    join is equi on (quadrant_idx, quadrant_bits), never a cross product.
+
+    ``use_arrow`` picks the vectorized fingerprint path (default); the pure
+    Column-expression path (:func:`simhash_quadrants`) is kept as the
+    executable spec and for environments without Arrow.
+    """
+    hashed = (
+        _spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col), shingles(F.col(text_col), shingle_n).alias("_sh")
+        )
+        .select(
+            F.col(id_col),
+            F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_bh"),
+        )
+    )
+    if use_arrow:
+        fp = hashed.select(
+            F.col(id_col), _simhash_quadrants_arrow()(F.col("_bh")).alias("_fp")
+        )
+    else:
+        fp = hashed.select(
+            F.col(id_col), simhash_quadrants(F.col("_bh")).alias("_fp")
+        )
+    quads = fp.select(
+        id_col,
+        "_fp",
+        F.posexplode(F.col("_fp")).alias("q", "qbits"),
+    )
+    # persist before the self-join: compute fingerprints once, and keep
+    # constraint inference from re-deriving them inside the file scan
+    quads = quads.persist()
+    a = quads.alias("a")
+    b = quads.alias("b")
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("a._fp"),
+            F.col("b._fp"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.q") == F.col("b.q"),
+                F.col("a.qbits") == F.col("b.qbits"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .where(hamming <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+    )

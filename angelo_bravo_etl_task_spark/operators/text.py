@@ -1,0 +1,127 @@
+"""Text-analysis operators for the training-data pipeline surface.
+
+Language-ID (stopword heuristic), quality scoring (length/punct/stopword
+ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting. All pure Column expressions — at 100 TB these run inside
+whole-stage codegen over the parquet scan with zero Python cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists per language — enough signal for a
+# word-salad heuristic; swap in real lists (broadcast) for production use.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "for", "with", "on"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "del", "por"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+    "de": ("der", "die", "und", "das", "von", "den", "ein", "mit", "ist", "im"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不", "这", "也"),
+}
+
+WORD_SPLIT_RE = r"\s+"
+# BPE-ish pre-tokenizer: words, numbers, or single non-space symbols
+# (the GPT-2 pre-tokenizer shape, minus byte-level details).
+BPE_TOKEN_RE = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens (empty-string-safe)."""
+    return F.filter(F.split(F.trim(col), WORD_SPLIT_RE), lambda t: F.length(t) > 0)
+
+
+def word_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Token count under a BPE-style pre-tokenizer regex — a cheap, stable
+    proxy for LLM token budgets (regexp_count is JVM-side)."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_RE))
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """How many tokens are stopwords of ``lang``."""
+    words = STOPWORDS[lang]
+    toks = tokens(F.lower(col))
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def detect_language(col: Column) -> Column:
+    """Heuristic language-ID: the language whose stopword list hits most.
+
+    Expressed as a greatest-of struct comparison (Spark orders structs
+    lexicographically, so (hits, lang) picks max hits with a deterministic
+    lexicographic tiebreak). Returns NULL when no list hits at all.
+    """
+    scored = [
+        F.struct(
+            stopword_hits(col, lang).alias("hits"), F.lit(lang).alias("lang")
+        )
+        for lang in STOPWORDS
+    ]
+    best = F.greatest(*scored)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit(None))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a composite score in [0, 1].
+
+    Features: char/word counts, mean word length, punctuation ratio,
+    uppercase ratio, stopword ratio (en), repetition (distinct/total words).
+    The composite is a fixed, documented linear blend — deterministic
+    arithmetic from integer counts, so it reproduces bit-for-bit anywhere.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_char = F.length(t)
+    n_word = F.size(toks)
+    distinct_ratio = F.when(
+        n_word > 0, F.size(F.array_distinct(toks)) / n_word
+    ).otherwise(F.lit(0.0))
+    punct = F.length(F.regexp_replace(t, r"[^\p{P}]", ""))
+    upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    stop_en = stopword_hits(t, "en")
+    mean_word_len = F.when(n_word > 0, (n_char - n_word + 1) / n_word).otherwise(
+        F.lit(0.0)
+    )
+    punct_ratio = F.when(n_char > 0, punct / n_char).otherwise(F.lit(0.0))
+    upper_ratio = F.when(n_char > 0, upper / n_char).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_word > 0, stop_en / n_word).otherwise(F.lit(0.0))
+    length_score = F.least(n_word / F.lit(50.0), F.lit(1.0))
+    score = (
+        F.lit(0.35) * length_score
+        + F.lit(0.25) * distinct_ratio
+        + F.lit(0.2) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0)))
+    )
+    return df.select(
+        "*",
+        n_char.alias("q_chars"),
+        n_word.alias("q_words"),
+        F.round(mean_word_len, 6).alias("q_mean_word_len"),
+        F.round(distinct_ratio, 6).alias("q_distinct_ratio"),
+        F.round(punct_ratio, 6).alias("q_punct_ratio"),
+        F.round(upper_ratio, 6).alias("q_upper_ratio"),
+        F.round(stop_ratio, 6).alias("q_stop_ratio"),
+        F.round(score, 6).alias("q_score"),
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Stable 128-bit content fingerprint (md5 hex) — engine-portable."""
+    return F.md5(col)
+
+
+def rolling_fingerprints(col: Column, window: int = 8) -> Column:
+    """Winnowing-style shingle fingerprints: md5 of each ``window``-token
+    shingle, for containment/overlap detection between documents."""
+    toks = tokens(col)
+    return F.transform(
+        F.sequence(
+            F.lit(0), F.greatest(F.size(toks) - window, F.lit(0))
+        ),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+    )

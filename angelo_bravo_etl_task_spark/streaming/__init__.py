@@ -1,0 +1,15 @@
+from .windows import (
+    session_window_agg,
+    sliding_window_agg,
+    stream_events,
+    streaming_dedup,
+    tumbling_window_agg,
+)
+
+__all__ = [
+    "session_window_agg",
+    "sliding_window_agg",
+    "stream_events",
+    "streaming_dedup",
+    "tumbling_window_agg",
+]

@@ -1,0 +1,111 @@
+"""Structured Streaming operators over the events stream (SURVEY.md §2.4).
+
+The reference is batch-only; the driver's ``events`` table is stream-shaped
+(event_id, ts, user_id, event_type, value, props), so the engine exposes the
+standard streaming surface: tumbling/sliding/session windows with
+watermarks, late-data drop, and stateful dedup.
+
+Each aggregation helper works on BOTH static and streaming DataFrames
+(``F.window``/``session_window`` are batch-compatible) — the batch path is
+what the DuckDB oracle checks; the streaming path is exercised in tests with
+``availableNow`` triggers over the same parquet.
+
+Scale notes: watermark bounds state size (no watermark = unbounded state =
+OOM at 100 TB/day); window aggs shuffle on (window, keys) like any groupBy;
+``dropDuplicatesWithinWatermark`` keeps only in-watermark keys in state.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TESTDATA_SCHEMAS
+
+
+def stream_events(
+    spark: SparkSession,
+    parquet_dir: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """readStream over a parquet directory of events, watermarked on ts.
+
+    In production this is Kafka/Kinesis + the same downstream plan; parquet
+    directory streaming keeps the harness hermetic.
+    """
+    return (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(parquet_dir)
+        .withWatermark("ts", watermark)
+    )
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    duration: str = "10 minutes",
+    keys: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Non-overlapping fixed windows: count + exact decimal sum of value."""
+    return (
+        events.groupBy(F.window("ts", duration).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    duration: str = "10 minutes",
+    slide: str = "5 minutes",
+    keys: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Overlapping windows — each event lands in duration/slide windows."""
+    return (
+        events.groupBy(F.window("ts", duration, slide).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "n_events",
+        )
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    keys: Sequence[str] = ("user_id",),
+) -> DataFrame:
+    """Session windows: events within ``gap`` of each other merge; a quiet
+    period of ``gap`` closes the session. State per open session only."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            *keys,
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, keys: Sequence[str] = ("event_id",)) -> DataFrame:
+    """Stateful exact dedup bounded by the watermark — duplicate events
+    arriving within the watermark horizon are dropped; state for a key is
+    freed once the watermark passes it."""
+    return events.dropDuplicatesWithinWatermark(list(keys))

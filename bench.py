@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Benchmark harness: times every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is materialized with a count() (forces the full plan, no
+driver-side result transfer). A warmup pass on sf0.001 JIT-compiles codegen
+paths before timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from angelo_bravo_etl_task_spark.queries import QUERIES  # noqa: E402
+from angelo_bravo_etl_task_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warmup_dir = "/root/testdata/sf0.001"
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", "")) if base.startswith("sf") else None
+    except ValueError:
+        sf = None
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: run the flagship shapes once at tiny scale (JIT + codegen cache)
+    if os.path.isdir(warmup_dir):
+        for name in ("q1_pricing_summary", "r1_left_join", "e1_tumbling_window"):
+            try:
+                QUERIES[name][0](spark, warmup_dir).count()
+            except Exception:
+                pass
+
+    timings: dict[str, float] = {}
+    for name, (fn, _) in QUERIES.items():
+        start = time.perf_counter()
+        try:
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - start, 3)
+            print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        except Exception as exc:  # record failures without killing the run
+            timings[name] = -1.0
+            print(f"# bench error {name}: {exc}", file=sys.stderr, flush=True)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "sum of per-query wall-clock, all registered queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

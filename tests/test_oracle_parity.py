@@ -1,0 +1,86 @@
+"""Differential oracle tests — a local replica of the driver's correctness
+gate: run every registered Spark query and its DuckDB oracle SQL on the same
+parquet, compare row count, column names, and order-insensitive values.
+
+Values are normalized before compare (floats via repr of float64, timestamps
+via isoformat) so genuine engine mismatches fail loudly while representation
+noise doesn't.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from angelo_bravo_etl_task_spark.queries import QUERIES
+from angelo_bravo_etl_task_spark.schemas import TESTDATA_TABLES
+
+ORACLE_NAMES = [name for name, (_, sql) in QUERIES.items() if sql is not None]
+ROWS_ONLY_NAMES = [name for name, (_, sql) in QUERIES.items() if sql is None]
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def _norm_rows(cols, rows):
+    # sort columns by name (driver contract), then rows lexicographically
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [c for c in sorted(cols)], out
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, sf_dir, name):
+    fn, sql = QUERIES[name]
+    sdf = fn(spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(sf_dir)
+    res = con.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    s_cols, s_rows = _norm_rows(spark_cols, spark_rows)
+    d_cols, d_rows = _norm_rows(duck_cols, duck_rows)
+
+    assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_queries_run(spark, sf_dir, name):
+    fn, _ = QUERIES[name]
+    df = fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
