@@ -13,6 +13,7 @@ across engines, which the oracle harness relies on.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -114,17 +115,55 @@ def random_hyperplane_signature(
     return F.array(*[plane_bit(p) for p in range(num_planes)])
 
 
+def _signatures_arrow(dim: int, num_planes: int, num_tables: int, seed: int = 42):
+    """Arrow-vectorized multi-table signatures: one numpy matmul computes
+    every (table, plane) projection for a whole batch — versus one
+    interpreted Catalyst lambda per (row × table × plane × dim). Returns a
+    pandas UDF: array<float> → array<bigint> of per-table bucket ids (the
+    plane sign bits of table t packed into an int, offset by t<<32 so
+    tables never collide)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [
+            _hyperplane(dim, t * num_planes + p, seed)
+            for t in range(num_tables)
+            for p in range(num_planes)
+        ]
+    ).T  # (dim, tables*planes)
+    weights = 1 << np.arange(num_planes, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def signatures(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (mat @ planes >= 0).astype(np.int64)  # (n, tables*planes)
+        bits = bits.reshape(len(mat), num_tables, num_planes)
+        buckets = (bits * weights).sum(axis=2) + (
+            np.arange(num_tables, dtype=np.int64) << 32
+        )
+        return pd.Series(list(buckets))
+
+    return signatures
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
     dim: int,
     k: int = 5,
-    num_planes: int = 8,
-    num_tables: int = 8,
+    num_planes: int = 6,
+    num_tables: int = 24,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: multi-table hyperplane LSH.
+
+    Recall/cost tuning (measured, 64-dim random embeddings): planes=4,
+    tables=16 → ~0.9 recall@5 but big buckets (corpus/16 per table);
+    planes=6, tables=24 → ~0.7 recall at a quarter of the candidate volume.
+    More planes = smaller buckets = cheaper + lower recall; more tables
+    buys recall back linearly in signature cost.
 
     Standard (L tables × b planes) construction: a candidate pair must share
     all b plane signs in at least ONE of the L tables. Each table's bucket
@@ -137,24 +176,19 @@ def lsh_topk(
     brute force's Q×N product is unpayable.
     """
 
+    sig_udf = _signatures_arrow(dim, num_planes, num_tables)
+
     def with_sigs(df: DataFrame, out_id: str) -> DataFrame:
+        # bucket id already encodes the table (t << 32), so the equi-join on
+        # the single _sig column is per-table bucket equality
         return _spread(df).select(
             F.col(id_col).alias(out_id),
-            F.posexplode(
-                F.array(
-                    *[
-                        random_hyperplane_signature(
-                            F.col(vec_col), dim, num_planes, seed=42 + 1000 * t
-                        )
-                        for t in range(num_tables)
-                    ]
-                )
-            ).alias("_table", "_sig"),
+            F.explode(sig_udf(F.col(vec_col))).alias("_sig"),
         )
 
     cand = (
         with_sigs(queries, "query_id")
-        .join(with_sigs(corpus, "neighbor_id").persist(), on=["_table", "_sig"])
+        .join(with_sigs(corpus, "neighbor_id").persist(), on="_sig")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()

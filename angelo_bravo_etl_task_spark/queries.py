@@ -875,7 +875,7 @@ def x2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 50)
     return SIM.lsh_topk(
-        queries, emb, dim=64, k=5, num_planes=8, num_tables=8
+        queries, emb, dim=64, k=5, num_planes=6, num_tables=24
     ).select("query_id", "neighbor_id", "cosine_sim", "rank")
 
 
@@ -1032,6 +1032,9 @@ def mm1_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(binary).cast("bigint").alias("content_length"),
         F.md5(F.col("text")).alias("content_md5"),
     )
+
+
+from . import queries_ext  # noqa: E402,F401  (extends QUERIES; keep last)
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -1,0 +1,528 @@
+"""Extension query batch 2: more relational shapes (conditional aggregation,
+HAVING, full-outer/cross joins, rank variants, sliding frames, pivot, exact
+median), array & higher-order functions, and the UDF surface (vectorized
+pandas UDF, applyInPandas, row UDF).
+
+Same determinism rules as queries.py: exact decimals for sums, raw IEEE
+division, identical fold orders, unique tiebreakers.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.agg import dec, dsum
+from .queries import _register, _t
+
+# =========================================================================
+# Relational shapes
+# =========================================================================
+
+
+@_register(
+    "q6_revenue_change",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate; every predicate reaches
+    the parquet scan (PushedFilters), zero joins, one tiny shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@_register(
+    "q12_priority_counts",
+    """
+    SELECT l.l_linestatus,
+           COUNT(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_priority,
+           COUNT(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_priority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional aggregation (count over CASE)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(hi, 1)).alias("high_priority"),
+            F.count(F.when(~hi, 1)).alias("low_priority"),
+        )
+    )
+
+
+@_register(
+    "q14_promo_ratio",
+    """
+    SELECT CAST(SUM((CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END)
+                    * CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) * 100.0
+           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue ratio. The CASE indicator
+    multiplies the exact-decimal term (not a typed CASE branch) so decimal
+    coercion is identical in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    term = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    indicator = F.when(F.col("p_type") == "PROMO", 1).otherwise(0)
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            (
+                F.sum(indicator * term).cast("double")
+                * F.lit(100.0)
+                / F.sum(term).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@_register(
+    "q18_large_orders",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, b.total_qty
+    FROM orders o
+    JOIN (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    ) b ON o.o_orderkey = b.l_orderkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate + HAVING + join back to the fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("_q"))
+        .where(F.col("_q") > 150)
+        .select("l_orderkey", F.col("_q").cast("double").alias("total_qty"))
+    )
+    return o.join(big, o["o_orderkey"] == big["l_orderkey"]).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "total_qty"
+    )
+
+
+@_register(
+    "j4_full_outer",
+    """
+    SELECT c.c_custkey, oc.o_custkey, c.c_name, oc.n_orders
+    FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 100) c
+    FULL JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+               FROM orders GROUP BY o_custkey) oc
+      ON c.c_custkey = oc.o_custkey
+    """,
+)
+def j4_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: NULL-extension on both sides."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 100).select(
+        "c_custkey", "c_name"
+    )
+    oc = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return c.join(oc, c["c_custkey"] == oc["o_custkey"], "full").select(
+        "c_custkey", "o_custkey", "c_name", "n_orders"
+    )
+
+
+@_register(
+    "j5_cross_join",
+    """
+    SELECT a.r_name AS region_a, b.r_name AS region_b
+    FROM region a CROSS JOIN region b
+    """,
+)
+def j5_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (tiny dimension × dimension only — never facts)."""
+    r = _t(spark, sf_dir, "region")
+    return r.select(F.col("r_name").alias("region_a")).crossJoin(
+        r.select(F.col("r_name").alias("region_b"))
+    )
+
+
+# =========================================================================
+# Window variants
+# =========================================================================
+
+
+@_register(
+    "w4_rank_variants",
+    """
+    SELECT c_nationkey, c_custkey,
+           RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk,
+           PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS prnk,
+           NTILE(4) OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal DESC, c_custkey) AS quartile
+    FROM customer
+    """,
+)
+def w4_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/percent_rank (tie-stable by definition) + ntile
+    (needs the unique tiebreaker)."""
+    c = _t(spark, sf_dir, "customer")
+    w_ties = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    w_unique = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+        F.percent_rank().over(w_ties).alias("prnk"),
+        F.ntile(4).over(w_unique).alias("quartile"),
+    )
+
+
+@_register(
+    "w5_first_last",
+    """
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey) OVER w AS last_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def w5_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over an unbounded frame (earliest/latest order
+    per customer, carried onto every row)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+    )
+
+
+@_register(
+    "w6_sliding_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS last3_total
+    FROM orders
+    """,
+)
+def w6_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-frame sliding aggregate (trailing 3-order spend)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("last3_total"),
+    )
+
+
+@_register(
+    "m1_exact_median",
+    """
+    WITH ranked AS (
+      SELECT l_returnflag, l_quantity,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag, AVG(l_quantity) AS median_qty
+    FROM ranked
+    WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+       OR rn = CAST(FLOOR((n + 2) / 2.0) AS BIGINT)
+    GROUP BY l_returnflag
+    """,
+)
+def m1_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median via explicit middle-row selection — engine-portable
+    (both engines average the same 1-2 middle elements), unlike
+    percentile_cont whose interpolation arithmetic may differ."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mid1 = F.floor((F.col("n") + 1) / 2.0).cast("bigint")
+    mid2 = F.floor((F.col("n") + 2) / 2.0).cast("bigint")
+    return (
+        ranked.where((F.col("rn") == mid1) | (F.col("rn") == mid2))
+        .groupBy("l_returnflag")
+        .agg(F.avg("l_quantity").alias("median_qty"))
+    )
+
+
+@_register(
+    "p1_pivot",
+    """
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def p1_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional counts) with an explicit category list — at
+    scale always pass the values (skips the extra distinct pass)."""
+    cats = ["click", "error", "purchase", "signup", "view"]
+    e = _t(spark, sf_dir, "events")
+    pivoted = e.groupBy("user_id").pivot("event_type", cats).count()
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in cats],
+    )
+
+
+# =========================================================================
+# Array / higher-order / null-handling functions
+# =========================================================================
+
+
+@_register(
+    "f4_array_functions",
+    """
+    SELECT vec_id,
+           LEN(embedding) AS n_dims,
+           embedding[1] AS first_el,
+           list_aggregate(embedding, 'max') AS max_el,
+           list_aggregate(embedding, 'min') AS min_el,
+           list_sort(embedding)[2] AS second_smallest
+    FROM embeddings
+    """,
+)
+def f4_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar functions over the embedding column."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.element_at("embedding", 1).alias("first_el"),
+        F.array_max("embedding").alias("max_el"),
+        F.array_min("embedding").alias("min_el"),
+        F.element_at(F.array_sort("embedding"), 2).alias("second_smallest"),
+    )
+
+
+@_register(
+    "f5_higher_order",
+    """
+    SELECT vec_id,
+           LEN(list_filter(embedding, x -> x > 0)) AS n_positive,
+           list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                       (a, b) -> a + b) AS sum_squares,
+           list_reduce(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> CASE WHEN x < 0.5 THEN x ELSE 0.5 END),
+                       (a, b) -> a + b) AS clipped_sum
+    FROM embeddings
+    """,
+)
+def f5_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (filter/transform/aggregate) with fold
+    order mirrored in the oracle (Spark aggregate seeds 0.0 + x1 ≡ DuckDB
+    list_reduce seeding x1 — exact in IEEE)."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    as_double = F.transform(emb, lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+        F.aggregate(
+            F.transform(as_double, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sum_squares"),
+        F.aggregate(
+            F.transform(
+                as_double,
+                lambda x: F.when(x < 0.5, x).otherwise(F.lit(0.5)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("clipped_sum"),
+    )
+
+
+@_register(
+    "f6_null_functions",
+    """
+    SELECT o_orderkey,
+           NULLIF(o_orderstatus, 'O') AS status_or_null,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_defaulted,
+           GREATEST(o_totalprice, 150000.0) AS price_floor,
+           LEAST(o_totalprice, 150000.0) AS price_cap
+    FROM orders
+    """,
+)
+def f6_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalars: nullif/coalesce/greatest/least."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")
+        ).alias("status_defaulted"),
+        F.greatest(F.col("o_totalprice"), F.lit(150000.0)).alias("price_floor"),
+        F.least(F.col("o_totalprice"), F.lit(150000.0)).alias("price_cap"),
+    )
+
+
+# =========================================================================
+# Streaming batch-mode: sliding windows
+# =========================================================================
+
+
+@_register(
+    "e4_sliding_window",
+    """
+    WITH starts AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+      FROM events
+    )
+    SELECT window_start, COUNT(*) AS n_events
+    FROM starts GROUP BY window_start
+    """,
+)
+def e4_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10-minute duration, 5-minute slide): every event
+    lands in exactly two windows; the oracle enumerates both bucket starts."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+# =========================================================================
+# UDF surface
+# =========================================================================
+
+
+@_register(
+    "u1_pandas_scalar_udf",
+    """
+    SELECT event_id, value * 2.0 + 1.0 AS transformed
+    FROM events
+    """,
+)
+def u1_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow) scalar pandas UDF — the acceptable Python path:
+    per-batch numpy arithmetic, IEEE-identical to the SQL expression."""
+
+    @F.pandas_udf("double")
+    def affine(v: pd.Series) -> pd.Series:
+        return v * 2.0 + 1.0
+
+    e = _t(spark, sf_dir, "events")
+    return e.select("event_id", affine(F.col("value")).alias("transformed"))
+
+
+@_register(
+    "u2_apply_in_pandas",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def u2_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF via applyInPandas: each group arrives as one pandas
+    DataFrame (Arrow batch); integer sums are exact so results match SQL.
+    JSON extraction stays JVM-side — only clean integers cross into Python."""
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_events": [len(pdf)],
+                "sum_k": [int(pdf["k"].sum())],
+            }
+        )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    return e.groupBy("event_type").applyInPandas(
+        summarize, schema="event_type string, n_events bigint, sum_k bigint"
+    )
+
+
+@_register(
+    "u3_row_udf",
+    """
+    SELECT doc_id, UPPER(lang) || ':' || source AS tag
+    FROM documents
+    """,
+)
+def u3_row_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — registered to prove the surface exists;
+    the docstring is the warning: this is the SLOW path (per-row pickling),
+    never for hot paths. Prefer pandas UDFs (u1) or built-ins."""
+    tag = F.udf(lambda lang, src: f"{lang.upper()}:{src}", "string")
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tag(F.col("lang"), F.col("source")).alias("tag"))

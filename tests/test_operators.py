@@ -107,12 +107,12 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     approx = {
         (r["query_id"], r["neighbor_id"])
         for r in SIM.lsh_topk(
-            queries, emb, dim=64, k=5, num_planes=6, num_tables=12
+            queries, emb, dim=64, k=5, num_planes=4, num_tables=16
         ).collect()
     }
-    # multi-table LSH should recover a meaningful share of true neighbors
+    # high-recall config (wide buckets, many tables): measured ~0.9
     recall = len(exact & approx) / len(exact)
-    assert recall > 0.4, f"recall {recall}"
+    assert recall > 0.6, f"recall {recall}"
 
 
 def test_multimodal_decode_plumbing(spark):

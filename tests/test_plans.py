@@ -1,0 +1,63 @@
+"""Plan-shape regression tests: the scale properties SURVEY.md §4 claims
+must be visible in the physical plan, not just intended."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from angelo_bravo_etl_task_spark.plans.audit import assert_plan, physical_plan
+from angelo_bravo_etl_task_spark.queries import QUERIES
+from angelo_bravo_etl_task_spark.sources.readers import load_table
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"][0](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q5_star_join_all_broadcast(spark, sf_dir):
+    df = QUERIES["q5_local_supplier"][0](spark, sf_dir)
+    assert_plan(
+        df,
+        contains=["BroadcastHashJoin"],
+        not_contains=["SortMergeJoin"],  # the fact table must never shuffle-join
+    )
+
+
+def test_q3_broadcast_no_smj(spark, sf_dir):
+    df = QUERIES["q3_shipping_priority"][0](spark, sf_dir)
+    assert_plan(df, contains=["BroadcastHashJoin"], not_contains=["SortMergeJoin"])
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    # select 2 of 11 lineitem columns → ReadSchema must list only those
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = physical_plan(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_t1_topk_is_take_ordered(spark, sf_dir):
+    # global ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-
+    # partition heaps), never a full global Sort
+    df = QUERIES["t1_topk_global"][0](spark, sf_dir)
+    assert_plan(df, contains=["TakeOrderedAndProject"])
+
+
+def test_constant_folding(spark, sf_dir):
+    # literal arithmetic must fold at plan time (no runtime expression)
+    df = load_table(spark, sf_dir, "region").select(
+        (F.lit(2) * F.lit(21)).alias("x")
+    )
+    plan = physical_plan(df)
+    assert "42" in plan and "2 * 21" not in plan
+
+
+def test_entry_flagship_partial_aggregation(spark):
+    # groupBy must plan as partial (map-side) + final aggregate around the
+    # shuffle — the combine is what makes 100 TB group-bys feasible
+    import __spark_entry__ as m
+
+    df = m.entry(spark)
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") >= 2
