@@ -462,6 +462,52 @@ def e4_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "tx5_term_stats",
+    r"""
+    WITH exploded AS (
+      SELECT doc_id, UNNEST(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+                                        t -> LENGTH(t) > 0)) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM exploded GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS doc_freq FROM tf GROUP BY term
+    )
+    SELECT doc_id, term, tf, doc_freq, rnk FROM (
+      SELECT t.doc_id, t.term, t.tf, d.doc_freq,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY t.tf DESC, t.term) AS rnk
+      FROM tf t JOIN df d ON t.term = d.term
+    ) WHERE rnk <= 3
+    """,
+)
+def tx5_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-native TF/DF scaffolding (the exact-integer core of TF-IDF;
+    the idf log stays out of the oracle because libm rounding differs
+    between engines): explode terms → per-doc TF → global DF → top-3 terms
+    per doc. Shuffles on (doc, term) then term — both high-cardinality."""
+    from .operators.text import tokens
+    from .operators.windows import top_k_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    exploded = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("doc_freq")
+    )
+    joined = tf.join(df_counts, "term").select("doc_id", "term", "tf", "doc_freq")
+    return top_k_per_group(
+        joined,
+        ["doc_id"],
+        [F.col("tf").desc(), F.col("term")],
+        k=3,
+        alias="rnk",
+    )
+
+
+@_register(
     "u1_pandas_scalar_udf",
     """
     SELECT event_id, value * 2.0 + 1.0 AS transformed

@@ -155,6 +155,27 @@ def test_compat_mode_leaf_name_repetition(spark):
     assert r["C_FULLNAME"] == expected
 
 
+def test_compat_mode_nan_in_concat(spark):
+    """Reference quirk (Angelo_ETL_Task.py:169-170): pandas astype(str)
+    turns NaN concat members into the literal 'nan'. compat mode reproduces
+    it; spec mode uses empty string."""
+    loinc = spark.createDataFrame(
+        [("333-3", None, "P", None, "S", "Qn", None, "ACTIVE")], LOINC_SCHEMA
+    )
+    hierarchy = spark.createDataFrame(
+        [("", 1, None, "LPD-1", "D"), ("LPD-1", 1, "LPD-1", "333-3", "Name")],
+        HIERARCHY_SCHEMA,
+    ).withColumn("_line_no", F.monotonically_increasing_id())
+    compat = transform_loinc_to_i2b2(
+        loinc, hierarchy, mode="compat", hierarchy_order_col="_line_no"
+    ).collect()[0]
+    spec = transform_loinc_to_i2b2(
+        loinc, hierarchy, mode="spec", hierarchy_order_col="_line_no"
+    ).collect()[0]
+    assert compat["C_NAME"] == "nan:P:nan:S:Qn:nan"
+    assert spec["C_NAME"] == ":P::S:Qn:"
+
+
 def test_last_wins_duplicate_hierarchy(spark):
     """A code placed twice in the hierarchy: the LAST file row's path must
     drive the output (pd.Series.to_dict semantics, Angelo_ETL_Task.py:163)."""

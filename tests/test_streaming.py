@@ -66,6 +66,50 @@ def test_streaming_session_windows(spark, events_stream_dir):
     assert all(r["n_events"] >= 1 for r in rows)
 
 
+def test_streaming_sliding_windows(spark, sf_dir, events_stream_dir):
+    from angelo_bravo_etl_task_spark.streaming.windows import sliding_window_agg
+
+    stream = stream_events(spark, events_stream_dir, watermark="1 minute")
+    _run_to_memory(
+        sliding_window_agg(stream, "10 minutes", "5 minutes"), "sliding_sink", "append"
+    )
+    got = spark.sql("SELECT window_start, event_type, n_events FROM sliding_sink").collect()
+    batch = sliding_window_agg(
+        load_table(spark, sf_dir, "events"), "10 minutes", "5 minutes"
+    ).collect()
+    batch_map = {(r["window_start"], r["event_type"]): r["n_events"] for r in batch}
+    assert len(got) > 0
+    for r in got:
+        assert batch_map[(r["window_start"], r["event_type"])] == r["n_events"]
+
+
+def test_streaming_to_parquet_sink(spark, events_stream_dir, tmp_path):
+    """Production sink shape: availableNow → parquet with checkpoint; the
+    same writeStream works against object storage on a cluster."""
+    out = str(tmp_path / "agg_out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = stream_events(spark, events_stream_dir, watermark="1 minute")
+    q = (
+        tumbling_window_agg(stream, "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    assert back.count() > 0
+    assert set(back.columns) == {
+        "window_start",
+        "window_end",
+        "event_type",
+        "n_events",
+        "sum_value",
+    }
+
+
 def test_streaming_dedup(spark, events_stream_dir):
     stream = stream_events(spark, events_stream_dir, watermark="1 minute")
     _run_to_memory(streaming_dedup(stream, ["event_id"]), "dedup_sink", "append")
