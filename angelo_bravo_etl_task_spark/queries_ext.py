@@ -456,6 +456,100 @@ def e4_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x3_embedding_near_dup",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < 500)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_reduce(list_transform(list_zip(a.e, b.e), x -> x[1] * x[2]),
+                       (acc, x) -> acc + x)
+           / (sqrt(list_reduce(list_transform(a.e, x -> x * x), (p, q) -> p + q))
+              * sqrt(list_reduce(list_transform(b.e, x -> x * x), (p, q) -> p + q)))
+           AS cosine_sim
+    FROM v a, v b
+    WHERE a.vec_id < b.vec_id
+      AND list_reduce(list_transform(list_zip(a.e, b.e), x -> x[1] * x[2]),
+                      (acc, x) -> acc + x)
+          / (sqrt(list_reduce(list_transform(a.e, x -> x * x), (p, q) -> p + q))
+             * sqrt(list_reduce(list_transform(b.e, x -> x * x), (p, q) -> p + q)))
+          > 0.95
+    """,
+)
+def x3_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the last north-star dedup
+    mode): all pairs above 0.95 cosine within a bounded id window (the
+    oracle must brute-force too, so both sides cap at 500 vectors; the
+    unbounded-scale path is LSH bucketing — x2 — feeding the same scorer).
+    Fold order mirrored for bit-exact doubles."""
+    from .operators.similarity import cosine
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 500)
+        .select("vec_id", "embedding")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb")
+    )
+    sim = cosine(F.col("_ea"), F.col("_eb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .where(F.col("cosine_sim") > 0.95)
+    )
+
+
+@_register("a2_approx_distinct", None)  # HLL sketch ≠ DuckDB's sketch → rows-only
+def a2_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB path where exact
+    COUNT(DISTINCT) would shuffle every key. Rows-only check (sketch
+    internals are engine-specific); the unit test asserts the estimate is
+    within the configured rsd of the exact count."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@_register(
+    "u4_udtf",
+    r"""
+    SELECT doc_id,
+           UNNEST(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+                              t -> LENGTH(t) > 0)) AS word
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def u4_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one input row → N output rows. The
+    explode-into-words job is built-in-expressible (the oracle uses UNNEST)
+    — registered to prove the UDTF surface; bounded to 50 docs because
+    row-at-a-time Python is the slow path."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, word string")
+    class SplitWords:
+        def eval(self, doc_id: int, text: str):
+            for w in (text or "").strip().split():
+                if w:
+                    yield doc_id, w
+
+    spark.udtf.register("split_words", SplitWords)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT w.doc_id, w.word
+        FROM _udtf_docs t, LATERAL split_words(t.doc_id, t.text) w
+        WHERE t.doc_id < 50
+        """
+    )
+
+
 # =========================================================================
 # UDF surface
 # =========================================================================
