@@ -22,15 +22,22 @@ from pyspark.sql import functions as F
 from .partitioning import spread as _spread
 
 
-def last_wins(df: DataFrame, keys: Sequence[str], order_col: str) -> DataFrame:
+def last_wins(
+    df: DataFrame, keys: Sequence[str], order_col: str | Sequence[str]
+) -> DataFrame:
     """Keep, per key, the row with the greatest ``order_col`` (last-wins).
 
     Spark-native equivalent of ``pd.Series(values, index=keys).to_dict()``
     duplicate-key semantics (Angelo_ETL_Task.py:163,166,169,176): one shuffle
     on the key, no global sort. Use `first_wins` semantics by passing a
     negated/inverted order column.
+
+    ``order_col`` may be a list of columns (compared left-to-right, all
+    descending). The combined ordering must be UNIQUE within each key group
+    or the survivor is engine/run-dependent — pass enough tiebreakers.
     """
-    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

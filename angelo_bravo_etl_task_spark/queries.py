@@ -90,18 +90,22 @@ def r1_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
              ROW_NUMBER() OVER (PARTITION BY l_orderkey
-                                ORDER BY l_linenumber DESC) AS rn
+                                ORDER BY l_linenumber DESC, l_partkey DESC,
+                                         l_quantity DESC) AS rn
       FROM lineitem
     ) WHERE rn = 1
     """,
 )
 def r2_last_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R2: last-wins duplicate-key resolution (pd.Series.to_dict semantics,
-    Angelo_ETL_Task.py:163-176) with l_linenumber as the explicit order."""
+    Angelo_ETL_Task.py:163-176). The testdata has duplicate (l_orderkey,
+    l_linenumber) pairs, so the order extends to (l_partkey, l_quantity) —
+    a composite that IS unique here — to pin the survivor deterministically
+    on both engines."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
     )
-    return D.last_wins(li, ["l_orderkey"], "l_linenumber")
+    return D.last_wins(li, ["l_orderkey"], ["l_linenumber", "l_partkey", "l_quantity"])
 
 
 @_register(
@@ -1036,10 +1040,56 @@ def mm1_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from . import queries_ext  # noqa: E402,F401  (extends QUERIES; keep last)
 
+# Names surfaced FIRST by all_queries()/all_oracles(). The driver's
+# correctness sweep covers a bounded prefix of the registry (r1 checked
+# exactly the first 50 registered names), so queries that still need a
+# driver-green row — fixed queries, the 11 with no r1 row, and anything new
+# this round — lead; the long-green tail follows in registration order.
+_CHECK_FIRST: list[str] = [
+    "r2_last_wins_dedup",  # r1 hash-fail, fixed this round — re-verify first
+    # registered in r1 but absent from CORRECTNESS_r01.json:
+    "f4_array_functions",
+    "f5_higher_order",
+    "f6_null_functions",
+    "e4_sliding_window",
+    "x3_embedding_near_dup",
+    "a2_approx_distinct",
+    "u4_udtf",
+    "tx5_term_stats",
+    "u1_pandas_scalar_udf",
+    "u2_apply_in_pandas",
+    "u3_row_udf",
+    # new this round:
+    "px1_loinc_i2b2_pipeline",
+    "e3_late_data_watermark",
+    "m2_median_scalable",
+    "d5_ngram_jaccard",
+    "x4_ivf_topk",
+    "q2_min_cost_supplier",
+    "q4_order_priority_exists",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "f7_regex_extract",
+    "f8_xml_gen",
+    "f9_datetime_format",
+    "tx6_winnowing",
+    "mm2_decode_meta",
+]
+
+
+def _ordered_names() -> list[str]:
+    head = [n for n in _CHECK_FIRST if n in QUERIES]
+    rest = [n for n in QUERIES if n not in set(head)]
+    return head + rest
+
 
 def all_queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in QUERIES.items()}
+    return {name: QUERIES[name][0] for name in _ordered_names()}
 
 
 def all_oracles() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}
+    return {
+        name: QUERIES[name][1]
+        for name in _ordered_names()
+        if QUERIES[name][1] is not None
+    }

@@ -635,11 +635,14 @@ def u2_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON extraction stays JVM-side — only clean integers cross into Python."""
 
     def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        # SQL SUM over an all-NULL group is NULL; pandas' skipna sum would
+        # say 0 — return None to mirror SQL semantics exactly
+        k_sum = int(pdf["k"].sum()) if pdf["k"].notna().any() else None
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
                 "n_events": [len(pdf)],
-                "sum_k": [int(pdf["k"].sum())],
+                "sum_k": [k_sum],
             }
         )
 

@@ -17,9 +17,26 @@ def test_entry_smoke(spark):
 
 
 def test_contract_shapes():
+    from angelo_bravo_etl_task_spark.queries import QUERIES
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert len(qs) >= 25
     assert set(oracles) <= set(qs)
-    # every oracle-less query is one of the documented hash-specific ops
-    assert set(qs) - set(oracles) == {"d3_minhash_lsh", "d4_simhash", "x2_lsh_topk"}
+    # the adapter exposes exactly the registry: every registered query, and
+    # an oracle for every query registered with one (None = documented
+    # hash-specific / approximate op that gets the weaker rows-only check)
+    assert set(qs) == set(QUERIES)
+    assert set(qs) - set(oracles) == {
+        name for name, (_, sql) in QUERIES.items() if sql is None
+    }
+
+
+def test_check_first_queries_lead_the_registry():
+    """The driver's correctness sweep covers a bounded prefix of queries();
+    names still needing a driver-green row must come first."""
+    from angelo_bravo_etl_task_spark.queries import _CHECK_FIRST
+
+    names = list(entrymod.queries())
+    expected_head = [n for n in _CHECK_FIRST if n in set(names)]
+    assert names[: len(expected_head)] == expected_head
