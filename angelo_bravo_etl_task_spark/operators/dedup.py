@@ -120,6 +120,47 @@ def shingles(col: Column, n: int = 3) -> Column:
     )
 
 
+def shingle_hashes(col: Column, n: int = 3) -> Column:
+    """64-bit hash per word-n-gram WITHOUT building shingle strings.
+
+    Hash each token once (``xxhash64``), then fold n consecutive token
+    hashes into one value by chained long-mixing (``xxhash64(acc, next)``)
+    — (n-1) vectorized ``zip_with`` passes over long arrays. Same blocking
+    power as hashing the concatenated shingle string, at a fraction of the
+    cost: one string hash per TOKEN instead of one per (token × n) plus n
+    string copies. Documents shorter than n tokens fold all their tokens
+    into a single hash (mirroring :func:`shingles`' single short shingle);
+    empty documents yield an empty array.
+    """
+    toks = F.filter(
+        F.split(normalize_text(col), r"\s+"), lambda s: F.length(s) > 0
+    )
+    th = F.transform(toks, lambda s: F.xxhash64(s))
+    size = F.size(th)
+    chain = th
+    for k in range(1, n):
+        chain = F.zip_with(
+            F.slice(chain, 1, size - k),
+            F.slice(th, k + 1, size - k),
+            lambda a, b: F.xxhash64(a, b),
+        )
+    # < n tokens: left-fold every token hash into one (CASE branches are
+    # lazily evaluated per row, so the size >= n slices never see negative
+    # lengths under ANSI)
+    short = F.array(
+        F.aggregate(
+            F.slice(th, 2, F.greatest(size - 1, F.lit(0))),
+            F.element_at(th, 1),
+            lambda acc, h: F.xxhash64(acc, h),
+        )
+    )
+    return F.array_distinct(
+        F.when(size >= n, chain)
+        .when(size > 0, short)
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+
+
 def _permutation_mix(i: int):
     # closure factory: a 1-arg lambda so F.transform doesn't treat the second
     # parameter as the element index
@@ -163,17 +204,14 @@ def minhash_lsh_candidates(
     id_a < id_b, distinct.
     """
     rows = num_hashes // bands
-    # staged projections so the shingle array and its base hashes materialize
-    # ONCE per row (a single nested expression would re-hash the strings for
-    # every one of the k permutations)
+    # staged projections so the shingle hashes materialize ONCE per row (a
+    # single nested expression would re-derive them for every one of the k
+    # permutations)
     sig = (
         _spread(df.select(F.col(id_col), F.col(text_col)))
         .select(
-            F.col(id_col), shingles(F.col(text_col), shingle_n).alias("_sh")
-        )
-        .select(
             F.col(id_col),
-            F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_bh"),
+            shingle_hashes(F.col(text_col), shingle_n).alias("_bh"),
         )
         .select(
             F.col(id_col),
@@ -185,6 +223,18 @@ def minhash_lsh_candidates(
             ).alias("_sig"),
         )
     )
+    # Eager local checkpoint of the per-DOC signatures: the self-join would
+    # otherwise (a) launch BOTH join sides concurrently, each computing the
+    # full signature pipeline (persist() alone is lazy — the two sides race
+    # before the cache fills), and (b) let constraint inference push the
+    # whole signature expression into the file scan as an IsNotNull filter —
+    # single-partition and pre-repartition. Checkpointing materializes once,
+    # truncates lineage, and the blocks are GC'd by the ContextCleaner when
+    # the frame drops out of scope (no unpersist bookkeeping). Checkpoint
+    # BEFORE the bands× explode — banding is a trivial JVM map, cheaper
+    # recomputed per join side than stored. Signatures are tiny next to the
+    # text — safe at any scale.
+    sig = sig.localCheckpoint(eager=True)
     banded = sig.select(
         F.col(id_col),
         F.explode(
@@ -203,12 +253,6 @@ def minhash_lsh_candidates(
             )
         ).alias("bh"),
     ).select(id_col, "bh.band", "bh.band_hash")
-    # persist: the self-join would otherwise (a) compute the signatures twice
-    # and (b) let constraint inference push the whole signature expression
-    # into the file scan as an IsNotNull filter — single-partition and
-    # pre-repartition. Signatures are tiny next to the text; MEMORY_AND_DISK
-    # is safe at any scale.
-    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -309,22 +353,39 @@ def _simhash_quadrants_arrow():
         shifts = np.arange(64, dtype=np.uint64)
         # MSB-first packing within each 16-bit quadrant (bit q*16+15 is the
         # quadrant's MSB) — must match simhash_quadrants' Horner order
-        weights = (1 << np.arange(16, dtype=np.int64))  # bit i → 2^i
-        out = []
-        for arr in bh:
-            if arr is None or len(arr) == 0:
-                out.append([0, 0, 0, 0])
-                continue
-            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
-            votes = 2 * bits.sum(axis=0) - len(h)
-            fpb = (votes > 0).astype(np.int64)
-            quads = [
-                int((fpb[q * 16 : (q + 1) * 16] * weights).sum())
-                for q in range(4)
-            ]
-            out.append(quads)
-        return pd.Series(out)
+        weights = 1 << np.arange(16, dtype=np.int64)  # bit i → 2^i
+        n = len(bh)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        # one flat (total_hashes, 64) bit matrix for the WHOLE batch, then a
+        # segmented per-row sum via reduceat — no Python loop over rows
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in bh), dtype=np.int64, count=n
+        )
+        flat = (
+            np.concatenate([np.asarray(a, dtype=np.int64) for a in bh if a is not None and len(a)])
+            if lens.sum()
+            else np.empty(0, dtype=np.int64)
+        )
+        bits = ((flat.astype(np.uint64)[:, None] >> shifts) & np.uint64(1)).astype(
+            np.int64
+        )
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        # reduceat over NON-EMPTY rows only: their starts are strictly
+        # increasing (each segment has ≥1 element) so no segment aliasing;
+        # empty rows scatter back as zero
+        nonempty = lens > 0
+        row_sums = np.zeros((n, 64), dtype=np.int64)
+        if nonempty.any():
+            row_sums[nonempty] = np.add.reduceat(
+                bits, offsets[nonempty], axis=0
+            )
+        votes = 2 * row_sums - lens[:, None]
+        fpb = (votes > 0).astype(np.int64)  # (n, 64)
+        quads = fpb.reshape(n, 4, 16) @ weights  # (n, 4)
+        quads[lens == 0] = 0
+        return pd.Series([[int(a), int(b), int(c), int(d)] for a, b, c, d in quads])
 
     return simhash_from_hashes
 
@@ -347,15 +408,9 @@ def simhash_near_dups(
     Column-expression path (:func:`simhash_quadrants`) is kept as the
     executable spec and for environments without Arrow.
     """
-    hashed = (
-        _spread(df.select(F.col(id_col), F.col(text_col)))
-        .select(
-            F.col(id_col), shingles(F.col(text_col), shingle_n).alias("_sh")
-        )
-        .select(
-            F.col(id_col),
-            F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_bh"),
-        )
+    hashed = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        shingle_hashes(F.col(text_col), shingle_n).alias("_bh"),
     )
     if use_arrow:
         fp = hashed.select(
@@ -365,14 +420,18 @@ def simhash_near_dups(
         fp = hashed.select(
             F.col(id_col), simhash_quadrants(F.col("_bh")).alias("_fp")
         )
+    # eager checkpoint of the per-DOC fingerprints before the self-join:
+    # compute them ONCE (a lazy persist would let both join-side stages race
+    # through the full pipeline concurrently) and truncate lineage so
+    # constraint inference can't re-derive them inside the file scan; blocks
+    # are GC'd with the frame. Checkpoint BEFORE the 4× posexplode — the
+    # explode is a trivial JVM map, cheaper recomputed per side than stored.
+    fp = fp.localCheckpoint(eager=True)
     quads = fp.select(
         id_col,
         "_fp",
         F.posexplode(F.col("_fp")).alias("q", "qbits"),
     )
-    # persist before the self-join: compute fingerprints once, and keep
-    # constraint inference from re-deriving them inside the file scan
-    quads = quads.persist()
     a = quads.alias("a")
     b = quads.alias("b")
     hamming = F.aggregate(
@@ -393,11 +452,13 @@ def simhash_near_dups(
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
         )
-        .where(hamming <= max_hamming)
+        # project hamming ONCE, then filter — not one evaluation in the
+        # filter and another in the output projection
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             hamming.alias("hamming"),
         )
+        .where(F.col("hamming") <= max_hamming)
         .distinct()
     )

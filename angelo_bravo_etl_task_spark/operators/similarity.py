@@ -188,7 +188,10 @@ def lsh_topk(
 
     cand = (
         with_sigs(queries, "query_id")
-        .join(with_sigs(corpus, "neighbor_id").persist(), on="_sig")
+        # eager checkpoint: materialize corpus signatures once with truncated
+        # lineage (keeps the signature UDF out of the scan-side constraint
+        # filters); blocks are GC'd when the frame goes out of scope
+        .join(with_sigs(corpus, "neighbor_id").localCheckpoint(eager=True), on="_sig")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()

@@ -1062,7 +1062,7 @@ _CHECK_FIRST: list[str] = [
     # new this round:
     "px1_loinc_i2b2_pipeline",
     "e3_late_data_watermark",
-    "m2_median_scalable",
+    "m1_exact_median",  # impl rewritten round 2 (two-pass) — re-verify
     "d5_ngram_jaccard",
     "x4_ivf_topk",
     "q2_min_cost_supplier",

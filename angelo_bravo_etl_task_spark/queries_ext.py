@@ -286,26 +286,52 @@ def w6_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def m1_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact median via explicit middle-row selection — engine-portable
-    (both engines average the same 1-2 middle elements), unlike
-    percentile_cont whose interpolation arithmetic may differ."""
+    """Exact median, scale-safe two-pass plan.
+
+    A row_number window partitioned by l_returnflag (3 values) would sort
+    the WHOLE fact table in 3 tasks — the textbook low-cardinality-window
+    scale killer. Instead: (1) aggregate to (group, value) counts — a
+    high-cardinality shuffle with map-side combine; (2) run the cumulative
+    window over the TINY aggregated frame (groups × distinct values) to
+    locate which value bucket holds each middle position; (3) average the
+    two middle values. Engine-portable: both engines average the same 1-2
+    middle elements (the oracle keeps the direct row_number formulation —
+    fine for DuckDB on test data), and the two-double addition is
+    order-insensitive so results match bit-for-bit."""
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_quantity", "l_orderkey", "l_linenumber"
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("_cnt")
     )
-    wn = Window.partitionBy("l_returnflag")
-    ranked = li.select(
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    cum = counts.select(
         "l_returnflag",
         "l_quantity",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+        "_cnt",
+        F.sum("_cnt").over(w_cum).alias("_cum"),
+        F.sum("_cnt").over(w_tot).alias("_n"),
     )
-    mid1 = F.floor((F.col("n") + 1) / 2.0).cast("bigint")
-    mid2 = F.floor((F.col("n") + 2) / 2.0).cast("bigint")
+    mid1 = F.floor((F.col("_n") + 1) / 2.0).cast("bigint")
+    mid2 = F.floor((F.col("_n") + 2) / 2.0).cast("bigint")
+    lo = F.col("_cum") - F.col("_cnt")
+    has_mid1 = (mid1 > lo) & (mid1 <= F.col("_cum"))
+    has_mid2 = (mid2 > lo) & (mid2 <= F.col("_cum"))
     return (
-        ranked.where((F.col("rn") == mid1) | (F.col("rn") == mid2))
+        cum.where(has_mid1 | has_mid2)
         .groupBy("l_returnflag")
-        .agg(F.avg("l_quantity").alias("median_qty"))
+        .agg(
+            (
+                (
+                    F.sum(F.when(has_mid1, F.col("l_quantity")))
+                    + F.sum(F.when(has_mid2, F.col("l_quantity")))
+                )
+                / 2.0
+            ).alias("median_qty")
+        )
     )
 
 

@@ -50,13 +50,27 @@ def test_jaccard_confirm(docs):
     assert all(j >= 0.5 for j in by_pair.values())
 
 
-def test_simhash_near_dups(docs):
+def test_simhash_near_dups(spark):
+    # SimHash with quadrant blocking guarantees detection only within
+    # Hamming 3, i.e. SMALL relative change — plant a 1-token edit in a
+    # 300-token doc (<1% shingle churn), not a short doc where one edit
+    # perturbs a large fraction of the votes. (Verified hamming(1,3)=2 for
+    # this fixture under the current hash derivation.)
+    base = " ".join(f"word{i} item{i}" for i in range(150))
+    near = base.replace("word75 ", "changedtoken ", 1)
+    far = (
+        "completely different content about databases indexes transactions "
+        "and write ahead logs with nothing shared beyond english words"
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)], "doc_id LONG, text STRING"
+    )
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in D.simhash_near_dups(docs, max_hamming=10).collect()
+        for r in D.simhash_near_dups(docs, max_hamming=3).collect()
     }
     assert pairs[(1, 2)] == 0
-    assert (1, 3) in pairs
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3
     assert (1, 4) not in pairs
 
 

@@ -61,3 +61,19 @@ def test_entry_flagship_partial_aggregation(spark):
     df = m.entry(spark)
     plan = physical_plan(df)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_m1_median_windows_only_over_aggregated_input(spark, sf_dir):
+    # the exact-median plan must never window-sort the raw fact table on a
+    # 3-value partition key: every Window must sit ABOVE the (group, value)
+    # pre-aggregation, so the window input is the tiny aggregated frame
+    df = QUERIES["m1_exact_median"][0](spark, sf_dir)
+    plan = physical_plan(df)
+    first_window = plan.find("Window")
+    assert first_window != -1, "expected a Window over the aggregated counts"
+    # text order is top-down: the partial/final count aggregate pair that
+    # reduces the fact table must appear BELOW (after) every Window operator
+    below_windows = plan[plan.rfind("Window"):]
+    assert "HashAggregate" in below_windows, (
+        "Window consumes the raw scan — pre-aggregate first:\n" + plan
+    )
