@@ -26,12 +26,17 @@ def xml_element(tag: str, *children: Column) -> Column:
     return F.concat(F.lit(f"<{tag}>"), *children, F.lit(f"</{tag}>"))
 
 
-def xml_leaf(tag: str, value: Column) -> Column:
+def xml_leaf(tag: str, value: Column, null_text: str | None = None) -> Column:
     """``<tag>escaped-value</tag>``; NULL value → ``<tag />`` like
-    ElementTree's ``text=None``."""
-    return F.when(
-        value.isNull(), F.lit(f"<{tag} />")
-    ).otherwise(
+    ElementTree's ``text=None`` — unless ``null_text`` is given, in which
+    case NULL renders as that literal text (the reference passes
+    ``str(value)`` so pandas NaN becomes the LITERAL ``'nan'`` inside the
+    element, Angelo_ETL_Task.py:111-115; compat mode threads that through)."""
+    if null_text is not None:
+        null_doc = F.lit(f"<{tag}>{null_text}</{tag}>")
+    else:
+        null_doc = F.lit(f"<{tag} />")
+    return F.when(value.isNull(), null_doc).otherwise(
         F.concat(F.lit(f"<{tag}>"), xml_escape_text(value), F.lit(f"</{tag}>"))
     )
 
@@ -42,6 +47,7 @@ def loinc_metadata_xml(
     component: Column,
     system: Column,
     method_typ: Column,
+    compat: bool = False,
 ) -> Column:
     """The reference's two per-row document shapes (Angelo_ETL_Task.py:95-117):
 
@@ -51,18 +57,20 @@ def loinc_metadata_xml(
                  <SYSTEM>…</SYSTEM><METHOD_TYP>…</METHOD_TYP></Loinc>
 
     The reference passes ``str(value)`` so NaN becomes the literal 'nan'
-    (§7.4 quirk); spec mode here keeps NULLs as empty elements instead.
+    (§7.4 quirk, Angelo_ETL_Task.py:111-115); ``compat=True`` reproduces
+    that; spec mode keeps NULLs as empty ``<tag />`` elements instead.
     """
+    null_text = "nan" if compat else None
     lp_doc = xml_element(
         "MultiAxialHierarchy",
-        xml_leaf("LOINC_NUM", loinc_num),
-        xml_leaf("CODE_TEXT", code_text),
+        xml_leaf("LOINC_NUM", loinc_num, null_text),
+        xml_leaf("CODE_TEXT", code_text, null_text),
     )
     std_doc = xml_element(
         "Loinc",
-        xml_leaf("LOINC_NUM", loinc_num),
-        xml_leaf("COMPONENT", component),
-        xml_leaf("SYSTEM", system),
-        xml_leaf("METHOD_TYP", method_typ),
+        xml_leaf("LOINC_NUM", loinc_num, null_text),
+        xml_leaf("COMPONENT", component, null_text),
+        xml_leaf("SYSTEM", system, null_text),
+        xml_leaf("METHOD_TYP", method_typ, null_text),
     )
     return F.when(loinc_num.startswith("LP"), lp_doc).otherwise(std_doc)

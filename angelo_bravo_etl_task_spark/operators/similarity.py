@@ -147,6 +147,81 @@ def _signatures_arrow(dim: int, num_planes: int, num_tables: int, seed: int = 42
     return signatures
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the other classic ANN scale
+    path next to hyperplane LSH (:func:`lsh_topk`).
+
+    Coarse-quantize: every corpus vector is assigned to its nearest
+    centroid ("cell") by cosine; each query probes its ``nprobe`` nearest
+    cells and scores exact cosine only against those cells' members. With
+    |C| ≈ √N centroids and nprobe ≪ |C|, the scored candidates are
+    ~nprobe/|C| of the corpus instead of all of it.
+
+    Scale shape: centroids broadcast (small by construction); assignment is
+    a map over the corpus (no shuffle); the candidate join is equi on
+    cell_id — shuffle bounded by real cell membership. ``centroids`` must be
+    a deterministic subset/build (caller-controlled) so results reproduce.
+    """
+    c = centroids.select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_cent")
+    ).withColumn("_cent_n", norm(F.col("_cent")))
+
+    def assign(df: DataFrame, out_id: str, keep: int) -> DataFrame:
+        scored = (
+            _spread(df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("_v")))
+            .withColumn("_vn", norm(F.col("_v")))
+            .crossJoin(F.broadcast(c))
+            .select(
+                out_id,
+                "_v",
+                "cell_id",
+                (
+                    dot(F.col("_v"), F.col("_cent"))
+                    / (F.col("_vn") * F.col("_cent_n"))
+                ).alias("_cell_sim"),
+            )
+        )
+        return top_k_per_group(
+            scored,
+            [out_id],
+            [F.col("_cell_sim").desc(), F.col("cell_id").asc()],
+            keep,
+            alias="_cell_rank",
+        )
+
+    corpus_cells = assign(corpus, "neighbor_id", 1).select(
+        "neighbor_id", "cell_id", F.col("_v").alias("_cv")
+    )
+    query_cells = assign(queries, "query_id", nprobe).select(
+        "query_id", "cell_id", F.col("_v").alias("_qv")
+    )
+    scored = (
+        query_cells.join(corpus_cells, on="cell_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cosine_sim"),
+        )
+        .distinct()
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+        alias="rank",
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -116,12 +116,31 @@ def fingerprint(col: Column) -> Column:
 
 
 def rolling_fingerprints(col: Column, window: int = 8) -> Column:
-    """Winnowing-style shingle fingerprints: md5 of each ``window``-token
-    shingle, for containment/overlap detection between documents."""
+    """Rolling shingle fingerprints: md5 of each ``window``-token shingle,
+    for containment/overlap detection between documents."""
     toks = tokens(col)
     return F.transform(
         F.sequence(
             F.lit(0), F.greatest(F.size(toks) - window, F.lit(0))
         ),
         lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+    )
+
+
+def winnow_fingerprints(col: Column, k: int = 8, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD '03):
+    md5 per k-token shingle, then keep the MINIMUM fingerprint of every
+    sliding window of ``window`` consecutive shingle hashes, distinct.
+
+    Guarantee: any two documents sharing a run of k+window-1 tokens share at
+    least one selected fingerprint, while storing only ~2/(window+1) of the
+    shingle hashes. Lexicographic min over md5 hex is engine-portable (no
+    integer hash needed). Pure Column expressions — codegen over the scan."""
+    grams = rolling_fingerprints(col, window=k)
+    g = F.size(grams)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(g - window, F.lit(0))),
+            lambda i: F.array_min(F.slice(grams, i + 1, window)),
+        )
     )

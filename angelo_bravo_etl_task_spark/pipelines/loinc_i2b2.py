@@ -46,11 +46,23 @@ PATH_ROOT = "\\i2b2\\Laboratory"
 
 
 def _with_order(df: DataFrame, order_col: str | None) -> tuple[DataFrame, str]:
-    """Ensure an explicit order column for last-wins semantics. Falls back to
-    a read-order id (only deterministic for single-file/partition inputs —
-    real callers should supply a line-number column)."""
+    """Ensure an explicit order column for last-wins semantics.
+
+    Without one, the only available stand-in is ``monotonically_increasing_id``
+    — which encodes (partition, offset), NOT file order, so on multi-partition
+    input the surviving duplicate would silently change run to run. That
+    nondeterminism is refused: the fallback is allowed ONLY for
+    single-partition input (where partition offset IS read order); everything
+    else must supply a real line-number column."""
     if order_col is not None:
         return df, order_col
+    if df.rdd.getNumPartitions() > 1:
+        raise ValueError(
+            "hierarchy_order_col is required for multi-partition input: "
+            "monotonically_increasing_id() is not file order across "
+            "partitions, so last-wins survivors would be nondeterministic. "
+            "Supply an explicit line-number/order column."
+        )
     return df.withColumn("_ord", F.monotonically_increasing_id()), "_ord"
 
 
@@ -197,6 +209,7 @@ def transform_loinc_to_i2b2(
                 F.col("COMPONENT"),
                 F.col("SYSTEM"),
                 F.col("METHOD_TYP"),
+                compat=compat,
             ),
             "C_FACTTABLECOLUMN": F.lit("CONCEPT_CD"),
             "C_TABLENAME": F.lit("CONCEPT_DIMENSION"),

@@ -1038,7 +1038,8 @@ def mm1_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from . import queries_ext  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_ext  # noqa: E402,F401  (extends QUERIES)
+from . import queries_px  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded prefix of the registry (r1 checked

@@ -508,20 +508,22 @@ def x3_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle must brute-force too, so both sides cap at 500 vectors; the
     unbounded-scale path is LSH bucketing — x2 — feeding the same scorer).
     Fold order mirrored for bit-exact doubles."""
-    from .operators.similarity import cosine
+    from .operators.similarity import dot, norm
 
     emb = (
         _t(spark, sf_dir, "embeddings")
         .where(F.col("vec_id") < 500)
         .select("vec_id", "embedding")
     )
+    # norms hoisted per SIDE (N sqrt-folds instead of N² — same IEEE value,
+    # same fold over the same inputs, so oracle parity is unaffected)
     a = emb.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea")
-    )
+    ).withColumn("_na", norm(F.col("_ea")))
     b = emb.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb")
-    )
-    sim = cosine(F.col("_ea"), F.col("_eb"))
+    ).withColumn("_nb", norm(F.col("_eb")))
+    sim = dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("cosine_sim"))

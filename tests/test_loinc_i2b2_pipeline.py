@@ -223,3 +223,33 @@ def test_truncation_limits(spark):
     assert len(r["C_SYMBOL"]) == 50
     assert len(r["C_TOOLTIP"]) == 900
     assert r["C_COLUMNDATATYPE"] == "T"  # non-Qn scale
+
+
+def test_compat_mode_nan_in_xml(spark):
+    """Reference quirk (Angelo_ETL_Task.py:111-115): str(NaN) puts the
+    LITERAL bytes 'nan' inside C_METADATAXML elements. compat mode must
+    reproduce them; spec mode keeps the empty-element form."""
+    loinc, hierarchy = _fixtures(spark)
+    compat = transform_loinc_to_i2b2(
+        loinc, hierarchy, mode="compat", hierarchy_order_col="_line_no"
+    ).where(F.col("C_BASECODE") == "LOINC:4548-4").collect()[0]
+    # METHOD_TYP is NULL for 4548-4 → literal 'nan' element body
+    assert "<METHOD_TYP>nan</METHOD_TYP>" in compat["C_METADATAXML"]
+    spec = transform_loinc_to_i2b2(
+        loinc, hierarchy, mode="spec", hierarchy_order_col="_line_no"
+    ).where(F.col("C_BASECODE") == "LOINC:4548-4").collect()[0]
+    assert "<METHOD_TYP />" in spec["C_METADATAXML"]
+    assert "nan" not in spec["C_METADATAXML"]
+
+
+def test_order_fallback_refused_on_multipartition_input(spark):
+    """_with_order's monotonically_increasing_id fallback is not file order
+    across partitions — the pipeline must refuse it rather than silently
+    produce run-dependent survivors."""
+    loinc, hierarchy = _fixtures(spark)
+    multi = hierarchy.drop("_line_no").repartition(4)
+    with pytest.raises(ValueError, match="hierarchy_order_col is required"):
+        transform_loinc_to_i2b2(loinc, multi, mode="spec")
+    # single-partition input still allows the fallback
+    single = hierarchy.drop("_line_no").coalesce(1)
+    assert transform_loinc_to_i2b2(loinc, single, mode="spec").count() > 0
