@@ -65,6 +65,22 @@ def write_jdbc(
     w.save()
 
 
+def jdbc_table_exists(
+    spark: SparkSession, url: str, table: str, **properties: str
+) -> bool:
+    """Table-existence probe (reference :294-297, information_schema query):
+    resolve the table's schema through the JDBC dialect; a missing table
+    raises from the database."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in properties.items():
+        reader = reader.option(k, v)
+    try:
+        reader.load().schema
+        return True
+    except Exception:
+        return False
+
+
 def read_jdbc_min(
     spark: SparkSession, url: str, table: str, column: str, **properties: str
 ) -> object:
