@@ -53,22 +53,22 @@ def e3_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     receiving late data. The oracle reproduces exactly that cutoff, so the
     driver check verifies the late-data-exclusion boundary, not just the
     aggregation."""
-    import shutil
-    import tempfile
-
-    from .sources.readers import load_table
-    from .streaming.windows import stream_events, tumbling_window_agg
+    from .streaming.windows import stream_events_raw, tumbling_window_agg
 
     _E3_RUN_SEQ[0] += 1
     sink = f"e3_late_sink_{_E3_RUN_SEQ[0]}"
-    stream_dir = tempfile.mkdtemp(prefix="e3_events_")
+    # stream the ORIGINAL driver parquet directly (nanos→micros in-stream);
+    # one availableNow micro-batch processes the file, the watermark then
+    # finalizes to max(event time) - 30 min and append emits exactly the
+    # windows below it.
+    # State partitions: streaming snapshots/commits one state store PER
+    # shuffle partition PER micro-batch — fixed overhead that dwarfs the
+    # data at this volume (measured 8.9 s @ 32 partitions vs 1.6 s @ 8).
+    # Size state partitions to state volume, not core count.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        # re-write events as micro-timestamped parquet for the stream reader
-        # (the testdata file is TIMESTAMP(NANOS) — batch load_table converts)
-        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(
-            stream_dir
-        )
-        stream = stream_events(spark, stream_dir, watermark="30 minutes")
+        stream = stream_events_raw(spark, sf_dir, watermark="30 minutes")
         q = (
             tumbling_window_agg(stream, "10 minutes")
             .writeStream.format("memory")
@@ -81,7 +81,7 @@ def e3_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.isActive:
             q.stop()
     finally:
-        shutil.rmtree(stream_dir, ignore_errors=True)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink)
 
 # The oracle mirrors the fixture synthesis AND the whole pipeline. Helper
@@ -249,9 +249,10 @@ def d5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH candidates → jaccard_pairs confirm). Ratio = raw IEEE division of
     exact set-size integers — bit-identical across engines."""
     from .operators.dedup import shingles
+    from .operators.partitioning import spread
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
-    sh = d.select(
+    sh = spread(d.select("doc_id", "text")).select(
         F.col("doc_id"), shingles(F.col("text"), 3).alias("_sh")
     ).localCheckpoint(eager=True)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sa"))
@@ -309,13 +310,18 @@ def tx6_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True winnowing fingerprints (Schleimer et al. '03): md5 per 8-token
     shingle, minimum of each 4-window, distinct per doc — any shared run of
     11 tokens between documents shares a fingerprint. Lexicographic min over
-    md5 hex is engine-portable."""
-    from .operators.text import winnow_fingerprints
+    md5 hex is engine-portable.
+
+    Arrow fast path (identical output to the staged Column-expression spec,
+    parity-tested in tests/test_operators.py); the doc scan is spread across
+    cores (the single-file scan is one partition otherwise)."""
+    from .operators.partitioning import spread
+    from .operators.text import tokens, winnow_arrow
 
     d = _t(spark, sf_dir, "documents")
-    return d.select(
+    return spread(d.select("doc_id", "text")).select(
         "doc_id",
-        F.explode(winnow_fingerprints(F.col("text"), k=8, window=4)).alias(
+        F.explode(winnow_arrow(k=8, window=4)(tokens(F.col("text")))).alias(
             "fingerprint"
         ),
     )

@@ -29,16 +29,52 @@ def stream_events(
     spark: SparkSession,
     parquet_dir: str,
     watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = 1,
 ) -> DataFrame:
     """readStream over a parquet directory of events, watermarked on ts.
 
     In production this is Kafka/Kinesis + the same downstream plan; parquet
     directory streaming keeps the harness hermetic.
+    ``max_files_per_trigger=None`` lets one micro-batch take every available
+    file (parallel scan) — watermark-final results are identical, since the
+    watermark still advances to max(event time) - delay after the batch.
     """
+    reader = spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(parquet_dir).withWatermark("ts", watermark)
+
+
+def stream_events_raw(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """readStream directly over the driver's original ``events.parquet`` —
+    no staging rewrite. The file stores TIMESTAMP(NANOS), which Spark's
+    reader won't map to TimestampType, so the stream schema reads ``ts`` as
+    raw nanos (long) and truncates to microseconds in-stream (identical to
+    ``sources/readers.load_table``)."""
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(f.name, LongType() if f.name == "ts" else f.dataType)
+            for f in TESTDATA_SCHEMAS["events"].fields
+        ]
+    )
+    # the file-stream source requires a DIRECTORY base path — point at the
+    # sf dir and glob-filter to the events file
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
     return (
-        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
-        .option("maxFilesPerTrigger", "1")
-        .parquet(parquet_dir)
+        raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select(*[f.name for f in TESTDATA_SCHEMAS["events"].fields])
         .withWatermark("ts", watermark)
     )
 

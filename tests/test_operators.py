@@ -197,3 +197,32 @@ def test_binary_metadata(spark):
     )
     r = MM.attach_binary_metadata(assets).collect()[0]
     assert r["content_length"] == 3
+
+
+def test_winnow_arrow_matches_column_spec(spark, sf_dir):
+    """The Arrow winnowing fast path must produce EXACTLY the spec's
+    fingerprints (hashlib.md5 ≡ engine md5 on utf-8 bytes)."""
+    from angelo_bravo_etl_task_spark.operators.text import (
+        rolling_fingerprints,
+        tokens,
+        winnow_arrow,
+        winnow_from_grams,
+    )
+    from angelo_bravo_etl_task_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    spec_g = d.select("doc_id", rolling_fingerprints(F.col("text"), window=8).alias("_g"))
+    spec = {
+        (r["doc_id"], r["fp"])
+        for r in spec_g.select(
+            "doc_id", F.explode(winnow_from_grams(F.col("_g"), 4)).alias("fp")
+        ).collect()
+    }
+    fast = {
+        (r["doc_id"], r["fp"])
+        for r in d.select(
+            "doc_id",
+            F.explode(winnow_arrow(8, 4)(tokens(F.col("text")))).alias("fp"),
+        ).collect()
+    }
+    assert spec == fast and len(spec) > 0
