@@ -1039,7 +1039,8 @@ def mm1_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from . import queries_ext  # noqa: E402,F401  (extends QUERIES)
-from . import queries_px  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_px  # noqa: E402,F401  (extends QUERIES)
+from . import queries_tpch2  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded prefix of the registry (r1 checked
@@ -1061,6 +1062,7 @@ _CHECK_FIRST: list[str] = [
     "u2_apply_in_pandas",
     "u3_row_udf",
     # new this round:
+    "st1_stateful_sessions",
     "px1_loinc_i2b2_pipeline",
     "e3_late_data_watermark",
     "m1_exact_median",  # impl rewritten round 2 (two-pass) — re-verify
@@ -1075,6 +1077,15 @@ _CHECK_FIRST: list[str] = [
     "f9_datetime_format",
     "tx6_winnowing",
     "mm2_decode_meta",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity",
+    "q19_disjunctive",
+    "q22_idle_customers",
 ]
 
 

@@ -742,3 +742,67 @@ def px1_loinc_i2b2_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "C_PATH",
         "C_SYMBOL",
     )
+
+
+@_register(
+    "st1_stateful_sessions",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                   OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '5 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ), sess AS (
+      SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+             COUNT(*) AS n_events
+      FROM s GROUP BY user_id, sid
+    ), wm AS (SELECT MAX(ts) AS mx FROM events)
+    SELECT user_id, session_start, session_end, n_events
+    FROM sess, wm
+    WHERE session_end + INTERVAL '5 minutes' <= mx - INTERVAL '30 minutes'
+    """,
+)
+def st1_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``,
+    streaming/stateful.py): per-user gap sessionization with
+    watermark-correct append emission. Run as a REAL streaming query
+    (availableNow -> memory sink): the data batch buffers sessions in the
+    state store; the trailing no-data micro-batch advances the watermark to
+    max(event time) - 30 min and fires event-time timeouts, emitting exactly
+    the sessions no late event could still extend (session_end + gap <=
+    watermark). The oracle sessionizes in SQL (lag/gap/cumsum) and applies
+    the same finality cutoff — checking the stateful operator's emission
+    boundary, not just the grouping."""
+    from .streaming.stateful import sessionize_stateful
+    from .streaming.windows import stream_events_raw
+
+    _E3_RUN_SEQ[0] += 1
+    sink = f"st1_sessions_sink_{_E3_RUN_SEQ[0]}"
+    # state store per shuffle partition per micro-batch: size to state
+    # volume, not core count (same measured cliff as e3)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = stream_events_raw(spark, sf_dir, watermark="30 minutes")
+        q = (
+            sessionize_stateful(stream, gap="5 minutes")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=120)
+        if q.isActive:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink)

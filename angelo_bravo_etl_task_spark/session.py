@@ -20,7 +20,12 @@ from pyspark.sql import SparkSession
 _ENGINE_CONFS: dict[str, str] = {
     # Runtime re-planning: coalesce small shuffle partitions, split skewed
     # ones, convert sort-merge joins to broadcast when the built side turns
-    # out small. Essential at 100 TB, harmless locally.
+    # out small. Essential at 100 TB. NOT free locally: each query stage is
+    # an exchange materialization barrier plus a re-planning round, a fixed
+    # latency that dominates sub-second queries (measured at sf0.1: +70%
+    # wall-clock on a tiny-query sample, zero plan improvement at MB scale).
+    # Callers benchmarking small data can disable via get_spark(adaptive=
+    # False); the default encodes the cluster target.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -49,6 +54,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_confs: dict[str, str] | None = None,
+    adaptive: bool | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
@@ -69,6 +75,8 @@ def get_spark(
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
     confs = dict(_ENGINE_CONFS)
     confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if adaptive is not None:
+        confs["spark.sql.adaptive.enabled"] = str(adaptive).lower()
     if extra_confs:
         confs.update(extra_confs)
 

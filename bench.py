@@ -33,14 +33,33 @@ def main() -> None:
     except ValueError:
         sf = None
 
-    spark = get_spark(app_name="bench")
+    # Shuffle sizing follows the DATA, not the core count (SCALE.md): at
+    # sf0.1 the whole dataset is ~100 MB, so 32-way shuffles produce sub-MB
+    # tasks whose scheduling overhead dominates, and AQE's per-stage
+    # replanning barrier adds fixed latency with nothing left to re-plan.
+    # Measured on the full 74-query registry at sf0.1 (sum of wall-clock):
+    #   AQE on /32 parts: 48.3 s   AQE off/32: 50.2 s
+    #   AQE on / 8 parts: 44.2 s   AQE off/ 8: 33.6 s   (off/4: 47.7, off/16: 35.1)
+    # Compute-bound stages keep full parallelism regardless — spread()
+    # repartitions to defaultParallelism, not shuffle partitions. At sf>=1
+    # (cluster-like volume) the engine defaults stand: AQE on, partitions
+    # sized ~2-3x cores.
+    small = sf is not None and sf < 1.0
+    spark = get_spark(
+        app_name="bench",
+        adaptive=False if small else None,
+        shuffle_partitions=8 if small else None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: run the flagship shapes once at tiny scale (JIT + codegen cache)
+    # warmup: run EVERY registered query once at tiny scale so the timed
+    # sweep measures steady-state plans, not first-run JIT/codegen
+    # compilation (measured: a 3-query warmup leaves ~10 s of C2-compile
+    # latency smeared across the timed sweep at sf0.1)
     if os.path.isdir(warmup_dir):
-        for name in ("q1_pricing_summary", "r1_left_join", "e1_tumbling_window"):
+        for name, (fn, _) in QUERIES.items():
             try:
-                QUERIES[name][0](spark, warmup_dir).count()
+                fn(spark, warmup_dir).count()
             except Exception:
                 pass
 

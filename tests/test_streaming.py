@@ -116,3 +116,71 @@ def test_streaming_dedup(spark, events_stream_dir):
     n = spark.sql("SELECT count(*) AS c FROM dedup_sink").collect()[0]["c"]
     total = spark.read.parquet(events_stream_dir).count()
     assert n == total  # event_id is unique → nothing dropped, nothing dup'd
+
+
+def test_merge_sessions_pure():
+    """Edge cases of the stateful sessionizer's merge fold: extension,
+    gap split, exact-gap boundary (inclusive), duplicate timestamps, and
+    late-event walk-back into an earlier pending session."""
+    from angelo_bravo_etl_task_spark.streaming.stateful import _merge_sessions
+
+    M = 60_000_000  # one minute in micros
+    gap = 5 * M
+    # gap boundary: exactly `gap` apart extends, gap+1us splits
+    assert _merge_sessions([], [0, gap], gap) == [[0, gap, 2]]
+    assert _merge_sessions([], [0, gap + 1], gap) == [[0, 0, 1], [gap + 1, gap + 1, 1]]
+    # duplicate timestamps count separately
+    assert _merge_sessions([], [0, 0, M], gap) == [[0, M, 3]]
+    # late event lands inside an earlier pending session's reach
+    pending = [[0, M, 2], [10 * M, 11 * M, 2]]
+    assert _merge_sessions(pending, [2 * M], gap) == [[0, 2 * M, 3], [10 * M, 11 * M, 2]]
+    # late event in no session's reach opens its own, sorted into place
+    out = _merge_sessions([[0, 0, 1], [20 * M, 20 * M, 1]], [12 * M], gap)
+    assert out == [[0, 0, 1], [12 * M, 12 * M, 1], [20 * M, 20 * M, 1]]
+
+
+def test_stateful_sessionize_emission_boundary(spark, sf_dir):
+    """The streaming result must equal batch sessionization filtered to
+    watermark-final sessions (end + gap <= max_ts - delay)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from angelo_bravo_etl_task_spark.queries import QUERIES
+    from angelo_bravo_etl_task_spark.sources.readers import load_table
+
+    got = {
+        tuple(map(str, r))
+        for r in QUERIES["st1_stateful_sessions"][0](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_s = 5 * 60
+    sess = (
+        ev.withColumn("_prev", F.lag("ts").over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col("ts").cast("long") - F.col("_prev").cast("long") > gap_s),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("_sid", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "_sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime as dt
+
+    horizon = mx - dt.timedelta(minutes=30) - dt.timedelta(seconds=gap_s)
+    want = {
+        tuple(map(str, r))
+        for r in sess.where(F.col("session_end") <= F.lit(horizon))
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect()
+    }
+    assert got == want and len(want) > 0
