@@ -806,3 +806,75 @@ def st1_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink)
+
+
+# =========================================================================
+# Duplicate clustering: near-dup pairs -> connected components
+# =========================================================================
+
+@_register(
+    "d6_dup_clusters",
+    f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(
+                 range(1, greatest(len(string_split({_NORM}, ' ')) - 3, 0) + 2),
+                 i -> array_to_string(list_slice(string_split({_NORM}, ' '),
+                                                 i, i + 2), ' ')),
+               s -> length(s) > 0)) AS grams
+      FROM documents WHERE doc_id < 300
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
+        AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM sh
+      UNION
+      SELECT e.v, w.comp FROM walk w JOIN edges e ON w.node = e.u
+    )
+    SELECT node AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY node
+    """,
+)
+def d6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> duplicate CLUSTERS (the step every dedup pipeline
+    needs after d3/d4/d5: "keep one doc per group"): connected components
+    (operators/graph.py, iterative hash-min label propagation with eager
+    lineage checkpoints) over the d5 word-3-gram Jaccard pair graph, with
+    singleton docs as their own cluster. The oracle replays the same edges
+    through a recursive CTE (min label reachable = component min), so the
+    driver verifies the ITERATIVE algorithm's fixpoint, not just the pair
+    generation."""
+    from .operators.dedup import shingles
+    from .operators.graph import connected_components
+    from .operators.partitioning import spread
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    sh = spread(d.select("doc_id", "text")).select(
+        F.col("doc_id"), shingles(F.col("text"), 3).alias("_sh")
+    ).localCheckpoint(eager=True)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size(F.array_union("_sa", "_sb"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    pairs = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .where((union > 0) & (jac >= 0.5))
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        d.select("doc_id")
+        .join(comp, d["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )

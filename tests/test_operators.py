@@ -226,3 +226,29 @@ def test_winnow_arrow_matches_column_spec(spark, sf_dir):
         ).collect()
     }
     assert spec == fast and len(spec) > 0
+
+
+def test_connected_components_basic(spark):
+    """Chain 1-2-3, pair 10-11, isolated 99 (not in edges -> not returned);
+    component = min node id; edge orientation does not matter."""
+    from angelo_bravo_etl_task_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (3, 2)], "src long, dst long"
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_long_chain(spark):
+    """A 12-node path needs multiple propagation rounds (diameter > 1)."""
+    from angelo_bravo_etl_task_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "src long, dst long"
+    )
+    rows = connected_components(edges).collect()
+    assert len(rows) == 12 and all(r["component"] == 0 for r in rows)
