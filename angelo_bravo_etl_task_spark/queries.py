@@ -1040,7 +1040,8 @@ def mm1_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from . import queries_ext  # noqa: E402,F401  (extends QUERIES)
 from . import queries_px  # noqa: E402,F401  (extends QUERIES)
-from . import queries_tpch2  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_tpch2  # noqa: E402,F401  (extends QUERIES)
+from . import queries_scale  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded prefix of the registry (r1 checked
@@ -1086,6 +1087,14 @@ _CHECK_FIRST: list[str] = [
     "q17_small_quantity",
     "q19_disjunctive",
     "q22_idle_customers",
+    # new late round 2: clustering, scale techniques, sources, streaming
+    "d6_dup_clusters",
+    "sk1_salted_join",
+    "sm1_stratified_sample",
+    "pp1_partition_pruned",
+    "src1_json_roundtrip",
+    "src2_orc_roundtrip",
+    "e5_stream_stream_join",
 ]
 
 

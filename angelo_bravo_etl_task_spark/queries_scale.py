@@ -1,0 +1,283 @@
+"""Scale-technique queries: each one demonstrates a 100 TB survival tactic
+with an oracle proving the tactic changes the PLAN, not the ANSWER.
+
+- sk1: salted shuffle join on an extreme-skew key (3-value join key) ==
+  plain join (the oracle runs the unsalted SQL).
+- sm1: deterministic md5 stratified sampling — engine-portable by
+  construction, so the oracle IS the same predicate in DuckDB.
+- pp1: partition-pruned scan — write events partitioned by event_type,
+  read one partition back; the oracle computes the same answer from the
+  unpartitioned source (pruning asserted by plan test, equality here).
+- src1/src2: JSON and ORC source round-trips — write, read back with an
+  explicit schema, aggregate; the oracle aggregates the original rows, so
+  any serialization loss (types, precision, timestamps) breaks the hash.
+- e5: stream-stream interval join (watermarked both sides) run as a REAL
+  streaming query == the static interval join.
+
+Scratch space: ``.scratch/`` under the repo root (gitignored) — sinks are
+rewritten per invocation (mode=overwrite), so repeated runs are idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.agg import dec
+from .queries import _register, _t
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+
+_FLAG_DIM = [
+    ("A", "accepted"),
+    ("N", "none"),
+    ("R", "returned"),
+]
+
+
+@_register(
+    "sk1_salted_join",
+    """
+    WITH dim(flag, flag_desc) AS (
+      VALUES ('A', 'accepted'), ('N', 'none'), ('R', 'returned')
+    )
+    SELECT d.flag_desc,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN dim d ON l.l_returnflag = d.flag
+    GROUP BY d.flag_desc
+    """,
+)
+def sk1_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join (operators/partitioning.py::salted_join): the
+    join key ``l_returnflag`` has THREE values — a textbook hot-key shuffle
+    (every row of a flag lands on one reducer). The fact side is salted by
+    hashing ``l_orderkey`` into 16 sub-keys, the dim is replicated per salt,
+    and the shuffle_hash-hinted join spreads each flag over 16 reducers.
+    The oracle runs the UNSALTED SQL join — value equality proves salting
+    is plan-only."""
+    from .operators.partitioning import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = spark.createDataFrame(_FLAG_DIM, "flag string, flag_desc string")
+    fact = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("_rev"),
+    )
+    joined = salted_join(fact, dim, on="flag", n_salts=16, salt_from="_rev")
+    return (
+        joined.groupBy("flag_desc")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+@_register(
+    "sm1_stratified_sample",
+    """
+    WITH keyed AS (
+      SELECT l_returnflag, l_quantity,
+             substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                        || CAST(l_linenumber AS VARCHAR)), 1, 4) AS bucket
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM keyed
+    WHERE (l_returnflag = 'A' AND bucket < '4000')
+       OR (l_returnflag = 'N' AND bucket < '2000')
+       OR (l_returnflag = 'R' AND bucket < '1000')
+    GROUP BY l_returnflag
+    """,
+)
+def sm1_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/sampling.py): md5-keyed
+    per-stratum rates (A 25%, N 12.5%, R 6.25%) — a pure narrow filter that
+    any engine reproduces bit-for-bit, unlike ``df.sample()`` whose RNG
+    stream depends on partition layout. The oracle applies the identical
+    predicate in DuckDB; matching aggregates prove row-for-row agreement."""
+    from .operators.sampling import stratified_hash_sample
+
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    sampled = stratified_hash_sample(
+        li, key, "l_returnflag", {"A": 0.25, "N": 0.125, "R": 0.0625}
+    )
+    return sampled.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+@_register(
+    "pp1_partition_pruned",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY 1
+    """,
+)
+def pp1_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned sink + pruned scan: events are written
+    ``partitionBy(event_type)`` (the layout a 100 TB event store needs so a
+    one-type query reads 1/5th of the data), read back, and filtered to one
+    partition — Catalyst prunes to the single ``event_type=click``
+    directory (asserted by the plan test; ``PartitionFilters`` non-empty,
+    one partition scanned). The oracle aggregates the unpartitioned
+    original, so layout round-trip fidelity (timestamps, doubles) is also
+    checked."""
+    sink = os.path.join(_SCRATCH, "pp1_events_" + os.path.basename(sf_dir.rstrip("/")))
+    ev = _t(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(sink)
+    back = spark.read.parquet(sink).where(F.col("event_type") == "click")
+    return (
+        back.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 18, 6)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@_register(
+    "src1_json_roundtrip",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_id < 5000
+    GROUP BY event_type
+    """,
+)
+def src1_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source: write a bounded slice as JSONL, read it back with
+    an EXPLICIT schema (never schema inference on a 100 TB lake — one
+    inference pass reads everything twice), aggregate. The oracle
+    aggregates the original parquet rows, so double round-trip fidelity
+    through JSON text (Jackson shortest-repr) is part of the check."""
+    sink = os.path.join(_SCRATCH, "src1_json_" + os.path.basename(sf_dir.rstrip("/")))
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 5000)
+    ev.select("event_id", "event_type", "value").write.mode("overwrite").json(sink)
+    back = spark.read.schema("event_id long, event_type string, value double").json(sink)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value", 18, 6)).cast("double").alias("sum_value"),
+    )
+
+
+@_register(
+    "src2_orc_roundtrip",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def src2_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip (the other columnar format a lake
+    migration meets): full events table out and back, timestamp fidelity
+    (micros) checked by min/max against the parquet original."""
+    sink = os.path.join(_SCRATCH, "src2_orc_" + os.path.basename(sf_dir.rstrip("/")))
+    ev = _t(spark, sf_dir, "events")
+    ev.select("event_id", "ts", "event_type").write.mode("overwrite").orc(sink)
+    back = spark.read.orc(sink)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+_E5_RUN_SEQ = [0]
+
+
+@_register(
+    "e5_stream_stream_join",
+    """
+    SELECT c.user_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts,
+           CAST(p.value AS DOUBLE) AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+    """,
+)
+def e5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join as a REAL streaming query: clicks and
+    purchases (both watermarked) joined per user where the purchase lands
+    within 30 minutes after the click — the attribution join every event
+    pipeline runs. Watermark + time bound let Spark expire join state (a
+    click can stop waiting once the purchase watermark passes ts+30min);
+    without them state grows with the stream. availableNow -> memory sink;
+    the oracle is the equivalent static interval join."""
+    from .streaming.windows import stream_events_raw
+
+    _E5_RUN_SEQ[0] += 1
+    sink = f"e5_join_sink_{_E5_RUN_SEQ[0]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        clicks = (
+            stream_events_raw(spark, sf_dir, watermark="30 minutes")
+            .where(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+            )
+        )
+        purchases = (
+            stream_events_raw(spark, sf_dir, watermark="30 minutes")
+            .where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("value"),
+            )
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+            "inner",
+        ).select(
+            F.col("c_user").alias("user_id"),
+            "click_ts",
+            "purchase_ts",
+            F.col("value").alias("purchase_value"),
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=120)
+        if q.isActive:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink)

@@ -252,3 +252,52 @@ def test_connected_components_long_chain(spark):
     )
     rows = connected_components(edges).collect()
     assert len(rows) == 12 and all(r["component"] == 0 for r in rows)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from angelo_bravo_etl_task_spark.operators.partitioning import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", float(i)) for i in range(1, 401)],
+        "id long, k string, v double",
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1), ("cold", 2)], "k string, grp int"
+    )
+    plain = {tuple(r) for r in fact.join(dim, "k").select("id", "grp").collect()}
+    salted = {
+        tuple(r)
+        for r in salted_join(fact, dim, on="k", n_salts=8, salt_from="id")
+        .select("id", "grp")
+        .collect()
+    }
+    assert salted == plain and len(plain) == 400
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    from angelo_bravo_etl_task_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 20000).select(F.col("id"))
+    a = {r["id"] for r in hash_sample(df, "id", 0.25).collect()}
+    b = {r["id"] for r in hash_sample(df.repartition(13), "id", 0.25).collect()}
+    assert a == b  # layout-invariant — df.sample() would fail this
+    assert 0.23 < len(a) / 20000 < 0.27
+
+
+def test_stratified_hash_sample_rates(spark):
+    from angelo_bravo_etl_task_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    df = spark.range(0, 30000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("s")
+    )
+    out = (
+        stratified_hash_sample(df, "id", "s", {"0": 0.5, "1": 0.1})
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    got = {r["s"]: r["count"] for r in out}
+    assert set(got) == {"0", "1"}  # stratum "2" dropped entirely
+    assert 0.45 < got["0"] / 10000 < 0.55 and 0.07 < got["1"] / 10000 < 0.13

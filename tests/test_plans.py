@@ -77,3 +77,18 @@ def test_m1_median_windows_only_over_aggregated_input(spark, sf_dir):
     assert "HashAggregate" in below_windows, (
         "Window consumes the raw scan — pre-aggregate first:\n" + plan
     )
+
+
+def test_pp1_scan_is_partition_pruned(spark, sf_dir):
+    """The click-only read must prune to ONE event_type partition at plan
+    time (PartitionFilters on the scan), not filter post-scan."""
+    df = QUERIES["pp1_partition_pruned"][0](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_sk1_join_is_shuffled_hash_with_salt(spark, sf_dir):
+    """The salted join must take the shuffled-hash path (broadcast would
+    bypass the skew the query demonstrates mitigating)."""
+    df = QUERIES["sk1_salted_join"][0](spark, sf_dir)
+    assert_plan(df, contains=["ShuffledHashJoin", "_salt"])
