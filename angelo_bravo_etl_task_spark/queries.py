@@ -1095,6 +1095,8 @@ _CHECK_FIRST: list[str] = [
     "src1_json_roundtrip",
     "src2_orc_roundtrip",
     "e5_stream_stream_join",
+    "q20_excess_suppliers",
+    "q21_waiting_supplier",
 ]
 
 

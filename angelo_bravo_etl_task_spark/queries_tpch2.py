@@ -370,3 +370,119 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
+
+
+@_register(
+    "q20_excess_suppliers",
+    """
+    SELECT s.s_name, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE '%red%')
+          AND l_shipdate >= TIMESTAMP '1995-06-01'
+        GROUP BY l_suppkey
+        HAVING SUM(l_quantity) > 800
+      )
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 shape — nested IN-subquery chain (part filter feeding a
+    grouped-HAVING supplier filter feeding the outer select). No partsupp
+    table in the reduced schema, so "availqty" becomes shipped quantity of
+    matching parts since a cutoff. Plan shape: the part filter broadcasts
+    into a semi-join, the HAVING aggregates pre-shuffle, the supplier
+    filter is a second semi-join — no subquery is ever materialized
+    driver-side."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+
+    red_parts = p.where(F.col("p_name").like("%red%")).select("p_partkey")
+    heavy_supps = (
+        li.where(F.col("l_shipdate") >= F.lit("1995-06-01").cast("timestamp"))
+        .join(F.broadcast(red_parts), li["l_partkey"] == red_parts["p_partkey"], "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("_qty"))
+        .where(F.col("_qty") > 800)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n.where(F.col("n_name") == "NATION_3")),
+               s["s_nationkey"] == n["n_nationkey"], "left_semi")
+        .join(F.broadcast(heavy_supps), s["s_suppkey"] == heavy_supps["l_suppkey"], "left_semi")
+        .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+    )
+
+
+@_register(
+    "q21_waiting_supplier",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND n.n_name = 'NATION_1'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> s.s_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> s.s_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 shape — EXISTS + NOT-EXISTS correlated self-joins on the
+    fact table ("the only supplier whose line was late on a multi-supplier
+    order"). Lateness is l_shipdate > o_orderdate + 90 days (no
+    receipt/commit dates in the reduced schema). Spark plan: the EXISTS is
+    a left-semi and the NOT EXISTS a left-anti against a shared late-lines
+    frame — the fact table shuffles once per side on l_orderkey, and both
+    probe sides reuse the same orders join."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    l1 = (
+        li.join(o.where(F.col("o_orderstatus") == "F"),
+                li["l_orderkey"] == o["o_orderkey"])
+        .where(late)
+        .select("l_orderkey", "l_suppkey")
+    )
+    base = (
+        l1.join(F.broadcast(s), l1["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n.where(F.col("n_name") == "NATION_1")),
+              s["s_nationkey"] == n["n_nationkey"], "left_semi")
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    with_other = base.join(
+        other,
+        (base["l_orderkey"] == other["_ok"]) & (base["l_suppkey"] != other["_sk"]),
+        "left_semi",
+    )
+    other_late = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .where(late)
+        .select(F.col("l_orderkey").alias("_lok"), F.col("l_suppkey").alias("_lsk"))
+    )
+    solo_late = with_other.join(
+        other_late,
+        (with_other["l_orderkey"] == other_late["_lok"])
+        & (with_other["l_suppkey"] != other_late["_lsk"]),
+        "left_anti",
+    )
+    return solo_late.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
