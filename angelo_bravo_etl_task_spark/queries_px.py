@@ -53,7 +53,11 @@ def e3_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     receiving late data. The oracle reproduces exactly that cutoff, so the
     driver check verifies the late-data-exclusion boundary, not just the
     aggregation."""
-    from .streaming.windows import stream_events_raw, tumbling_window_agg
+    from .streaming.windows import (
+        run_available_now,
+        stream_events_raw,
+        tumbling_window_agg,
+    )
 
     _E3_RUN_SEQ[0] += 1
     sink = f"e3_late_sink_{_E3_RUN_SEQ[0]}"
@@ -69,20 +73,11 @@ def e3_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         stream = stream_events_raw(spark, sf_dir, watermark="30 minutes")
-        q = (
-            tumbling_window_agg(stream, "10 minutes")
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+        return run_available_now(
+            tumbling_window_agg(stream, "10 minutes"), sink
         )
-        q.awaitTermination(300)
-        if q.isActive:
-            q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(sink)
 
 # The oracle mirrors the fixture synthesis AND the whole pipeline. Helper
 # shapes (escape chain, xml leaves) are inlined because DuckDB SQL has no
@@ -782,7 +777,7 @@ def st1_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same finality cutoff — checking the stateful operator's emission
     boundary, not just the grouping."""
     from .streaming.stateful import sessionize_stateful
-    from .streaming.windows import stream_events_raw
+    from .streaming.windows import run_available_now, stream_events_raw
 
     _E3_RUN_SEQ[0] += 1
     sink = f"st1_sessions_sink_{_E3_RUN_SEQ[0]}"
@@ -792,20 +787,11 @@ def st1_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         stream = stream_events_raw(spark, sf_dir, watermark="30 minutes")
-        q = (
-            sessionize_stateful(stream, gap="5 minutes")
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+        return run_available_now(
+            sessionize_stateful(stream, gap="5 minutes"), sink, timeout=120
         )
-        q.awaitTermination(timeout=120)
-        if q.isActive:
-            q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(sink)
 
 
 # =========================================================================

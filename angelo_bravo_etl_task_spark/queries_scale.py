@@ -230,7 +230,7 @@ def e5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     click can stop waiting once the purchase watermark passes ts+30min);
     without them state grows with the stream. availableNow -> memory sink;
     the oracle is the equivalent static interval join."""
-    from .streaming.windows import stream_events_raw
+    from .streaming.windows import run_available_now, stream_events_raw
 
     _E5_RUN_SEQ[0] += 1
     sink = f"e5_join_sink_{_E5_RUN_SEQ[0]}"
@@ -268,16 +268,6 @@ def e5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_ts",
             F.col("value").alias("purchase_value"),
         )
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(timeout=120)
-        if q.isActive:
-            q.stop()
+        return run_available_now(joined, sink, timeout=120)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(sink)
