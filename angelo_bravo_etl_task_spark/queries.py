@@ -1041,6 +1041,7 @@ def mm1_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import queries_ext  # noqa: E402,F401  (extends QUERIES)
 from . import queries_px  # noqa: E402,F401  (extends QUERIES)
 from . import queries_tpch2  # noqa: E402,F401  (extends QUERIES)
+from . import queries_analytics  # noqa: E402,F401  (extends QUERIES)
 from . import queries_scale  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
@@ -1097,6 +1098,15 @@ _CHECK_FIRST: list[str] = [
     "e5_stream_stream_join",
     "q20_excess_suppliers",
     "q21_waiting_supplier",
+    # analytics wave (round 2): merge, time-series, cohort, funnel, stats
+    "mg1_merge_upsert",
+    "ts1_gap_fill",
+    "co1_retention_cohorts",
+    "fn1_funnel",
+    "w7_range_interval_window",
+    "stats1_corr_covar",
+    "p2_unpivot",
+    "fz1_levenshtein",
 ]
 
 

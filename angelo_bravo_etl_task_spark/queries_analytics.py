@@ -1,0 +1,510 @@
+"""Analytics-engine workloads beyond the TPC-H shapes: merge/upsert ETL,
+time-series gap-fill + forward-fill, cohort retention, funnel analysis,
+interval-range windows, exact statistical aggregates, unpivot, and fuzzy
+string matching. Every query carries a DuckDB oracle.
+
+Scale notes per query live in the docstrings; the common themes:
+- merges are single co-partitioned shuffles (full outer on the key);
+- gap-fill generates the bucket spine from aggregated bounds (two scalar
+  rows), never a driver-side loop;
+- stats are computed from EXACT decimal sums so Spark and the oracle agree
+  bit-for-bit (no floating-point aggregation-order drift);
+- fuzzy match is bounded probe-list x dim, a broadcast nested loop with a
+  3-row side, not an n^2 self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .queries import _register, _t
+
+# =========================================================================
+# mg1: merge/upsert (the MERGE INTO shape every warehouse ETL runs)
+# =========================================================================
+
+_MG1_SQL = """
+WITH delta AS (
+  SELECT o_orderkey AS k, 'X' AS status,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1 AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT -o_orderkey, 'N',
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+  FROM orders WHERE o_orderkey % 11 = 0
+), base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+  FROM orders
+)
+SELECT COALESCE(d.k, b.k) AS o_orderkey,
+       COALESCE(d.status, b.status) AS merged_status,
+       COALESCE(d.price, b.price) AS merged_price,
+       CASE WHEN d.k IS NULL THEN 'kept'
+            WHEN b.k IS NULL THEN 'inserted'
+            ELSE 'updated' END AS merge_action
+FROM base b FULL JOIN delta d ON b.k = d.k
+"""
+
+
+@_register("mg1_merge_upsert", _MG1_SQL)
+def mg1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) expressed as a full-outer join + delta-first
+    coalesce: a synthetic delta batch updates every 7th order (new status,
+    repriced) and inserts brand-new keys (negated 11th keys); unmatched base
+    rows pass through. This is the engine-level shape of Delta/Iceberg
+    MERGE — one co-partitioned shuffle on the merge key, then a projection.
+    At 100 TB the base side would be bucketed by key so only the (small)
+    delta shuffles; here both sides shuffle on o_orderkey once.
+    Reference parity: the reference's load() replaces the whole table
+    (Angelo_ETL_Task.py:276-374); incremental upsert is what it would need
+    at any real scale."""
+    orders = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        price.cast("double").alias("price"),
+    )
+    updates = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("X").alias("status"),
+        (price * F.lit(1.1).cast("decimal(2,1)")).cast("double").alias("price"),
+    )
+    inserts = orders.where(F.col("o_orderkey") % 11 == 0).select(
+        (-F.col("o_orderkey")).alias("k"),
+        F.lit("N").alias("status"),
+        price.cast("double").alias("price"),
+    )
+    delta = updates.unionByName(inserts)
+    b, d = base.alias("b"), delta.alias("d")
+    return (
+        b.join(d, F.col("b.k") == F.col("d.k"), "full_outer")
+        .select(
+            F.coalesce(F.col("d.k"), F.col("b.k")).alias("o_orderkey"),
+            F.coalesce(F.col("d.status"), F.col("b.status")).alias(
+                "merged_status"
+            ),
+            F.coalesce(F.col("d.price"), F.col("b.price")).alias(
+                "merged_price"
+            ),
+            F.when(F.col("d.k").isNull(), F.lit("kept"))
+            .when(F.col("b.k").isNull(), F.lit("inserted"))
+            .otherwise(F.lit("updated"))
+            .alias("merge_action"),
+        )
+    )
+
+
+# =========================================================================
+# ts1: time-series gap-fill + forward-fill
+# =========================================================================
+
+_TS1_BUCKET_US = 6 * 3600 * 1_000_000  # 6-hour buckets
+
+_TS1_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+         make_timestamp(epoch_us(ts) // {_TS1_BUCKET_US} * {_TS1_BUCKET_US})
+           AS bucket,
+         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sv
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM b
+), spine AS (
+  SELECT t.event_type, g.bucket
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (
+    SELECT UNNEST(generate_series(lo, hi, INTERVAL 6 HOUR)) AS bucket
+    FROM bounds
+  ) g
+)
+SELECT s.event_type, s.bucket,
+       COALESCE(b.n, 0) AS n_events,
+       CAST(b.sv AS DOUBLE) AS sum_value,
+       CAST(LAST_VALUE(b.sv IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.bucket
+         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS sum_value_ffill
+FROM spine s LEFT JOIN b ON s.event_type = b.event_type
+                        AND s.bucket = b.bucket
+"""
+
+
+@_register("ts1_gap_fill", _TS1_SQL)
+def ts1_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample: 6-hour buckets per event_type with EMPTY
+    buckets materialized (zero count, null sum) and a forward-filled sum
+    (last non-null value carried over the gap). The bucket spine is
+    generated with ``sequence()`` from a 1-row global-bounds aggregate cross
+    joined against the distinct keys — no driver loop, no collect; at 100 TB
+    the spine is still (types x buckets) rows, tiny next to the fact table,
+    and broadcastable to the left join. Forward fill is
+    ``last(ignorenulls)`` over an unbounded-preceding ROWS frame — per-key
+    partitions, no low-cardinality global window (partition count ==
+    distinct event types x nothing else; here 5, but real pipelines key by
+    (entity, metric) with millions of partitions)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.timestamp_micros(
+        (F.unix_micros("ts") / F.lit(_TS1_BUCKET_US)).cast("long")
+        * F.lit(_TS1_BUCKET_US)
+    )
+    b = ev.groupBy(
+        "event_type", bucket.alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+    )
+    bounds = b.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    spine = (
+        bounds.select(
+            F.explode(
+                F.sequence(
+                    "lo", "hi", F.expr("INTERVAL 6 HOURS")
+                )
+            ).alias("bucket")
+        )
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    ffill = Window.partitionBy("s.event_type").orderBy("s.bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spine.alias("s")
+        .join(
+            b.alias("b"),
+            (F.col("s.event_type") == F.col("b.event_type"))
+            & (F.col("s.bucket") == F.col("b.bucket")),
+            "left",
+        )
+        .select(
+            F.col("s.event_type").alias("event_type"),
+            F.col("s.bucket").alias("bucket"),
+            F.coalesce(F.col("b.n"), F.lit(0)).alias("n_events"),
+            F.col("b.sv").cast("double").alias("sum_value"),
+            F.last(F.col("b.sv"), ignorenulls=True)
+            .over(ffill)
+            .cast("double")
+            .alias("sum_value_ffill"),
+        )
+    )
+
+
+# =========================================================================
+# co1: cohort retention
+# =========================================================================
+
+_CO1_SQL = """
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST((a.active_week - f.cohort_week) / 7 AS BIGINT) AS weeks_since,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+@_register("co1_retention_cohorts", _CO1_SQL)
+def co1_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted in each
+    subsequent active week — the standard product-analytics retention
+    triangle. Two aggregations over the fact table (first-seen, distinct
+    activity) joined on user_id: the join is co-partitioned (both sides
+    shuffle on user_id once), then a small regroup on (cohort, offset).
+    At 100 TB the distinct-activity prepass shrinks the fact table to
+    |users| x |weeks| before the join — aggregation pushed below the join,
+    which is the only plan that survives."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id",
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("active_week"),
+    ).distinct()
+    # weeks_since via integer day arithmetic (both engines truncate weeks
+    # to Monday 00:00, so the difference is an exact multiple of 7 days)
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week"))
+                / F.lit(7)
+            )
+            .cast("long")
+            .alias("weeks_since"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+# =========================================================================
+# fn1: ordered funnel (view -> click -> purchase)
+# =========================================================================
+
+_FN1_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+       (SELECT COUNT(*) FROM s2) AS n_click_after_view,
+       (SELECT COUNT(*) FROM s3) AS n_purchase_after_click
+"""
+
+
+@_register("fn1_funnel", _FN1_SQL)
+def fn1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who viewed, then clicked at/after
+    their first view, then purchased at/after that first qualifying click.
+    Each stage is a filtered aggregate joined back to the previous stage's
+    per-user timestamps — stage tables shrink monotonically, so every join
+    after the first has a small (broadcastable) right side. This is the
+    sequential-event-match pattern (windowFunnel in ClickHouse terms)
+    expressed relationally; strict ordering comes from the ts >= prev-stage
+    bound, not from any per-user sort."""
+    ev = _t(spark, sf_dir, "events")
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(
+            s3.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
+        )
+    )
+
+
+# =========================================================================
+# w7: event-time RANGE window (trailing 1 hour per user)
+# =========================================================================
+
+_W7_SQL = """
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS n_prev_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@_register("w7_range_interval_window", _W7_SQL)
+def w7_range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sliding aggregate per row: for every event, the count and
+    exact decimal sum of that user's events in the trailing hour — the
+    rate-limiting / rolling-exposure query. RANGE frame over
+    ``unix_micros(ts)`` (not ROWS: simultaneous events are frame peers in
+    both engines, so the result is order-deterministic even with duplicate
+    timestamps). Partitioned by user_id — high cardinality, so the window
+    sort distributes; this is the scale-safe counterpart to a
+    low-cardinality window (see m1's two-pass redesign)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_prev_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_1h"),
+    )
+
+
+# =========================================================================
+# stats1: correlation / covariance from exact decimal sums
+# =========================================================================
+
+_STATS1_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(26,4))
+           AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(26,4))
+           AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(26,4))
+           AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(CAST(CAST(n AS DECIMAL(12,0)) * sxy AS DECIMAL(37,4))
+            - CAST(CAST(sx AS DECIMAL(19,2)) * CAST(sy AS DECIMAL(19,2))
+                   AS DECIMAL(37,4))
+            AS DECIMAL(38,4)) AS covar_num,
+       CAST(CAST(CAST(n AS DECIMAL(12,0)) * sxx AS DECIMAL(37,4))
+            - CAST(CAST(sx AS DECIMAL(19,2)) * CAST(sx AS DECIMAL(19,2))
+                   AS DECIMAL(37,4))
+            AS DECIMAL(38,4)) AS var_qty_num,
+       CAST(CAST(CAST(n AS DECIMAL(12,0)) * syy AS DECIMAL(37,4))
+            - CAST(CAST(sy AS DECIMAL(19,2)) * CAST(sy AS DECIMAL(19,2))
+                   AS DECIMAL(37,4))
+            AS DECIMAL(38,4)) AS var_price_num
+FROM s
+"""
+
+
+@_register("stats1_corr_covar", _STATS1_SQL)
+def stats1_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics of (quantity, price) per return flag as
+    EXACT decimal moment numerators: covar_num = n*Sxy - Sx*Sy and the two
+    variance numerators — covar_samp = covar_num / (n*(n-1)), corr =
+    covar_num / sqrt(varx_num * vary_num) are one scalar op away. The
+    moments are kept in decimal end-to-end because that is the ONLY
+    cross-engine-deterministic formulation: native ``corr()``/``covar_samp``
+    accumulate doubles in partition order, so their low bits change under
+    AQE re-partitioning and differ between engines (measured: 1-ULP drift
+    vs DuckDB even from identical exact sums, from int128→double casts).
+    The aggregation is a single map-side-combinable groupBy of five decimal
+    sums + a count; all products are sized to fit DECIMAL(38) without
+    precision-loss rounding in either engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("decimal(18,2)").alias("sx"),
+        F.sum(y).cast("decimal(18,2)").alias("sy"),
+        F.sum(x * x).cast("decimal(26,4)").alias("sxx"),
+        F.sum(y * y).cast("decimal(26,4)").alias("syy"),
+        F.sum(x * y).cast("decimal(26,4)").alias("sxy"),
+    )
+    ndec = F.col("n").cast("decimal(10,0)")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (ndec * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("decimal(38,4)")
+        .alias("covar_num"),
+        (ndec * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("decimal(38,4)")
+        .alias("var_qty_num"),
+        (ndec * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("decimal(38,4)")
+        .alias("var_price_num"),
+    )
+
+
+# =========================================================================
+# p2: unpivot / melt
+# =========================================================================
+
+_P2_SQL = """
+SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value
+FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice', CAST(p_retailprice AS DOUBLE)
+FROM part
+"""
+
+
+@_register("p2_unpivot", _P2_SQL)
+def p2_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt) of part measures via the native
+    ``DataFrame.unpivot`` operator — the inverse of p1's pivot. Unpivot is
+    a narrow transformation (row expansion, no shuffle); the oracle is the
+    portable UNION ALL equivalent. Scales trivially: output is
+    |rows| x |measures| with no exchange."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["size", "retailprice"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+# =========================================================================
+# fz1: fuzzy string match (edit distance)
+# =========================================================================
+
+_FZ1_PROBES = ["lavender chocolate", "metallic steel", "misty powder"]
+
+_FZ1_SQL = f"""
+WITH probes(probe) AS (
+  VALUES ('{_FZ1_PROBES[0]}'), ('{_FZ1_PROBES[1]}'), ('{_FZ1_PROBES[2]}')
+)
+SELECT probe,
+       COUNT(*) FILTER (WHERE levenshtein(lower(p_name), probe) <= 12)
+         AS n_close,
+       MIN(levenshtein(lower(p_name), probe)) AS min_dist
+FROM part CROSS JOIN probes
+GROUP BY probe
+"""
+
+
+@_register("fz1_levenshtein", _FZ1_SQL)
+def fz1_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dictionary match: edit distance from every part name to a
+    small probe list (entity-resolution's candidate-scoring step), counting
+    near matches and the global minimum per probe. The probe list is a
+    3-row broadcast side of a cross join — candidates ∝ |facts| x |probes|,
+    never |facts|², which is the difference between fuzzy-match that scales
+    and one that doesn't (for |probes| large, the d3/d4 LSH paths are the
+    blocking prefilter)."""
+    part = _t(spark, sf_dir, "part")
+    probes = spark.createDataFrame(
+        [(p,) for p in _FZ1_PROBES], ["probe"]
+    )
+    dist = F.levenshtein(F.lower(F.col("p_name")), F.col("probe"))
+    return (
+        part.crossJoin(F.broadcast(probes))
+        .groupBy("probe")
+        .agg(
+            F.count_if(dist <= 12).alias("n_close"),
+            F.min(dist).alias("min_dist"),
+        )
+    )
