@@ -1099,6 +1099,7 @@ _CHECK_FIRST: list[str] = [
     "q20_excess_suppliers",
     "q21_waiting_supplier",
     # analytics wave (round 2): merge, time-series, cohort, funnel, stats
+    "px2_training_data_prep",
     "mg1_merge_upsert",
     "ts1_gap_fill",
     "co1_retention_cohorts",

@@ -508,3 +508,92 @@ def fz1_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(dist).alias("min_dist"),
         )
     )
+
+
+# =========================================================================
+# px2: end-to-end training-data prep pipeline (integration)
+# =========================================================================
+
+_PX2_SQL = r"""
+WITH feats AS (
+  SELECT doc_id, text,
+         (SELECT CASE WHEN best.hits > 0 THEN best.lang ELSE NULL END
+          FROM (SELECT list_aggregate([
+            {'hits': LEN(list_filter(w, t -> t IN ('the','and','of','to','a','in','is','for','with','on'))), 'lang': 'en'},
+            {'hits': LEN(list_filter(w, t -> t IN ('el','la','de','que','y','en','un','los','del','por'))), 'lang': 'es'},
+            {'hits': LEN(list_filter(w, t -> t IN ('le','la','de','et','les','des','un','une','du','est'))), 'lang': 'fr'},
+            {'hits': LEN(list_filter(w, t -> t IN ('der','die','und','das','von','den','ein','mit','ist','im'))), 'lang': 'de'},
+            {'hits': LEN(list_filter(w, t -> t IN ('的','是','了','在','和','有','我','不','这','也'))), 'lang': 'zh'}
+          ], 'max') AS best
+          FROM (SELECT list_filter(regexp_split_to_array(LOWER(TRIM(text)), '\s+'),
+                                   t -> LENGTH(t) > 0) AS w) _t) _s) AS lang,
+         LEN(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+                         t -> LENGTH(t) > 0)) AS n_words,
+         LEN(regexp_extract_all(text,
+             '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS n_bpe_tokens
+  FROM documents
+), kept AS (
+  SELECT * FROM feats WHERE lang = 'en' AND n_words >= 15
+), deduped AS (
+  SELECT * FROM kept
+  QUALIFY row_number() OVER (PARTITION BY md5(substr(text, 1, 30))
+                             ORDER BY doc_id) = 1
+)
+SELECT doc_id, n_words, n_bpe_tokens,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+            THEN 'train' ELSE 'val' END AS split
+FROM deduped
+"""
+
+
+@_register("px2_training_data_prep", _PX2_SQL)
+def px2_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM training-data prep — the integration query proving
+    the text operators COMPOSE into one Catalyst plan: language-ID filter
+    (en only) -> quality gate (>= 15 words) -> content dedup on a prefix
+    fingerprint with deterministic min-id survivor -> token accounting ->
+    deterministic md5 train/val split (~80/20, engine-portable, unlike
+    df.randomSplit whose RNG depends on partition layout).
+
+    Plan shape at 100 TB: the feature/filter/split stages are narrow
+    (single scan, no exchange); the only shuffle is the dedup window on the
+    high-cardinality prefix-hash key (same window-over-aggregate trick as
+    q2 — no join-back). Survivor identity is min(doc_id), reproducible run
+    to run, which is what training-data lineage requires.
+
+    Stage parity: language-ID == tx3, token counts == tx1, dedup survivor
+    rule == d1 (operators/dedup.py::exact_dedup_by_hash), split == sm1's
+    hash-sampling technique."""
+    from pyspark.sql.window import Window
+
+    from .operators.text import bpe_ish_token_count, detect_language, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    feats = d.select(
+        "doc_id",
+        t.alias("text"),
+        detect_language(t).alias("lang"),
+        F.size(tokens(t)).cast("bigint").alias("n_words"),
+        bpe_ish_token_count(t).cast("bigint").alias("n_bpe_tokens"),
+    )
+    kept = feats.where(
+        (F.col("lang") == "en") & (F.col("n_words") >= 15)
+    ).withColumn("dk", F.md5(F.substring(t, 1, 30)))
+    w = Window.partitionBy("dk").orderBy("doc_id")
+    deduped = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    return deduped.select(
+        "doc_id",
+        "n_words",
+        "n_bpe_tokens",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+            < "cccd",
+            F.lit("train"),
+        )
+        .otherwise(F.lit("val"))
+        .alias("split"),
+    )

@@ -230,13 +230,15 @@ def e5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     click can stop waiting once the purchase watermark passes ts+30min);
     without them state grows with the stream. availableNow -> memory sink;
     the oracle is the equivalent static interval join."""
-    from .streaming.windows import run_available_now, stream_events_raw
+    from .streaming.windows import (
+        run_available_now,
+        stream_events_raw,
+        stream_partitions,
+    )
 
     _E5_RUN_SEQ[0] += 1
     sink = f"e5_join_sink_{_E5_RUN_SEQ[0]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with stream_partitions(spark):
         clicks = (
             stream_events_raw(spark, sf_dir, watermark="30 minutes")
             .where(F.col("event_type") == "click")
@@ -269,5 +271,3 @@ def e5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("purchase_value"),
         )
         return run_available_now(joined, sink, timeout=120)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

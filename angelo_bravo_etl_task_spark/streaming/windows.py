@@ -29,6 +29,35 @@ from pyspark.sql import functions as F
 from ..schemas import TESTDATA_SCHEMAS
 
 
+# State-store partitions for the one-shot streaming queries: streaming
+# snapshots/commits one state store PER shuffle partition PER micro-batch,
+# a fixed overhead that dwarfs the data at harness volume (measured in
+# queries_px.e3: 8.9 s @ 32 partitions vs 1.6 s @ 8). Size state partitions
+# to state volume, not core count; env-overridable for cluster runs.
+STREAM_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8")
+
+
+@contextlib.contextmanager
+def stream_partitions(
+    spark: SparkSession, n: int | None = None
+) -> Iterator[None]:
+    """Scope ``spark.sql.shuffle.partitions`` to ``n`` (default
+    STREAM_SHUFFLE_PARTITIONS) for a one-shot streaming run, restoring it
+    after. Pure-JVM stateful ops want FEW partitions (state-store commit
+    overhead dominates); Python-state ops (applyInPandasWithState) are
+    worker-compute-bound and want more (measured st1: 6.0 s @ 4, 4.1 s @ 8,
+    3.2 s @ 16, 4.0 s @ 32 at sf0.1)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(n) if n is not None else STREAM_SHUFFLE_PARTITIONS,
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 @contextlib.contextmanager
 def ephemeral_checkpoint_dir(prefix: str = "sg_ckpt_") -> Iterator[str]:
     """Throwaway checkpoint location for one-shot ``availableNow`` runs.

@@ -74,7 +74,8 @@ def main() -> None:
             timings[name] = -1.0
             print(f"# bench error {name}: {exc}", file=sys.stderr, flush=True)
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    ok = [t for t in timings.values() if t >= 0]
+    total = round(sum(ok), 3)
     print(
         json.dumps(
             {
@@ -83,6 +84,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # context: the baseline anchor (BASELINE.md ~25 s) is ONE
+                # pipeline run; this registry is the whole query surface.
+                # flagship_sec is the apples-to-apples number — the e2e
+                # LOINC->i2b2 pipeline, the reference's single workload.
+                "n_queries": len(timings),
+                "mean_query_sec": round(total / max(len(ok), 1), 3),
+                "flagship_sec": timings.get("px1_loinc_i2b2_pipeline"),
             }
         )
     )
