@@ -1100,6 +1100,7 @@ _CHECK_FIRST: list[str] = [
     "q21_waiting_supplier",
     # analytics wave (round 2): merge, time-series, cohort, funnel, stats
     "px2_training_data_prep",
+    "mm3_frame_sample",
     "mg1_merge_upsert",
     "ts1_gap_fill",
     "co1_retention_cohorts",

@@ -31,7 +31,7 @@ WITH delta AS (
          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1 AS DOUBLE) AS price
   FROM orders WHERE o_orderkey % 7 = 0
   UNION ALL
-  SELECT -o_orderkey, 'N',
+  SELECT -(o_orderkey + 1), 'N',
          CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
   FROM orders WHERE o_orderkey % 11 = 0
 ), base AS (
@@ -73,8 +73,10 @@ def mg1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("X").alias("status"),
         (price * F.lit(1.1).cast("decimal(2,1)")).cast("double").alias("price"),
     )
+    # -(k+1), not -k: key 0 exists in the fixture, and -0 == 0 would give
+    # the delta two rows for one key — MERGE requires unique delta keys
     inserts = orders.where(F.col("o_orderkey") % 11 == 0).select(
-        (-F.col("o_orderkey")).alias("k"),
+        (-(F.col("o_orderkey") + 1)).alias("k"),
         F.lit("N").alias("status"),
         price.cast("double").alias("price"),
     )
@@ -596,4 +598,46 @@ def px2_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit("val"))
         .alias("split"),
+    )
+
+
+# =========================================================================
+# mm3: multimodal frame sampling under the oracle
+# =========================================================================
+
+_MM3_SQL = """
+SELECT d.doc_id AS asset_id, i AS frame_idx,
+       md5(substring(text, CAST(i*256+1 AS BIGINT), 256)) AS frame_md5,
+       CAST(LENGTH(substring(text, CAST(i*256+1 AS BIGINT), 256)) AS BIGINT)
+         AS frame_len
+FROM documents d,
+     UNNEST(generate_series(0,
+       LEAST(4, GREATEST(1, LENGTH(text) // 256)) - 1)) AS t(i)
+"""
+
+
+@_register("mm3_frame_sample", _MM3_SQL)
+def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling (operators/multimodal.py::sample_frames)
+    under a real oracle: the 1→N explode inside ``mapInPandas`` — each
+    binary payload emits up to 4 fixed-stride 256-byte "frames" (the
+    keyframe-extraction shape with the codec stubbed to byte slicing).
+    Frames are projected to md5 + length JVM-side so the comparison is
+    portable; the document corpus is ASCII so the oracle's string slicing
+    is byte-identical to the operator's buffer slicing. Parallelism equals
+    partition count; Arrow batch memory is bounded by batch size × largest
+    payload."""
+    from .operators.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    frames = sample_frames(assets, every_n_bytes=256, max_frames=4)
+    return frames.select(
+        "asset_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.md5(F.col("frame_bytes")).alias("frame_md5"),
+        F.octet_length(F.col("frame_bytes")).cast("bigint").alias("frame_len"),
     )

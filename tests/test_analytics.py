@@ -1,0 +1,125 @@
+"""Invariant tests for the analytics wave (queries_analytics.py) — the
+oracle-parity suite checks value equality vs DuckDB; these assert the
+semantic properties that equality alone wouldn't catch being vacuous
+(non-empty stages, bounds, completeness of generated spines)."""
+
+from __future__ import annotations
+
+import pytest
+
+from angelo_bravo_etl_task_spark.queries import QUERIES
+
+TS1_BUCKET_SEC = 6 * 3600
+
+
+def _run(spark, sf_dir, name):
+    return QUERIES[name][0](spark, sf_dir)
+
+
+def test_merge_covers_all_paths(spark, sf_dir):
+    rows = _run(spark, sf_dir, "mg1_merge_upsert").collect()
+    actions = {r.merge_action for r in rows}
+    assert actions == {"kept", "updated", "inserted"}
+    for r in rows:
+        if r.merge_action == "updated":
+            assert r.merged_status == "X"
+        if r.merge_action == "inserted":
+            assert r.o_orderkey < 0
+    keys = [r.o_orderkey for r in rows]
+    assert len(keys) == len(set(keys)), "merge must emit each key once"
+
+
+def test_gap_fill_spine_is_complete(spark, sf_dir):
+    rows = _run(spark, sf_dir, "ts1_gap_fill").collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    # every type has the same, contiguous bucket spine
+    spines = {
+        t: sorted(r.bucket for r in rs) for t, rs in by_type.items()
+    }
+    lens = {len(s) for s in spines.values()}
+    assert len(lens) == 1, "all types share the global spine"
+    for s in spines.values():
+        for a, b in zip(s, s[1:]):
+            assert (b - a).total_seconds() == TS1_BUCKET_SEC
+    # zero-filled gaps exist and ffill holds the last seen value
+    assert any(r.n_events == 0 for r in rows)
+    for rs in by_type.values():
+        seen = None
+        for r in sorted(rs, key=lambda r: r.bucket):
+            if r.sum_value is not None:
+                seen = r.sum_value
+            assert r.sum_value_ffill == seen
+
+
+def test_funnel_is_monotone(spark, sf_dir):
+    [row] = _run(spark, sf_dir, "fn1_funnel").collect()
+    assert row.n_view >= row.n_click_after_view >= row.n_purchase_after_click
+    assert row.n_purchase_after_click > 0, "fixture should convert somebody"
+
+
+def test_cohorts_include_week_zero(spark, sf_dir):
+    rows = _run(spark, sf_dir, "co1_retention_cohorts").collect()
+    assert rows and all(r.weeks_since >= 0 for r in rows)
+    cohorts = {r.cohort_week for r in rows}
+    week0 = {r.cohort_week for r in rows if r.weeks_since == 0}
+    assert cohorts == week0, "every cohort is active in its own first week"
+
+
+def test_range_window_includes_current_row(spark, sf_dir):
+    rows = _run(spark, sf_dir, "w7_range_interval_window").limit(500).collect()
+    assert rows
+    for r in rows:
+        assert r.n_prev_1h >= 1
+        assert r.sum_1h is not None
+
+
+def test_moment_numerators_nonnegative_and_corr_bounded(spark, sf_dir):
+    rows = _run(spark, sf_dir, "stats1_corr_covar").collect()
+    assert rows
+    for r in rows:
+        assert r.var_qty_num >= 0 and r.var_price_num >= 0
+        corr = float(r.covar_num) / (
+            float(r.var_qty_num) ** 0.5 * float(r.var_price_num) ** 0.5
+        )
+        assert -1.0 <= corr <= 1.0
+
+
+def test_training_prep_split_and_filters(spark, sf_dir):
+    rows = _run(spark, sf_dir, "px2_training_data_prep").collect()
+    assert rows
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids)), "dedup leaves one survivor per group"
+    splits = {r.split for r in rows}
+    assert splits <= {"train", "val"} and "train" in splits
+    assert all(r.n_words >= 15 for r in rows)
+
+
+def test_frame_sample_bounds(spark, sf_dir):
+    rows = _run(spark, sf_dir, "mm3_frame_sample").collect()
+    assert rows
+    per_asset: dict[int, int] = {}
+    for r in rows:
+        assert 0 <= r.frame_idx <= 3
+        assert 1 <= r.frame_len <= 256
+        per_asset[r.asset_id] = per_asset.get(r.asset_id, 0) + 1
+    assert max(per_asset.values()) <= 4
+    assert min(per_asset.values()) >= 1
+
+
+@pytest.mark.parametrize(
+    "name,expected",
+    [("p2_unpivot", 2), ("fz1_levenshtein", None)],
+)
+def test_shape_invariants(spark, sf_dir, name, expected):
+    df = _run(spark, sf_dir, name)
+    if name == "p2_unpivot":
+        from angelo_bravo_etl_task_spark.sources.readers import load_table
+
+        n_part = load_table(spark, sf_dir, "part").count()
+        assert df.count() == expected * n_part
+    else:
+        rows = df.collect()
+        assert len(rows) == 3
+        assert all(r.min_dist >= 0 and r.n_close >= 0 for r in rows)
