@@ -1101,6 +1101,7 @@ _CHECK_FIRST: list[str] = [
     # analytics wave (round 2): merge, time-series, cohort, funnel, stats
     "px2_training_data_prep",
     "mm3_frame_sample",
+    "bk1_bucketed_join",
     "mg1_merge_upsert",
     "ts1_gap_fill",
     "co1_retention_cohorts",

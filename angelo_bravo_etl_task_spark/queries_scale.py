@@ -13,6 +13,8 @@ with an oracle proving the tactic changes the PLAN, not the ANSWER.
   any serialization loss (types, precision, timestamps) breaks the hash.
 - e5: stream-stream interval join (watermarked both sides) run as a REAL
   streaming query == the static interval join.
+- bk1: bucketed co-located join — both sides bucketBy(8, key), merge-hinted
+  join runs with ZERO Exchange below the SortMergeJoin (plan-asserted).
 
 Scratch space: ``.scratch/`` under the repo root (gitignored) — sinks are
 rewritten per invocation (mode=overwrite), so repeated runs are idempotent.
@@ -271,3 +273,55 @@ def e5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("purchase_value"),
         )
         return run_available_now(joined, sink, timeout=120)
+
+
+@_register(
+    "bk1_bucketed_join",
+    """
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def bk1_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join — THE shuffle-elimination layout for
+    repeated big-big joins at 100 TB: both fact tables are written
+    ``bucketBy(8, key).sortBy(key)`` so the join executes as a SortMergeJoin
+    with ZERO Exchange on either side (asserted by the plan test) — the
+    shuffle happened once at write time and is amortized over every
+    subsequent join on that key. A ``merge`` hint pins the SortMergeJoin
+    strategy IN the plan (a scoped conf change would not survive until the
+    caller's deferred action) so the bucket path shows even at harness
+    volume, where the dimension side would otherwise broadcast. The oracle
+    joins the ORIGINAL parquet, so bucket-layout round-trip fidelity is
+    value-checked too."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    li_tbl, o_tbl = f"bk1_lineitem_{tag}", f"bk1_orders_{tag}"
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    for df, tbl, key in ((li, li_tbl, "l_orderkey"), (o, o_tbl, "o_orderkey")):
+        (
+            df.write.mode("overwrite")
+            .option("path", os.path.join(_SCRATCH, tbl))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    lb, ob = spark.table(li_tbl), spark.table(o_tbl).hint("merge")
+    joined = lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"])
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("revenue"),
+    )

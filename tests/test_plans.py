@@ -92,3 +92,17 @@ def test_sk1_join_is_shuffled_hash_with_salt(spark, sf_dir):
     bypass the skew the query demonstrates mitigating)."""
     df = QUERIES["sk1_salted_join"][0](spark, sf_dir)
     assert_plan(df, contains=["ShuffledHashJoin", "_salt"])
+
+
+def test_bk1_bucketed_join_has_no_exchange_below_join(spark, sf_dir):
+    """Both sides are bucketed on the join key: the SortMergeJoin must
+    consume the bucketed scans directly — zero Exchange below the join
+    (the write-time shuffle is the point of bucketing)."""
+    df = QUERIES["bk1_bucketed_join"][0](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" in plan
+    below_join = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in below_join, (
+        "bucketed join still shuffles:\n" + plan
+    )
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
