@@ -111,6 +111,78 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def word_ngrams(col: Column, n: int) -> Column:
+    """Sliding word ``n``-grams as space-joined strings (1-based slices;
+    empty array for documents shorter than ``n`` words). Pure Column
+    expression — the n-gram fan-out happens inside codegen, no explode
+    needed until the caller wants one row per gram."""
+    toks = tokens(col)
+    size = F.size(toks)
+    return F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-bigram and
+    duplicate-trigram fractions plus the most-frequent-word share. High
+    values flag boilerplate/looping text a training pipeline should drop.
+
+    All three are raw IEEE divisions of exact integer counts (bit-identical
+    across engines). ``top_word_frac`` takes max of per-word counts — the
+    MAX is deterministic even when the argmax word is tied. The per-word
+    count loop is O(words²) inside codegen, fine for document-sized arrays;
+    for book-length texts explode + groupBy instead."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_word = F.size(toks)
+
+    def dup_frac(grams: Column) -> Column:
+        total = F.size(grams)
+        return F.when(
+            total > 0,
+            F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total,
+        ).otherwise(F.lit(0.0))
+
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda u: F.size(F.filter(toks, lambda x: x == u)),
+        )
+    )
+    top_word_frac = F.when(
+        n_word > 0, top_count.cast("double") / n_word
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        "*",
+        n_word.cast("bigint").alias("rep_words"),
+        dup_frac(word_ngrams(t, 2)).alias("rep_dup_bigram_frac"),
+        dup_frac(word_ngrams(t, 3)).alias("rep_dup_trigram_frac"),
+        top_word_frac.alias("rep_top_word_frac"),
+    )
+
+
+# PII patterns restricted to the syntax subset Java regex and RE2 share
+# (character classes, bounded repetition) so redaction is engine-portable.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+def match_count(col: Column, pattern: str) -> Column:
+    """How many non-overlapping matches of ``pattern`` occur (JVM-side)."""
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0)).cast("bigint")
+
+
+def redact(col: Column, pattern: str, replacement: str) -> Column:
+    """Replace every match of ``pattern`` with a fixed placeholder —
+    the scrubbing primitive for PII removal in a training-data pipeline."""
+    return F.regexp_replace(col, pattern, replacement)
+
+
 def fingerprint(col: Column) -> Column:
     """Stable 128-bit content fingerprint (md5 hex) — engine-portable."""
     return F.md5(col)

@@ -1042,7 +1042,8 @@ from . import queries_ext  # noqa: E402,F401  (extends QUERIES)
 from . import queries_px  # noqa: E402,F401  (extends QUERIES)
 from . import queries_tpch2  # noqa: E402,F401  (extends QUERIES)
 from . import queries_analytics  # noqa: E402,F401  (extends QUERIES)
-from . import queries_scale  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_scale  # noqa: E402,F401  (extends QUERIES)
+from . import queries_llm  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded prefix of the registry (r1 checked
@@ -1110,6 +1111,13 @@ _CHECK_FIRST: list[str] = [
     "stats1_corr_covar",
     "p2_unpivot",
     "fz1_levenshtein",
+    # LLM-pipeline wave 2 (late round 2): repetition, PII, contamination,
+    # rollup cascade, streaming dedup
+    "tx7_repetition",
+    "tx8_pii_redaction",
+    "ct1_contamination",
+    "ts2_rollup_cascade",
+    "e6_stream_dedup",
 ]
 
 

@@ -1,0 +1,273 @@
+"""LLM training-data pipeline queries, wave 2: repetition filtering,
+PII redaction, benchmark-contamination detection, rollup cascading, and
+streaming exact dedup.
+
+These extend the training-data surface (dedup d1-d6, similarity x1-x4,
+text tx1-tx6, multimodal mm1-mm3, prep pipeline px2) with the remaining
+operations a 100 TB pre-training corpus pass needs:
+
+- tx7: Gopher-style repetition signals (duplicate n-gram fractions) — the
+  quality gate that catches boilerplate/looping text.
+- tx8: PII scrubbing — regex redaction with exact match accounting. The
+  synthetic corpus has no PII, so both engines append a deterministic
+  PII-shaped suffix first; the check then covers the redaction itself.
+- ct1: train/test contamination — flag corpus documents sharing word
+  n-grams with a held-out benchmark set (the decontamination join every
+  serious pre-training run performs).
+- ts2: hierarchical rollup — daily aggregates computed FROM hourly
+  aggregates (the continuous-aggregate/hypertable-rollup pattern: at
+  100 TB you re-aggregate the small rollup, never re-scan the raw facts).
+- e6: streaming exact dedup via dropDuplicatesWithinWatermark — the
+  stateful streaming operator the batch dedup family (d1/d2) maps to in a
+  Structured Streaming ingest path; state for a key is freed once the
+  watermark passes it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import text as TX
+from .queries import _register, _t
+
+# ---------------------------------------------------------------------------
+# tx7: repetition signals
+# ---------------------------------------------------------------------------
+
+@_register(
+    "tx7_repetition",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+                         t -> LENGTH(t) > 0) AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, w,
+             list_transform(generate_series(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i + 1]) AS bi,
+             list_transform(generate_series(1, len(w) - 2),
+                            i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS tri
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS rep_words,
+           CASE WHEN len(bi) > 0
+                THEN 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi)
+                ELSE 0.0 END AS rep_dup_bigram_frac,
+           CASE WHEN len(tri) > 0
+                THEN 1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri)
+                ELSE 0.0 END AS rep_dup_trigram_frac,
+           CASE WHEN len(w) > 0
+                THEN CAST(list_max(list_transform(list_distinct(w),
+                          u -> len(list_filter(w, x -> x = u)))) AS DOUBLE) / len(w)
+                ELSE 0.0 END AS rep_top_word_frac
+    FROM grams
+    """,
+)
+def tx7_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (operators/text.py::
+    repetition_features): duplicate-bigram/trigram fractions and the
+    most-frequent-word share, all exact-integer-count IEEE divisions.
+    Scales as a pure narrow projection — no shuffle, no Python."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.repetition_features(d).select(
+        "doc_id",
+        "rep_words",
+        "rep_dup_bigram_frac",
+        "rep_dup_trigram_frac",
+        "rep_top_word_frac",
+    )
+
+
+# ---------------------------------------------------------------------------
+# tx8: PII redaction
+# ---------------------------------------------------------------------------
+
+# The same juiced-up text expression in both engines: the corpus has no PII,
+# so a deterministic PII-shaped suffix (email + E.164-ish phone derived from
+# doc_id) is appended before scrubbing.
+_TX8_SQL = r"""
+WITH juiced AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text,
+            '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+            '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+FROM juiced
+"""
+
+
+@_register("tx8_pii_redaction", _TX8_SQL)
+def tx8_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/text.py::redact/match_count): count then
+    redact emails and phone numbers with patterns from the Java-regex/RE2
+    shared syntax subset, hash the scrubbed text for value comparison.
+    Narrow, codegen-resident — the 100 TB shape is scan → regexp_replace →
+    write, zero exchanges."""
+    d = _t(spark, sf_dir, "documents")
+    juiced = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = TX.redact(
+        TX.redact(juiced, TX.EMAIL_RE, "<EMAIL>"), TX.PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        TX.match_count(juiced, TX.EMAIL_RE).alias("n_emails"),
+        TX.match_count(juiced, TX.PHONE_RE).alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ct1: benchmark contamination
+# ---------------------------------------------------------------------------
+
+_CT1_N = 3  # n-gram order; 3 gives collision density on the synthetic vocab
+            # (production decontamination uses 8-13-grams — same plumbing)
+
+_CT1_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+                     t -> LENGTH(t) > 0) AS w
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - 2),
+                  i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g
+    FROM toks WHERE len(w) >= 3
+  )
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+)
+SELECT d.doc_id, COUNT(*) AS n_shared_grams
+FROM grams d JOIN bench b USING (g)
+WHERE d.doc_id % 50 <> 0
+GROUP BY d.doc_id
+"""
+
+
+@_register("ct1_contamination", _CT1_SQL)
+def ct1_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check: every corpus document sharing at
+    least one word n-gram with the held-out benchmark slice (doc_id % 50
+    = 0 stands in for the eval set), with the shared-gram count. Corpus
+    grams are deduped per document BEFORE the join (array_distinct inside
+    codegen), the benchmark gram set broadcasts (eval suites are tiny
+    relative to a corpus), so cost is one broadcast hash join over the
+    exploded grams — no shuffle of the corpus. At 100 TB, join on
+    xxhash64(gram) instead of the string to shrink exchange width; kept as
+    the raw string here so the DuckDB oracle is hash-exact."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.word_ngrams(F.col("text"), _CT1_N))).alias(
+            "g"
+        ),
+    )
+    bench = (
+        grams.where(F.col("doc_id") % 50 == 0).select("g").distinct()
+    )
+    return (
+        grams.where(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts2: hierarchical rollup (continuous-aggregate cascade)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "ts2_rollup_cascade",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def ts2_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup cascade: hourly aggregates first, then the
+    daily level re-aggregated FROM the hourly rollup (sum-of-sums,
+    sum-of-counts) — never from the raw facts. The oracle aggregates raw
+    events directly; equality holds because the partial sums are exact
+    DECIMAL (a double-typed cascade would NOT reassociate exactly). This
+    is the continuous-aggregate pattern: at 100 TB the hourly table is
+    ~10⁴× smaller than the events it summarizes, so every coarser
+    resolution (day/week/month) is a cheap re-aggregation of the rollup."""
+    from .operators.agg import dec
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value", 18, 6)).alias("sv"),
+    )
+    return hourly.groupBy(F.to_date("hour").alias("day")).agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("sv").cast("double").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e6: streaming exact dedup (dropDuplicatesWithinWatermark)
+# ---------------------------------------------------------------------------
+
+_E6_RUN_SEQ = [0]
+
+
+@_register(
+    "e6_stream_dedup",
+    """
+    SELECT DISTINCT event_type, date_trunc('minute', ts) AS minute
+    FROM events
+    """,
+)
+def e6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup as a REAL streaming run (streaming/windows.py
+    ::streaming_dedup): dropDuplicatesWithinWatermark on (event_type,
+    minute-bucket) emits the first arrival per key and frees a key's state
+    once the watermark passes it — the ingest-side twin of batch d1. Only
+    the key columns are projected out, so the surviving-row
+    nondeterminism of first-arrival dedup cannot leak into the result:
+    the emitted set IS the distinct key set, which the oracle mirrors."""
+    from .streaming.windows import (
+        run_available_now,
+        stream_events_raw,
+        stream_partitions,
+        streaming_dedup,
+    )
+
+    _E6_RUN_SEQ[0] += 1
+    sink = f"e6_dedup_sink_{_E6_RUN_SEQ[0]}"
+    with stream_partitions(spark):
+        stream = stream_events_raw(spark, sf_dir, watermark="30 minutes")
+        keyed = stream.select(
+            "event_type",
+            F.date_trunc("minute", "ts").alias("minute"),
+            "ts",
+        )
+        deduped = streaming_dedup(keyed, keys=("event_type", "minute")).select(
+            "event_type", "minute"
+        )
+        return run_available_now(deduped, sink, timeout=120)
