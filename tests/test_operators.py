@@ -301,3 +301,61 @@ def test_stratified_hash_sample_rates(spark):
     got = {r["s"]: r["count"] for r in out}
     assert set(got) == {"0", "1"}  # stratum "2" dropped entirely
     assert 0.45 < got["0"] / 10000 < 0.55 and 0.07 < got["1"] / 10000 < 0.13
+
+
+def test_repetition_features_edges(spark):
+    from angelo_bravo_etl_task_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # fully repetitive
+            (2, "w x y z"),          # no repetition
+            (3, "solo"),             # shorter than any n-gram
+            (4, ""),                 # empty
+            (5, "go go go stop"),    # partial
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    r1 = rows[1]
+    assert r1["rep_dup_bigram_frac"] == pytest.approx(2 / 3)  # 3 grams, 1 uniq
+    assert r1["rep_top_word_frac"] == 1.0
+    r2 = rows[2]
+    assert r2["rep_dup_bigram_frac"] == 0.0
+    assert r2["rep_top_word_frac"] == 0.25
+    assert rows[3]["rep_dup_bigram_frac"] == 0.0  # no bigrams -> 0, not null
+    r4 = rows[4]
+    assert r4["rep_words"] == 0 and r4["rep_top_word_frac"] == 0.0
+    assert rows[5]["rep_dup_bigram_frac"] == pytest.approx(1 / 3)  # 'go go' x2
+
+
+def test_word_ngrams_short_input(spark):
+    from angelo_bravo_etl_task_spark.operators.text import word_ngrams
+
+    df = spark.createDataFrame([("a b c",), ("a b",), ("a",), ("",)], ["t"])
+    out = [r[0] for r in df.select(word_ngrams(F.col("t"), 3)).collect()]
+    assert out == [["a b c"], [], [], []]
+
+
+def test_pii_redaction_roundtrip(spark):
+    from angelo_bravo_etl_task_spark.operators.text import (
+        EMAIL_RE,
+        PHONE_RE,
+        match_count,
+        redact,
+    )
+
+    df = spark.createDataFrame(
+        [("write bob.smith@corp.io or +44-020-7946 x two a@b.cc +1-555-0100",)],
+        ["t"],
+    )
+    t = F.col("t")
+    row = df.select(
+        match_count(t, EMAIL_RE).alias("e"),
+        match_count(t, PHONE_RE).alias("p"),
+        redact(redact(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>").alias("r"),
+    ).first()
+    assert row["e"] == 2 and row["p"] == 2
+    assert "@" not in row["r"] or "<EMAIL>" in row["r"]
+    assert "bob.smith" not in row["r"] and "+1-555-0100" not in row["r"]
+    assert row["r"].count("<EMAIL>") == 2 and row["r"].count("<PHONE>") == 2
