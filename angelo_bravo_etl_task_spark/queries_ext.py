@@ -485,8 +485,14 @@ def e4_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "x3_embedding_near_dup",
     """
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-               FROM embeddings WHERE vec_id < 500)
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings WHERE vec_id < 200),
+    v AS (
+      SELECT vec_id, e FROM base
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, list_transform(e, x -> x * 1.5) AS e
+      FROM base
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            list_reduce(list_transform(list_zip(a.e, b.e), x -> x[1] * x[2]),
                        (acc, x) -> acc + x)
@@ -504,24 +510,34 @@ def e4_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x3_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the last north-star dedup
-    mode): all pairs above 0.95 cosine within a bounded id window (the
-    oracle must brute-force too, so both sides cap at 500 vectors; the
-    unbounded-scale path is LSH bucketing — x2 — feeding the same scorer).
-    Fold order mirrored for bit-exact doubles."""
+    mode): all pairs above 0.95 cosine within a bounded id window. Random
+    synthetic vectors never reach 0.95 (the r2 run was vacuously 0-row), so
+    both query and oracle PLANT deterministic near-dups — a 1.5×-scaled copy
+    of each vector at vec_id+100000, cosine ≈ 1 — giving exactly one
+    verified pair per original. The oracle must brute-force too, so both
+    sides cap at 200 originals; the unbounded-scale path is LSH bucketing —
+    x2 — feeding the same scorer. Fold order mirrored for bit-exact doubles
+    (scaling by 1.5 is exact in binary FP, and both engines fold
+    left-to-right over the same element order)."""
     from .operators.similarity import dot, norm
 
-    emb = (
+    base = (
         _t(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id") < 500)
-        .select("vec_id", "embedding")
+        .where(F.col("vec_id") < 200)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
+    planted = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("e"), lambda x: x * 1.5).alias("e"),
+    )
+    emb = base.unionByName(planted)
     # norms hoisted per SIDE (N sqrt-folds instead of N² — same IEEE value,
     # same fold over the same inputs, so oracle parity is unaffected)
     a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea")
+        F.col("vec_id").alias("id_a"), F.col("e").alias("_ea")
     ).withColumn("_na", norm(F.col("_ea")))
     b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb")
+        F.col("vec_id").alias("id_b"), F.col("e").alias("_eb")
     ).withColumn("_nb", norm(F.col("_eb")))
     sim = dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
     return (
@@ -653,9 +669,13 @@ def u1_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
     FROM events GROUP BY event_type
     """,
+    # NB the outer CAST: DuckDB SUM(BIGINT) returns HUGEINT (int128), which
+    # the driver's value-hash serializes differently from Spark's bigint even
+    # when the numbers are identical (r2 hash-FAIL with equal values).
 )
 def u2_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map UDAF via applyInPandas: each group arrives as one pandas
