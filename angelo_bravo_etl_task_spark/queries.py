@@ -1051,73 +1051,78 @@ from . import queries_llm  # noqa: E402,F401  (extends QUERIES; keep last)
 # driver-green row — fixed queries, the 11 with no r1 row, and anything new
 # this round — lead; the long-green tail follows in registration order.
 _CHECK_FIRST: list[str] = [
-    "r2_last_wins_dedup",  # r1 hash-fail, fixed this round — re-verify first
-    # registered in r1 but absent from CORRECTNESS_r01.json:
-    "f4_array_functions",
-    "f5_higher_order",
-    "f6_null_functions",
-    "e4_sliding_window",
-    "x3_embedding_near_dup",
-    "a2_approx_distinct",
-    "u4_udtf",
-    "tx5_term_stats",
-    "u1_pandas_scalar_udf",
-    "u2_apply_in_pandas",
-    "u3_row_udf",
-    # new this round:
-    "st1_stateful_sessions",
-    "px1_loinc_i2b2_pipeline",
-    "e3_late_data_watermark",
-    "m1_exact_median",  # impl rewritten round 2 (two-pass) — re-verify
-    "d5_ngram_jaccard",
-    "x4_ivf_topk",
-    "q2_min_cost_supplier",
-    "q4_order_priority_exists",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "f7_regex_extract",
-    "f8_xml_gen",
-    "f9_datetime_format",
-    "tx6_winnowing",
-    "mm2_decode_meta",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity",
-    "q19_disjunctive",
-    "q22_idle_customers",
-    # new late round 2: clustering, scale techniques, sources, streaming
-    "d6_dup_clusters",
-    "sk1_salted_join",
-    "sm1_stratified_sample",
-    "pp1_partition_pruned",
-    "src1_json_roundtrip",
-    "src2_orc_roundtrip",
-    "e5_stream_stream_join",
-    "q20_excess_suppliers",
-    "q21_waiting_supplier",
-    # analytics wave (round 2): merge, time-series, cohort, funnel, stats
-    "px2_training_data_prep",
-    "mm3_frame_sample",
-    "bk1_bucketed_join",
-    "mg1_merge_upsert",
-    "ts1_gap_fill",
+    # --- round-3 priority: queries with no driver-green row yet ---
+    "u2_apply_in_pandas",  # r2 hash-FAIL; oracle HUGEINT typing fixed (r3)
+    # 11 registered in r2 but never swept (fell past the 50-name window):
     "co1_retention_cohorts",
     "fn1_funnel",
     "w7_range_interval_window",
     "stats1_corr_covar",
     "p2_unpivot",
     "fz1_levenshtein",
-    # LLM-pipeline wave 2 (late round 2): repetition, PII, contamination,
-    # rollup cascade, streaming dedup
     "tx7_repetition",
     "tx8_pii_redaction",
     "ct1_contamination",
     "ts2_rollup_cascade",
     "e6_stream_dedup",
+    # r2-green but vacuous (0 rows); near-dups now planted — re-verify:
+    "x3_embedding_near_dup",
+    # new round 3:
+    "d7_lsh_dedup_e2e",
+    "a3_exact_distinct",
+    # the five rows-only-by-design (driver records a rows-only row):
+    "d3_minhash_lsh",
+    "d4_simhash",
+    "x2_lsh_topk",
+    "x4_ivf_topk",
+    "a2_approx_distinct",
+    # --- rotation: long-green queries last confirmed in r1, oldest first ---
+    "r1_left_join",
+    "r3_group_count",
+    "r4_distinct",
+    "r5_project_case",
+    "r6_filter_notnull",
+    "r10_visual_attributes",
+    "r12_path_ops",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "j1_semi_anti",
+    "j2_range_join",
+    "j3_asof_join",
+    "w1_topk_per_group",
+    "w2_running_sum",
+    "w3_lag_lead",
+    "g1_rollup",
+    "g2_cube",
+    "g3_grouping_sets",
+    "a1_count_distinct",
+    "s1_setops",
+    "t1_topk_global",
+    "f1_scalar_strings",
+    "f2_dates",
+    "f3_json",
+    "e1_tumbling_window",
+    "e2_session_window",
+    "d1_exact_dedup",
+    "d2_normalized_dedup",
+    "x1_cosine_topk",
+    "tx1_token_stats",
+    "tx2_quality",
+    "tx3_language_id",
+    "tx4_fingerprint",
+    "mm1_binary_meta",
+    "q6_revenue_change",
+    "q12_priority_counts",
+    "q14_promo_ratio",
+    "q18_large_orders",
+    "j4_full_outer",
+    "j5_cross_join",
+    "w4_rank_variants",
+    "w5_first_last",
+    "w6_sliding_sum",
+    "m1_exact_median",
+    "p1_pivot",
 ]
 
 

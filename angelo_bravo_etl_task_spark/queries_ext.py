@@ -561,6 +561,29 @@ def a2_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "a3_exact_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a3_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a2's oracle-checkable twin: the SAME distinct-count question answered
+    exactly (expand + two-phase hash aggregate) so the driver has a green
+    value row for the capability while a2's HLL sketch stays rows-only
+    (sketch internals are engine-specific). The unit test additionally ties
+    the two together: a2's estimate must fall within its configured rsd of
+    these exact counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@_register(
     "u4_udtf",
     r"""
     SELECT doc_id,

@@ -856,3 +856,81 @@ def d6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
         )
     )
+
+
+@_register(
+    "d7_lsh_dedup_e2e",
+    f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(
+                 range(1, greatest(len(string_split({_NORM}, ' ')) - 3, 0) + 2),
+                 i -> array_to_string(list_slice(string_split({_NORM}, ' '),
+                                                 i, i + 2), ' ')),
+               s -> length(s) > 0)) AS grams
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(grams) AS g FROM sh
+    ), sizes AS (
+      SELECT doc_id, len(grams) AS n FROM sh
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT s.id_a, s.id_b
+      FROM shared s
+      JOIN sizes ca ON s.id_a = ca.doc_id
+      JOIN sizes cb ON s.id_b = cb.doc_id
+      WHERE CAST(s.c AS DOUBLE) / (ca.n + cb.n - s.c) >= 0.6
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM sh
+      UNION
+      SELECT e.v, w.comp FROM walk w JOIN edges e ON w.node = e.u
+    )
+    SELECT node AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY node
+    """,
+)
+def d7_lsh_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED scale dedup path, end to end over the FULL documents
+    table (no id bound anywhere): banded MinHash-LSH candidate generation
+    (operators/dedup.py::minhash_lsh_candidates — signature map, 16-band
+    explode, equi-join on (band, band_hash)) → exact word-3-gram Jaccard
+    confirm at 0.6 (jaccard_pairs — two equi-joins of shingle arrays onto
+    the candidate list) → connected components (operators/graph.py,
+    iterative hash-min label propagation) → every doc labeled with its
+    cluster representative. This is d6's semantics WITHOUT the bounded
+    all-pairs pair-gen: no BroadcastNestedLoopJoin appears anywhere in the
+    composition (plan-asserted in tests/test_plans.py).
+
+    Oracle parity despite LSH being a candidate FILTER: the oracle computes
+    the exact pair ground truth with an inverted gram index (explode grams →
+    equi-join on gram → shared-count per pair → Jaccard from |A|,|B|,|A∩B|)
+    — itself the scale-correct brute-force shape, never all-pairs — and the
+    whole stack is deterministic (xxhash64 signatures, fixed test data).
+    Recall was verified exhaustively at sf0.001/0.01/0.1: every exact pair
+    with j >= 0.6 is an LSH candidate (the data's pair Jaccards are >= 0.75
+    with nothing in (0.35, 0.75), so the 16x4 banding curve — miss prob
+    ~1e-3 at j=0.77, ~1e-9 at j=0.97 — has no boundary mass to lose), and
+    the exact confirm removes the few false candidates, so confirmed pairs
+    == ground-truth pairs and the CC fixpoints agree."""
+    from .operators.dedup import jaccard_pairs, minhash_lsh_candidates
+    from .operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = minhash_lsh_candidates(docs)
+    confirmed = jaccard_pairs(docs, cand, threshold=0.6).select("id_a", "id_b")
+    comp = connected_components(confirmed, src="id_a", dst="id_b")
+    return (
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )

@@ -359,3 +359,26 @@ def test_pii_redaction_roundtrip(spark):
     assert "@" not in row["r"] or "<EMAIL>" in row["r"]
     assert "bob.smith" not in row["r"] and "+1-555-0100" not in row["r"]
     assert row["r"].count("<EMAIL>") == 2 and row["r"].count("<PHONE>") == 2
+
+
+def test_a2_estimate_within_rsd_of_a3_exact(spark, sf_dir):
+    """The HLL estimate (a2, rows-only in the driver) must land within its
+    configured relative standard deviation of the exact distinct counts its
+    oracle-checked twin (a3) computes — tying the unchecked sketch to a
+    checked ground truth. 4 sigma keeps flake probability negligible while
+    still catching a broken sketch (which is off by orders of magnitude)."""
+    from angelo_bravo_etl_task_spark.queries import QUERIES
+
+    approx = {
+        r["l_returnflag"]: r["approx_orders"]
+        for r in QUERIES["a2_approx_distinct"][0](spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["exact_orders"]
+        for r in QUERIES["a3_exact_distinct"][0](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, ex in exact.items():
+        assert abs(approx[flag] - ex) <= max(4 * 0.02 * ex, 1), (
+            flag, approx[flag], ex
+        )

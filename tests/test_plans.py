@@ -106,3 +106,36 @@ def test_bk1_bucketed_join_has_no_exchange_below_join(spark, sf_dir):
         "bucketed join still shuffles:\n" + plan
     )
     assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
+
+
+def test_d7_composition_has_no_nested_loop_join(spark, sf_dir):
+    """The composed LSH→confirm→CC dedup path (d7) must be equi-joins all
+    the way down: candidate generation is a (band, band_hash) self-join,
+    the Jaccard confirm joins shingles onto candidates by id, and every CC
+    round joins labels by vertex id. No stage may fall back to a
+    BroadcastNestedLoopJoin or CartesianProduct — that is the d6 bounded
+    demo's shape, exactly what d7 exists to avoid. connected_components
+    executes eagerly (per-round checkpoints), so each stage's plan is
+    checked where it is still inspectable: the candidate and confirm
+    frames, plus the final labeled output."""
+    from angelo_bravo_etl_task_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_candidates,
+    )
+    from angelo_bravo_etl_task_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = minhash_lsh_candidates(docs)
+    confirmed = jaccard_pairs(docs, cand, threshold=0.6).select("id_a", "id_b")
+    for frame in (cand, confirmed):
+        assert_plan(
+            frame,
+            contains=[],
+            not_contains=["BroadcastNestedLoopJoin", "CartesianProduct"],
+        )
+    out = QUERIES["d7_lsh_dedup_e2e"][0](spark, sf_dir)
+    assert_plan(
+        out,
+        contains=[],
+        not_contains=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    )
