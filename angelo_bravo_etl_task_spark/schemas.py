@@ -101,18 +101,63 @@ I2B2_VARCHAR_LIMITS = {
     name: limit for name, _, _, limit in I2B2_COLUMNS if limit is not None
 }
 
-#: JDBC column-type clause reproducing the reference DDL types.
-I2B2_JDBC_COLUMN_TYPES = ", ".join(
-    f"{name} "
-    + (
-        "INT"
-        if isinstance(dtype, IntegerType)
-        else ("TEXT" if limit is None else f"VARCHAR({limit})")
-        if isinstance(dtype, StringType)
-        else "TIMESTAMP"
+def i2b2_jdbc_column_types(text_type: str = "STRING") -> str:
+    """JDBC column-type clause reproducing the reference DDL types
+    (Angelo_ETL_Task.py:298-325). The clause must use SPARK SQL types
+    (Spark parses it before handing types to the dialect): VARCHAR(n)
+    passes through to the database; the default STRING maps to the JDBC
+    dialect's unbounded text type — TEXT on PostgreSQL, the reference's
+    sink and intent for its two TEXT columns. ``text_type`` overrides that
+    mapping for dialects where the unbounded type misbehaves (Derby's CLOB
+    rejects Spark's setNull(VARCHAR) — use ``VARCHAR(32672)``, Derby's
+    max)."""
+    return ", ".join(
+        f"{name} "
+        + (
+            "INT"
+            if isinstance(dtype, IntegerType)
+            else (text_type if limit is None else f"VARCHAR({limit})")
+            if isinstance(dtype, StringType)
+            else "TIMESTAMP"
+        )
+        for name, dtype, _, limit in I2B2_COLUMNS
     )
-    for name, dtype, _, limit in I2B2_COLUMNS
-)
+
+
+#: JDBC column-type clause reproducing the reference DDL types.
+I2B2_JDBC_COLUMN_TYPES = i2b2_jdbc_column_types()
+
+
+def i2b2_create_table_sql(
+    table: str = "I2B2",
+    text_type: str = "TEXT",
+    nullable_string_type: str | None = None,
+) -> str:
+    """The reference's CREATE TABLE statement (Angelo_ETL_Task.py:298-325)
+    — including the NOT NULL constraints, which Spark's JDBC
+    ``createTableColumnTypes`` path cannot express. ``text_type`` adapts
+    the two unbounded columns to the sink dialect (TEXT on PostgreSQL —
+    the reference's sink). ``nullable_string_type``, when set, overrides
+    the type of every NULLABLE string column: Spark's Derby dialect types
+    null string parameters as CLOB, and Derby refuses a CLOB parameter
+    against a VARCHAR column — so Derby sinks need ``CLOB`` here (widths
+    are enforced client-side by the truncation operator regardless)."""
+
+    def _sql_type(dtype, nullable, limit) -> str:
+        if isinstance(dtype, IntegerType):
+            return "INT"
+        if not isinstance(dtype, StringType):
+            return "TIMESTAMP"
+        if nullable and nullable_string_type is not None:
+            return nullable_string_type
+        return text_type if limit is None else f"VARCHAR({limit})"
+
+    cols = ",\n".join(
+        f"  {name} {_sql_type(dtype, nullable, limit)}"
+        + (" NOT NULL" if not nullable else "")
+        for name, dtype, nullable, limit in I2B2_COLUMNS
+    )
+    return f"CREATE TABLE {table} (\n{cols}\n)"
 
 # --------------------------------------------------------------------------
 # Driver testdata tables (TESTDATA.md; verified against the sf0.001 parquet).

@@ -65,6 +65,34 @@ def write_jdbc(
     w.save()
 
 
+def execute_jdbc_ddl(
+    spark: SparkSession, url: str, sql: str, **properties: str
+) -> None:
+    """Run one driver-side DDL statement over JDBC (reference
+    ``cur.execute(CREATE TABLE ...)``, :298-325). Spark's own table
+    creation can't express NOT NULL constraints and (Spark 4) strips
+    VARCHAR/CHAR from ``createTableColumnTypes`` to the dialect's default
+    text type — for exact-DDL fidelity issue the statement directly. One
+    statement, once, on the driver: not a data path."""
+    jvm = spark._jvm
+    driver = properties.get("driver")
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    props = jvm.java.util.Properties()
+    for k, v in properties.items():
+        if k != "driver":
+            props.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        stmt = conn.createStatement()
+        try:
+            stmt.execute(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
 def jdbc_table_exists(
     spark: SparkSession, url: str, table: str, **properties: str
 ) -> bool:
