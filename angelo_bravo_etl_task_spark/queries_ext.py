@@ -646,7 +646,15 @@ def tx5_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame-native TF/DF scaffolding (the exact-integer core of TF-IDF;
     the idf log stays out of the oracle because libm rounding differs
     between engines): explode terms → per-doc TF → global DF → top-3 terms
-    per doc. Shuffles on (doc, term) then term — both high-cardinality."""
+    per doc.
+
+    DF comes from a count() window over term ON THE TF FRAME — tf holds
+    exactly one row per (doc, term), so rows-per-term-partition IS the
+    distinct doc count. The naive [groupBy(term).agg(count_distinct) +
+    join back] shape evaluates the whole explode+aggregate subtree twice
+    (once per join side) and adds a join exchange; the window reads the
+    single tf subtree once. Three shuffles total — (doc,term) agg, term
+    window, doc window — all high-cardinality keys."""
     from .operators.text import tokens
     from .operators.windows import top_k_per_group
 
@@ -655,12 +663,11 @@ def tx5_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
     tf = exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_counts = tf.groupBy("term").agg(
-        F.count_distinct("doc_id").alias("doc_freq")
-    )
-    joined = tf.join(df_counts, "term").select("doc_id", "term", "tf", "doc_freq")
+    with_df = tf.withColumn(
+        "doc_freq", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).select("doc_id", "term", "tf", "doc_freq")
     return top_k_per_group(
-        joined,
+        with_df,
         ["doc_id"],
         [F.col("tf").desc(), F.col("term")],
         k=3,
