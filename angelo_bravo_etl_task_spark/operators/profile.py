@@ -24,23 +24,29 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """One row per column: (col_name, n_nulls, n_distinct, min_str, max_str).
 
     Exact counts; min/max native-typed then stringified. Single agg job.
+
+    Built entirely from Column expressions — per-column stat STRUCTs in one
+    agg, then ``inline`` to rows. No SQL-string interpolation, so column
+    names containing spaces, dots, quotes, or hyphens profile fine
+    (references are backtick-quoted, with embedded backticks doubled);
+    unknown names fail fast here rather than as a downstream parse error.
     """
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
     aggs = []
-    for c in cols:
-        col = F.col(c)
-        aggs += [
-            F.count(F.when(col.isNull(), F.lit(1))).alias(f"_{c}_nulls"),
-            F.count_distinct(col).alias(f"_{c}_distinct"),
-            F.min(col).cast("string").alias(f"_{c}_min"),
-            F.max(col).cast("string").alias(f"_{c}_max"),
-        ]
-    summary = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', _{c}_nulls, _{c}_distinct, _{c}_min, _{c}_max" for c in cols
-    )
-    return summary.select(
-        F.expr(
-            f"stack({len(cols)}, {stack_args}) AS "
-            "(col_name, n_nulls, n_distinct, min_str, max_str)"
+    for i, c in enumerate(cols):
+        col = df["`" + c.replace("`", "``") + "`"]
+        aggs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.count(F.when(col.isNull(), F.lit(1))).alias("n_nulls"),
+                F.count_distinct(col).alias("n_distinct"),
+                F.min(col).cast("string").alias("min_str"),
+                F.max(col).cast("string").alias("max_str"),
+            ).alias(f"_s{i}")
         )
+    summary = df.agg(*aggs)
+    return summary.select(
+        F.inline(F.array(*[summary[f"_s{i}"] for i in range(len(cols))]))
     )

@@ -134,7 +134,18 @@ def stream_events_raw(
     no staging rewrite. The file stores TIMESTAMP(NANOS), which Spark's
     reader won't map to TimestampType, so the stream schema reads ``ts`` as
     raw nanos (long) and truncates to microseconds in-stream (identical to
-    ``sources/readers.load_table``)."""
+    ``sources/readers.load_table``).
+
+    SINGLE-BATCH INVARIANT for batch-oracle parity: the source is one
+    parquet file and no ``maxFilesPerTrigger`` is set, so an availableNow
+    run processes everything in ONE micro-batch. Queries whose oracle is a
+    batch query over the same data (e6's DISTINCT, notably) rely on this:
+    with multiple batches, rows arriving in a later batch below the
+    then-current watermark would be dropped (by design — that is watermark
+    semantics), and whole keys could go missing vs the oracle. Swapping in
+    a partitioned events directory or adding a file-per-trigger limit
+    breaks that equivalence; this function asserts the single-file layout
+    rather than letting the invariant rot silently."""
     import os
 
     from pyspark.sql.types import LongType, StructField, StructType
@@ -147,6 +158,17 @@ def stream_events_raw(
     )
     # the file-stream source requires a DIRECTORY base path — point at the
     # sf dir and glob-filter to the events file
+    matches = [
+        p
+        for p in os.listdir(sf_dir)
+        if p == "events.parquet" and os.path.isfile(os.path.join(sf_dir, p))
+    ]
+    if len(matches) != 1:
+        raise ValueError(
+            f"stream_events_raw requires exactly one events.parquet FILE in "
+            f"{sf_dir} (single-batch invariant for batch-oracle parity); "
+            f"found {matches or 'none'}"
+        )
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")

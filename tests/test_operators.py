@@ -382,3 +382,30 @@ def test_a2_estimate_within_rsd_of_a3_exact(spark, sf_dir):
         assert abs(approx[flag] - ex) <= max(4 * 0.02 * ex, 1), (
             flag, approx[flag], ex
         )
+
+
+def test_profile_columns_single_pass_and_hostile_names(spark):
+    from angelo_bravo_etl_task_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 5.0), (None, "b", 5.0)],
+        ["id num", "the.cat", "x-y'z"],
+    )
+    out = profile_columns(df, ["id num", "the.cat", "x-y'z"])
+    rows = {r["col_name"]: r for r in out.collect()}
+    assert rows["id num"]["n_nulls"] == 1
+    assert rows["id num"]["n_distinct"] == 2
+    assert rows["the.cat"]["min_str"] == "a"
+    assert rows["the.cat"]["max_str"] == "b"
+    assert rows["x-y'z"]["n_nulls"] == 1
+    assert rows["x-y'z"]["n_distinct"] == 1
+    # single-pass shape: the input is scanned exactly once (AQE explain
+    # repeats the tree under "== Initial Plan ==" — inspect the final only)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan ExistingRDD") == 1
+    # unknown columns fail fast with a clear error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in DataFrame"):
+        profile_columns(df, ["nope"])

@@ -139,3 +139,26 @@ def test_d7_composition_has_no_nested_loop_join(spark, sf_dir):
         contains=[],
         not_contains=["BroadcastNestedLoopJoin", "CartesianProduct"],
     )
+
+
+def test_ct1_benchmark_side_broadcast_no_corpus_shuffle_join(spark, sf_dir):
+    """Contamination check: the benchmark gram set must broadcast onto the
+    corpus grams — a shuffle join would repartition the whole corpus by
+    gram, the exact thing the design avoids."""
+    df = QUERIES["ct1_contamination"][0](spark, sf_dir)
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_px1_joins_broadcast_except_fact_regroup(spark, sf_dir):
+    """The LOINC->i2b2 pipeline: every hierarchy/dimension join must be
+    broadcast; the ONE SortMergeJoin allowed is the spec-mode
+    posexplode->regroup join back on LOINC_NUM (fact-sized on both sides,
+    where broadcast would be wrong at scale). No nested-loop fallbacks."""
+    df = QUERIES["px1_loinc_i2b2_pipeline"][0](spark, sf_dir)
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("SortMergeJoin") == 1
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in plan
