@@ -185,6 +185,93 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     )
 
 
+def _minhash_signature_arrow(num_hashes: int = 64):
+    """Arrow-vectorized minhash: array<int64> shingle hashes → k-element
+    signature, BIT-EXACT with the Column path (``minhash_signature`` /
+    the staged build in ``minhash_lsh_candidates``), parity-tested in
+    ``tests/test_minhash_parity.py``.
+
+    The Column path evaluates ``array_min(transform(bh, xxhash64(h, i)))``
+    k times — k interpreted Catalyst lambda dispatches per shingle. Here
+    the same math runs as numpy C: Spark's ``xxhash64(h, lit(i))`` chains
+    XXH64 over its children (``hashInt(i, hashLong(h, 42))``), and both
+    single-block XXH64 forms have closed-form vectorizable expressions
+    (multiply/rotate/xor on uint64). ``hashLong(h, 42)`` is i-independent,
+    so it runs once per shingle; each of the k seeds then costs one cheap
+    ``hashInt`` pass plus a segmented signed min (``minimum.reduceat``).
+    Same documented exception to the no-Python rule as the simhash Arrow
+    path: built-ins CAN express it, but k lambda dispatches per shingle
+    make the hot path interpreter-bound."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    P1 = np.uint64(0x9E3779B185EBCA87)
+    P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    P3 = np.uint64(0x165667B19E3779F9)
+    P4 = np.uint64(0x85EBCA77C2B2AE63)
+    P5 = np.uint64(0x27D4EB2F165667C5)
+
+    def _rotl(x, r):
+        r = np.uint64(r)
+        return (x << r) | (x >> (np.uint64(64) - r))
+
+    def _fmix(h):
+        h = h ^ (h >> np.uint64(33))
+        h = h * P2
+        h = h ^ (h >> np.uint64(29))
+        h = h * P3
+        h = h ^ (h >> np.uint64(32))
+        return h
+
+    def _hash_long(x, seed):  # XXH64 of one 8-byte block (Spark hashLong)
+        h = seed + P5 + np.uint64(8)
+        h = h ^ (_rotl(x * P2, 31) * P1)
+        h = _rotl(h, 27) * P1 + P4
+        return _fmix(h)
+
+    def _hash_int(i, seed):  # XXH64 of one 4-byte block (Spark hashInt)
+        h = seed + P5 + np.uint64(4)
+        h = h ^ (np.uint64(i) * P1)
+        h = _rotl(h, 23) * P2 + P3
+        return _fmix(h)
+
+    @pandas_udf("array<bigint>")
+    def minhash_from_hashes(bh: pd.Series) -> pd.Series:
+        n = len(bh)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in bh), dtype=np.int64, count=n
+        )
+        nonempty = lens > 0
+        out = [None] * n
+        if nonempty.any():
+            flat = np.concatenate(
+                [
+                    np.asarray(a, dtype=np.int64)
+                    for a in bh
+                    if a is not None and len(a)
+                ]
+            ).view(np.uint64)
+            offsets = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            starts = offsets[nonempty]
+            h1 = _hash_long(flat, np.uint64(42))  # i-independent inner hash
+            sigs = np.empty((int(nonempty.sum()), num_hashes), dtype=np.int64)
+            for i in range(num_hashes):
+                mixed = _hash_int(i, h1).view(np.int64)
+                sigs[:, i] = np.minimum.reduceat(mixed, starts)
+            rows = sigs.tolist()
+            for idx, j in zip(np.nonzero(nonempty)[0], range(len(rows))):
+                out[idx] = rows[j]
+        # empty docs mirror the Column path: array_min(empty) is NULL per slot
+        for idx in np.nonzero(~nonempty)[0]:
+            out[idx] = [None] * num_hashes
+        return pd.Series(out, dtype=object)
+
+    return minhash_from_hashes
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -192,6 +279,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -202,18 +290,27 @@ def minhash_lsh_candidates(
     into ``bands`` rows; the self-join on (band, band_hash) is an equi-join
     whose cost is bounded by real collisions. Returns (id_a, id_b) with
     id_a < id_b, distinct.
+
+    ``use_arrow`` picks the vectorized signature path (default; bit-exact
+    with the expression path — tests/test_minhash_parity.py); the pure
+    Column expression is kept as the executable spec and for environments
+    without Arrow.
     """
     rows = num_hashes // bands
     # staged projections so the shingle hashes materialize ONCE per row (a
     # single nested expression would re-derive them for every one of the k
     # permutations)
-    sig = (
-        _spread(df.select(F.col(id_col), F.col(text_col)))
-        .select(
+    hashed = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        shingle_hashes(F.col(text_col), shingle_n).alias("_bh"),
+    )
+    if use_arrow:
+        sig = hashed.select(
             F.col(id_col),
-            shingle_hashes(F.col(text_col), shingle_n).alias("_bh"),
+            _minhash_signature_arrow(num_hashes)(F.col("_bh")).alias("_sig"),
         )
-        .select(
+    else:
+        sig = hashed.select(
             F.col(id_col),
             F.array(
                 *[
@@ -222,7 +319,6 @@ def minhash_lsh_candidates(
                 ]
             ).alias("_sig"),
         )
-    )
     # Eager local checkpoint of the per-DOC signatures: the self-join would
     # otherwise (a) launch BOTH join sides concurrently, each computing the
     # full signature pipeline (persist() alone is lazy — the two sides race
@@ -284,9 +380,19 @@ def jaccard_pairs(
     Joins shingle arrays back onto the (id_a, id_b) candidates — two
     broadcast-able joins when the candidate set is small, shuffled otherwise
     — and computes |A∩B|/|A∪B| with JVM array intrinsics.
+
+    The shingle frame is spread across cores (the testdata parquet is one
+    scan partition) and eagerly checkpointed: it feeds BOTH join sides, and
+    without materialization each side would re-derive the full
+    normalize+shingle expression over the corpus — the most expensive map
+    in the pipeline, paid twice.
     """
-    sh = df.select(
-        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("_sh")
+    sh = (
+        _spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col), shingles(F.col(text_col), shingle_n).alias("_sh")
+        )
+        .localCheckpoint(eager=True)
     )
     out = (
         candidates.join(sh.withColumnRenamed(id_col, "id_a"), on="id_a")
