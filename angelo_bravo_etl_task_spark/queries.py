@@ -1070,6 +1070,9 @@ _CHECK_FIRST: list[str] = [
     # new round 3:
     "d7_lsh_dedup_e2e",
     "a3_exact_distinct",
+    "dq1_profile_columns",
+    "mv1_incremental_agg",
+    "scd1_scd2_history",
     # the five rows-only-by-design (driver records a rows-only row):
     "d3_minhash_lsh",
     "d4_simhash",

@@ -641,3 +641,94 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("frame_bytes")).alias("frame_md5"),
         F.octet_length(F.col("frame_bytes")).cast("bigint").alias("frame_len"),
     )
+
+
+# =========================================================================
+# mv1: incremental aggregate maintenance (materialized-view refresh shape)
+# =========================================================================
+
+_MV1_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@_register("mv1_incremental_agg", _MV1_SQL)
+def mv1_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the materialized-view refresh
+    every warehouse runs: the standing aggregate ("yesterday's MV", built
+    from l_orderkey % 5 != 0) is combined with the aggregate of only the
+    DELTA rows (l_orderkey % 5 = 0) by merging partial states — counts
+    add, exact DECIMAL sums add — without rescanning history. The oracle
+    recomputes from ALL rows, so the driver verifies the algebraic
+    identity merge(agg(base), agg(delta)) == agg(base ∪ delta) that makes
+    incremental refresh legal at 100 TB (rescan cost ∝ delta, not
+    history). Decimal partials keep the check bit-exact: decimal addition
+    is associative where double addition is not."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(18,2)").alias("_q"),
+    )
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("_n"), F.sum("_q").alias("_s")
+        )
+
+    mv = agg(li.where(F.col("l_orderkey") % 5 != 0))
+    delta = agg(li.where(F.col("l_orderkey") % 5 == 0))
+    merged = mv.alias("m").join(
+        delta.alias("d"), on="l_returnflag", how="full"
+    )
+    zero_n = F.lit(0).cast("long")
+    zero_s = F.lit(0).cast("decimal(18,2)")
+    return merged.select(
+        "l_returnflag",
+        (
+            F.coalesce(F.col("m._n"), zero_n) + F.coalesce(F.col("d._n"), zero_n)
+        ).alias("n_rows"),
+        (
+            F.coalesce(F.col("m._s"), zero_s) + F.coalesce(F.col("d._s"), zero_s)
+        )
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+# =========================================================================
+# scd1: SCD type-2 dimension history build
+# =========================================================================
+
+_SCD1_SQL = """
+SELECT o_custkey,
+       o_orderdate AS valid_from,
+       LEAD(o_orderdate) OVER w AS valid_to,
+       o_orderstatus AS status,
+       CASE WHEN LEAD(o_orderdate) OVER w IS NULL
+            THEN TRUE ELSE FALSE END AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@_register("scd1_scd2_history", _SCD1_SQL)
+def scd1_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a change stream (orders as
+    per-customer status changes) into validity-interval history rows —
+    valid_from = the change's timestamp, valid_to = the NEXT change's
+    timestamp (open/NULL for the current row), one lead() window per key.
+    One shuffle on the dimension key; the tiebreak column makes same-
+    timestamp ordering deterministic in both engines."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = _t(spark, sf_dir, "orders")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.col("o_orderstatus").alias("status"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -325,3 +325,45 @@ def bk1_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@_register(
+    "dq1_profile_columns",
+    """
+    SELECT 'o_orderkey' AS col_name,
+           COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           COUNT(CASE WHEN o_custkey IS NULL THEN 1 END),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR),
+           CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           COUNT(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+           COUNT(DISTINCT o_orderpriority),
+           CAST(MIN(o_orderpriority) AS VARCHAR),
+           CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+)
+def dq1_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling (operators/profile.py::profile_columns): null
+    count, exact distinct count, min/max per column in ONE aggregation over
+    ONE scan — the deequ-style expectations primitive. The oracle computes
+    each column's row independently; the engine's whole point is that all
+    three columns ride the same partial-aggregate pass (single-scan shape
+    is plan-asserted in the unit test). Profiled columns are integer- and
+    string-typed so the stringified min/max are representation-identical
+    across engines (double/timestamp formatting differs)."""
+    from .operators.profile import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderpriority"],
+    )
