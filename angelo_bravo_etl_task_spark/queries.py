@@ -1073,6 +1073,8 @@ _CHECK_FIRST: list[str] = [
     "dq1_profile_columns",
     "mv1_incremental_agg",
     "scd1_scd2_history",
+    "d8_dedup_survivors",
+    "x5_cluster_centroids",
     # the five rows-only-by-design (driver records a rows-only row):
     "d3_minhash_lsh",
     "d4_simhash",

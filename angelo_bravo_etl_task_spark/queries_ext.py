@@ -747,3 +747,53 @@ def u3_row_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = F.udf(lambda lang, src: f"{lang.upper()}:{src}", "string")
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", tag(F.col("lang"), F.col("source")).alias("tag"))
+
+
+@_register(
+    "x5_cluster_centroids",
+    """
+    SELECT vec_id % 8 AS cluster, ord - 1 AS pos, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(e * 1073741824.0) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 1073741824.0 AS mean_q30
+    FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS e,
+                 generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS ord
+          FROM embeddings)
+    GROUP BY 1, 2
+    """,
+)
+def x5_cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster embedding centroid — the vector aggregation every
+    ANN/IVF index build and k-means step needs, in the shape that scales:
+    posexplode to (cluster, dimension) rows, one partial-aggregable
+    group-by, NO vector collect and no UDF. Output stays in (cluster, pos,
+    mean) row form — rebuilding arrays is a presentation step, not part of
+    the aggregate.
+
+    Determinism: FIXED-POINT (Q30) accumulation, the standard trick for
+    reproducible distributed float sums. Multiplying by 2^30 only shifts
+    the double's exponent (EXACT — no rounding), floor is exact, and the
+    bigint sum is exact and associative, so the result is bit-identical
+    regardless of partitioning/aggregation order AND of engine. Plain
+    double summation is order-sensitive; DECIMAL casts of float inputs
+    are engine-sensitive (DuckDB's multiply-then-round double→decimal
+    disagrees with Spark's exact BigDecimal path by 1 ulp on boundary
+    values — observed at sf0.01). The 2^-30 quantization this buys is far
+    below float32 input noise. Deterministic cluster assignment
+    (vec_id % 8) stands in for an upstream coarse quantizer."""
+    from .operators.partitioning import spread
+
+    emb = spread(_t(spark, sf_dir, "embeddings")).select(
+        (F.col("vec_id") % 8).alias("cluster"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "e"
+        ),
+    )
+    q = F.floor(F.col("e") * F.lit(1073741824.0)).cast("long")
+    return emb.groupBy("cluster", "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(q).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1073741824.0)
+        ).alias("mean_q30"),
+    )

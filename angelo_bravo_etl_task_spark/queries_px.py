@@ -858,9 +858,7 @@ def d6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "d7_lsh_dedup_e2e",
-    f"""
+_D7_SQL = f"""
     WITH RECURSIVE sh AS (
       SELECT doc_id,
              list_distinct(list_filter(
@@ -894,8 +892,10 @@ def d6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.v, w.comp FROM walk w JOIN edges e ON w.node = e.u
     )
     SELECT node AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY node
-    """,
-)
+    """
+
+
+@_register("d7_lsh_dedup_e2e", _D7_SQL)
 def d7_lsh_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED scale dedup path, end to end over the FULL documents
     table (no id bound anywhere): banded MinHash-LSH candidate generation
@@ -932,5 +932,55 @@ def d7_lsh_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
+@_register(
+    "d8_dedup_survivors",
+    f"""
+    WITH clusters AS ({_D7_SQL}),
+    ranked AS (
+      SELECT c.cluster_id, d.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY LENGTH(d.text) DESC, d.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+      FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT cluster_id, doc_id AS survivor_id, n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def d8_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last step of the dedup story: pick ONE survivor per duplicate
+    cluster (d7's components) by an explicit quality policy — longest text
+    wins, doc_id breaks ties deterministically. One window over the
+    cluster id; singletons survive as themselves. Composes
+    LSH → Jaccard confirm → connected components → survivorship, i.e. the
+    complete 'dedup a 100 TB corpus, keep the best copy' pipeline, all
+    equi-join/window shapes."""
+    from pyspark.sql.window import Window
+
+    clusters = d7_lsh_dedup_e2e(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("_len")
+    )
+    joined = clusters.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_len").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        joined.select(
+            "cluster_id",
+            "doc_id",
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(wc).alias("n_members"),
+        )
+        .where(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_id"),
+            "n_members",
         )
     )
