@@ -1075,6 +1075,8 @@ _CHECK_FIRST: list[str] = [
     "scd1_scd2_history",
     "d8_dedup_survivors",
     "x5_cluster_centroids",
+    "qt1_exact_quantiles",
+    "qt2_approx_quantiles",
     # the five rows-only-by-design (driver records a rows-only row):
     "d3_minhash_lsh",
     "d4_simhash",

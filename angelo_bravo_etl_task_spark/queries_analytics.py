@@ -732,3 +732,77 @@ def scd1_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# =========================================================================
+# qt1/qt2: exact multi-quantile (two-pass) + sketch sibling
+# =========================================================================
+
+_QT1_SQL = """
+WITH gc AS (
+  SELECT l_returnflag, l_quantity AS v, COUNT(*) AS c
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, v,
+         SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+         SUM(c) OVER (PARTITION BY l_returnflag) AS n
+  FROM gc
+)
+SELECT l_returnflag, q, MIN(v) AS quantile_value
+FROM cum CROSS JOIN (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                            (CAST(0.75 AS DOUBLE))) AS qs(q)
+WHERE cum >= CEIL(q * n)
+GROUP BY 1, 2
+"""
+
+
+@_register("qt1_exact_quantiles", _QT1_SQL)
+def qt1_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete multi-quantile per group, TWO-PASS (the m1 median
+    rewrite generalized to arbitrary quantile sets): group-count to a
+    small (group, value, count) frame, cumulative window over THAT, pick
+    min value with cum >= ceil(q*n). The windows only ever see the
+    aggregated frame — never a low-cardinality window over the fact table
+    (SCALE.md finding 5). The quantile definition is spelled out
+    identically in both engines (smallest v with rank >= ceil(q*n)), so
+    parity doesn't hinge on matching builtin interpolation flavors.
+    ceil(q*n) is exact: q has an exact binary representation and n < 2^50.
+    The 100 TB path for loose accuracy is qt2's sketch."""
+    li = _t(spark, sf_dir, "lineitem")
+    gc = li.groupBy(
+        "l_returnflag", F.col("l_quantity").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = gc.select(
+        "l_returnflag",
+        "v",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    qs = spark.createDataFrame([(0.25,), (0.5,), (0.75,)], "q double")
+    return (
+        cum.crossJoin(F.broadcast(qs))
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("l_returnflag", "q")
+        .agg(F.min("v").alias("quantile_value"))
+    )
+
+
+@_register("qt2_approx_quantiles", None)  # sketch internals are engine-specific
+def qt2_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch) — the single-pass,
+    fixed-memory 100 TB path for the same question qt1 answers exactly.
+    Rows-only in the driver (sketch results are engine-specific); the
+    unit test bounds its error against qt1's exact values at the
+    configured accuracy."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
+        ).alias("approx_quantiles")
+    )

@@ -828,7 +828,9 @@ def d6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     singleton docs as their own cluster. The oracle replays the same edges
     through a recursive CTE (min label reachable = component min), so the
     driver verifies the ITERATIVE algorithm's fixpoint, not just the pair
-    generation."""
+    generation. Bounded oracle demo by design — the UNBOUNDED scale path
+    is d7 (LSH candidates feeding the same connected_components), which is
+    also oracle-checked; d8 adds the survivor-selection step."""
     from .operators.dedup import shingles
     from .operators.graph import connected_components
     from .operators.partitioning import spread

@@ -150,3 +150,23 @@ def test_no_persistent_rdd_leak(spark, sf_dir):
         if n == 0:
             break
     assert n == 0, f"{n} RDDs still hold storage blocks after GC"
+
+
+def test_qt2_sketch_within_accuracy_of_qt1_exact(spark, sf_dir):
+    """The KLL-style sketch (qt2, rows-only in the driver) must land within
+    its accuracy parameter's rank-error bound of the exact two-pass answer
+    (qt1) — tying the unchecked sketch to checked ground truth, same
+    pattern as a2/a3. With accuracy 10000 the rank error is 1/10000, far
+    below the value granularity here, so equality is expected; the
+    assertion still allows one value step of slack to stay robust to
+    boundary ranks."""
+    from angelo_bravo_etl_task_spark.queries import QUERIES
+
+    exact = {
+        (r["l_returnflag"], r["q"]): r["quantile_value"]
+        for r in QUERIES["qt1_exact_quantiles"][0](spark, sf_dir).collect()
+    }
+    for r in QUERIES["qt2_approx_quantiles"][0](spark, sf_dir).collect():
+        for q, got in zip((0.25, 0.5, 0.75), r["approx_quantiles"]):
+            want = exact[(r["l_returnflag"], q)]
+            assert abs(got - want) <= 1.0, (r["l_returnflag"], q, got, want)
