@@ -104,11 +104,21 @@ def transform_loinc_to_i2b2(
     # loinc_path_dict / loinc_codetext_dict (reference :163,:166). The
     # reference keys the path dict by merged LOINC_NUM, which equals CODE on
     # the join matches, so a single dedup serves both.
-    hier_last = last_wins(
-        hierarchy.select("CODE", "CODE_TEXT", "PATH_TO_ROOT", ord_col),
-        ["CODE"],
-        ord_col,
-    ).drop(ord_col)
+    # Eagerly checkpointed: hier_last feeds up to three places (the base
+    # join, and in spec mode the per-segment name map) — without
+    # materialization each use re-derives the last-wins window from the
+    # raw hierarchy (the plan tripled the subtree, ~12 exchanges at px1).
+    # The frame is dimension-sized by definition (it broadcasts), so the
+    # checkpoint is cheap at any scale.
+    hier_last = (
+        last_wins(
+            hierarchy.select("CODE", "CODE_TEXT", "PATH_TO_ROOT", ord_col),
+            ["CODE"],
+            ord_col,
+        )
+        .drop(ord_col)
+        .localCheckpoint(eager=True)
+    )
 
     # parent_count_dict (:173): children per IMMEDIATE_PARENT.
     parent_counts = hierarchy.groupBy("IMMEDIATE_PARENT").agg(
