@@ -1077,6 +1077,7 @@ _CHECK_FIRST: list[str] = [
     "x5_cluster_centroids",
     "qt1_exact_quantiles",
     "qt2_approx_quantiles",
+    "src3_schema_evolution",
     # the five rows-only-by-design (driver records a rows-only row):
     "d3_minhash_lsh",
     "d4_simhash",

@@ -367,3 +367,43 @@ def dq1_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders"),
         ["o_orderkey", "o_custkey", "o_orderpriority"],
     )
+
+
+@_register(
+    "src3_schema_evolution",
+    """
+    SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, CAST(NULL AS BIGINT), o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 1
+    """,
+)
+def src3_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches — the ingest reality of any
+    long-lived dataset: batch 1 writes (o_orderkey, o_custkey), batch 2
+    writes (o_orderkey, o_totalprice); a mergeSchema read reconciles both
+    under one superset schema with NULL-extension for each batch's missing
+    column. The oracle reproduces the union-by-name semantics from the
+    original rows, so any column misalignment, type drift, or dropped rows
+    in the merged scan breaks the hash. (At 100 TB, mergeSchema's footer
+    sampling is the cheap part; the discipline is additive-only schema
+    changes, which this models.)"""
+    base = os.path.join(
+        _SCRATCH, "src3_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    (
+        o.where(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", "o_custkey")
+        .write.mode("overwrite")
+        .parquet(os.path.join(base, "batch=1"))
+    )
+    (
+        o.where(F.col("o_orderkey") % 3 == 1)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(os.path.join(base, "batch=2"))
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return merged.select("o_orderkey", "o_custkey", "o_totalprice")

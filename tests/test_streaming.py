@@ -184,3 +184,51 @@ def test_stateful_sessionize_emission_boundary(spark, sf_dir):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_to_jdbc_foreachbatch_sink(spark, sf_dir, tmp_path):
+    """Streaming twin of the reference load(): stream the events file,
+    foreachBatch-append every micro-batch to embedded Derby through the
+    SAME batch writer (write_jdbc), availableNow. Row count and a value
+    aggregate must survive the trip."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from angelo_bravo_etl_task_spark.streaming.sinks import stream_to_jdbc
+    from angelo_bravo_etl_task_spark.streaming.windows import (
+        stream_events_raw,
+        stream_partitions,
+    )
+
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    try:
+        spark._jvm.java.lang.Class.forName(driver)
+    except Exception:
+        _pytest.skip("Derby driver not on the Spark classpath")
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+
+    with stream_partitions(spark):
+        stream = stream_events_raw(spark, sf_dir).select(
+            "event_id", "event_type", "value"
+        )
+        stream_to_jdbc(
+            stream,
+            url,
+            "EVENTS_SINK",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            num_partitions=2,
+            driver=driver,
+        )
+
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "EVENTS_SINK")
+        .option("driver", driver)
+        .load()
+    )
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert back.count() == src.count()
+    got = back.agg(F.sum(F.col("VALUE").cast("decimal(18,6)"))).collect()[0][0]
+    want = src.agg(F.sum(F.col("value").cast("decimal(18,6)"))).collect()[0][0]
+    assert got == want
