@@ -95,3 +95,44 @@ def approx_distinct(
 def exact_distinct_count(df: DataFrame, cols: Sequence[str], alias: str = "cnt") -> DataFrame:
     """Exact COUNT(DISTINCT cols...): expands to a two-stage aggregate."""
     return df.agg(F.count_distinct(*[F.col(c) for c in cols]).alias(alias))
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    qs: Sequence[float],
+) -> DataFrame:
+    """Exact discrete multi-quantile per group, TWO-PASS: group-count to a
+    small (group, value, count) frame, cumulative window over THAT, then
+    the smallest value whose cumulative rank reaches ceil(q*n). The
+    windows only ever see the aggregated frame — never a low-cardinality
+    window over the raw table (SCALE.md finding 5). Output columns:
+    group_cols + (q, quantile_value). The definition (min v with
+    rank >= ceil(q*n)) is engine-neutral — no builtin interpolation
+    flavor to match."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    gc = df.groupBy(*group_cols, F.col(value_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    cum = gc.select(
+        *group_cols,
+        "_v",
+        F.sum("_c").over(w_cum).alias("_cum"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+    q_frame = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    return (
+        cum.crossJoin(F.broadcast(q_frame))
+        .where(F.col("_cum") >= F.ceil(F.col("q") * F.col("_n")))
+        .groupBy(*group_cols, "q")
+        .agg(F.min("_v").alias("quantile_value"))
+    )

@@ -104,21 +104,19 @@ def transform_loinc_to_i2b2(
     # loinc_path_dict / loinc_codetext_dict (reference :163,:166). The
     # reference keys the path dict by merged LOINC_NUM, which equals CODE on
     # the join matches, so a single dedup serves both.
-    # Eagerly checkpointed: hier_last feeds up to three places (the base
-    # join, and in spec mode the per-segment name map) — without
-    # materialization each use re-derives the last-wins window from the
-    # raw hierarchy (the plan tripled the subtree, ~12 exchanges at px1).
-    # The frame is dimension-sized by definition (it broadcasts), so the
-    # checkpoint is cheap at any scale.
-    hier_last = (
-        last_wins(
-            hierarchy.select("CODE", "CODE_TEXT", "PATH_TO_ROOT", ord_col),
-            ["CODE"],
-            ord_col,
-        )
-        .drop(ord_col)
-        .localCheckpoint(eager=True)
-    )
+    # hier_last feeds up to three places (the base join, and in spec mode
+    # the per-segment name map); Catalyst's tree-shaped plan re-derives
+    # the window subtree per use. That re-derivation is two extra
+    # dimension-sized window shuffles — measurably cheaper than an eager
+    # localCheckpoint here (A/B at sf0.1: materialization costs ~1 s cold
+    # and breaks the transform's one-lazy-plan property; the recompute is
+    # noise next to the fact side at any scale, since the hierarchy is a
+    # dimension by definition).
+    hier_last = last_wins(
+        hierarchy.select("CODE", "CODE_TEXT", "PATH_TO_ROOT", ord_col),
+        ["CODE"],
+        ord_col,
+    ).drop(ord_col)
 
     # parent_count_dict (:173): children per IMMEDIATE_PARENT.
     parent_counts = hierarchy.groupBy("IMMEDIATE_PARENT").agg(

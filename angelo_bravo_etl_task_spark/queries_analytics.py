@@ -767,29 +767,14 @@ def qt1_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in both engines (smallest v with rank >= ceil(q*n)), so
     parity doesn't hinge on matching builtin interpolation flavors.
     ceil(q*n) is exact: q has an exact binary representation and n < 2^50.
-    The 100 TB path for loose accuracy is qt2's sketch."""
+    The 100 TB path for loose accuracy is qt2's sketch. Core factored as
+    operators/agg.py::exact_quantiles (property-tested against the naive
+    sorted-list definition)."""
+    from .operators.agg import exact_quantiles
+
     li = _t(spark, sf_dir, "lineitem")
-    gc = li.groupBy(
-        "l_returnflag", F.col("l_quantity").alias("v")
-    ).agg(F.count(F.lit(1)).alias("c"))
-    w_cum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("v")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy("l_returnflag")
-    cum = gc.select(
-        "l_returnflag",
-        "v",
-        F.sum("c").over(w_cum).alias("cum"),
-        F.sum("c").over(w_all).alias("n"),
-    )
-    qs = spark.createDataFrame([(0.25,), (0.5,), (0.75,)], "q double")
-    return (
-        cum.crossJoin(F.broadcast(qs))
-        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
-        .groupBy("l_returnflag", "q")
-        .agg(F.min("v").alias("quantile_value"))
+    return exact_quantiles(
+        li, "l_quantity", ["l_returnflag"], (0.25, 0.5, 0.75)
     )
 
 

@@ -78,3 +78,69 @@ def test_path_reassembly(spark, codes, leaf):
     assert r["parent"] + "\\" + r["leaf_seg"] == full
     # depth of materialized path = segments + 2 root segments
     assert full.count("\\") == (len(codes) + 1) + 2
+
+
+# --------------------------------------------------------------------------
+# Round-3 operator properties: quantile definition, partial-agg merge algebra
+
+
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=25),
+    q=st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9, 1.0]),
+)
+@settings(**PROP_SETTINGS)
+def test_exact_quantile_matches_sorted_list_definition(spark, vals, q):
+    """The two-pass windowed implementation must equal the naive sorted-
+    list definition: smallest v with |{x <= v}| >= ceil(q*n)."""
+    import math
+
+    from angelo_bravo_etl_task_spark.operators.agg import exact_quantiles
+
+    df = spark.createDataFrame([(0, float(v)) for v in vals], "g INT, v DOUBLE")
+    got = {
+        r["q"]: r["quantile_value"]
+        for r in exact_quantiles(df, "v", ["g"], [q]).collect()
+    }
+    s = sorted(vals)
+    want = float(s[math.ceil(q * len(s)) - 1])
+    assert got[q] == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**PROP_SETTINGS)
+def test_partial_aggregate_merge_identity(spark, rows):
+    """The algebra behind mv1's incremental refresh: merging the partial
+    aggregate states of ANY disjoint split (counts add, exact decimal sums
+    add) equals the full aggregate. Holds because decimal addition is
+    associative/commutative; double sums would not satisfy this bit-for-bit."""
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], "k INT, v INT, i INT"
+    )
+
+    def agg(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+        )
+
+    full = {r["k"]: (r["n"], r["s"]) for r in agg(df).collect()}
+    a, b = agg(df.where(F.col("i") % 2 == 0)), agg(df.where(F.col("i") % 2 == 1))
+    zn = F.lit(0).cast("long")
+    zs = F.lit(0).cast("decimal(18,2)")
+    merged = (
+        a.alias("a")
+        .join(b.alias("b"), "k", "full")
+        .select(
+            "k",
+            (F.coalesce(F.col("a.n"), zn) + F.coalesce(F.col("b.n"), zn)).alias("n"),
+            (F.coalesce(F.col("a.s"), zs) + F.coalesce(F.col("b.s"), zs)).alias("s"),
+        )
+    )
+    got = {r["k"]: (r["n"], r["s"]) for r in merged.collect()}
+    assert got == full
