@@ -1078,6 +1078,7 @@ _CHECK_FIRST: list[str] = [
     "qt1_exact_quantiles",
     "qt2_approx_quantiles",
     "src3_schema_evolution",
+    "e7_stream_filter_dedup",
     # the five rows-only-by-design (driver records a rows-only row):
     "d3_minhash_lsh",
     "d4_simhash",

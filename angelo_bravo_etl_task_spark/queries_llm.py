@@ -271,3 +271,45 @@ def e6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "minute"
         )
         return run_available_now(deduped, sink, timeout=120)
+
+
+_E7_RUN_SEQ = [0]
+
+
+@_register(
+    "e7_stream_filter_dedup",
+    """
+    SELECT DISTINCT event_type, date_trunc('minute', ts) AS minute
+    FROM events
+    WHERE value >= 50.0 AND event_type <> 'error'
+    """,
+)
+def e7_stream_filter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest COMPOSITION — the minimal continuous LLM-data
+    intake: a quality gate (predicate filter, evaluated before any state
+    is created, so rejected events never touch the dedup store) feeding
+    stateful exact dedup (dropDuplicatesWithinWatermark), one streaming
+    pass. e6 proves the dedup operator alone; this proves operators
+    COMPOSE in a single streaming query with state still bounded by the
+    watermark. Oracle: the equivalent batch filter + DISTINCT (single-
+    batch invariant per stream_events_raw)."""
+    from .streaming.windows import (
+        run_available_now,
+        stream_events_raw,
+        stream_partitions,
+        streaming_dedup,
+    )
+
+    _E7_RUN_SEQ[0] += 1
+    sink = f"e7_fd_sink_{_E7_RUN_SEQ[0]}"
+    with stream_partitions(spark):
+        stream = stream_events_raw(spark, sf_dir, watermark="30 minutes")
+        gated = stream.where(
+            (F.col("value") >= 50.0) & (F.col("event_type") != "error")
+        ).select(
+            "event_type", F.date_trunc("minute", "ts").alias("minute"), "ts"
+        )
+        deduped = streaming_dedup(gated, keys=("event_type", "minute")).select(
+            "event_type", "minute"
+        )
+        return run_available_now(deduped, sink, timeout=120)
