@@ -1079,6 +1079,8 @@ _CHECK_FIRST: list[str] = [
     "qt2_approx_quantiles",
     "src3_schema_evolution",
     "e7_stream_filter_dedup",
+    "w8_cumulative_distinct",
+    "hh1_heavy_hitters",
     # the five rows-only-by-design (driver records a rows-only row):
     "d3_minhash_lsh",
     "d4_simhash",

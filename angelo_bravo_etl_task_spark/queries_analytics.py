@@ -791,3 +791,100 @@ def qt2_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
         ).alias("approx_quantiles")
     )
+
+
+# =========================================================================
+# w8: cumulative distinct count over time (the linear trick)
+# =========================================================================
+
+_W8_SQL = """
+WITH days AS (
+  SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders
+), firsts AS (
+  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_day
+  FROM orders GROUP BY 1
+), news AS (
+  SELECT first_day, COUNT(*) AS n_new FROM firsts GROUP BY 1
+)
+SELECT d.day,
+       CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY d.day) AS BIGINT)
+         AS cum_distinct_customers
+FROM days d LEFT JOIN news n ON d.day = n.first_day
+"""
+
+
+@_register("w8_cumulative_distinct", _W8_SQL)
+def w8_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct customers by day — the classic trap query. The
+    naive form (COUNT(DISTINCT) over an expanding window) re-scans every
+    prefix: quadratic, and Spark refuses DISTINCT windows anyway. The
+    linear identity: an entity joins the distinct set exactly once, on its
+    FIRST day — so aggregate min(day) per entity, count arrivals per day,
+    and run ONE cumulative sum over the day spine. Every step is a
+    map-side-combinable aggregate; the only window is over the tiny
+    per-day frame (global ordering over |days| rows, fine; SCALE.md
+    finding 5 applies to fact-sized frames, not spines)."""
+    o = _t(spark, sf_dir, "orders")
+    day = F.to_date("o_orderdate")
+    days = o.select(day.alias("day")).distinct()
+    news = (
+        o.groupBy("o_custkey")
+        .agg(F.min(day).alias("first_day"))
+        .groupBy("first_day")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(news, days["day"] == news["first_day"], "left")
+        .select("day", F.coalesce("n_new", F.lit(0)).alias("_n"))
+        .select(
+            "day", F.sum("_n").over(w).alias("cum_distinct_customers")
+        )
+    )
+
+
+# =========================================================================
+# hh1: exact heavy hitters (frequent terms)
+# =========================================================================
+
+_HH1_SQL = r"""
+WITH doc_terms AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+                            t -> LENGTH(t) > 0)) AS term
+  FROM documents
+), df AS (
+  SELECT term, COUNT(*) AS doc_freq FROM doc_terms GROUP BY term
+), tot AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+)
+SELECT term, doc_freq
+FROM df, tot WHERE doc_freq * 20 > n_docs
+"""
+
+
+@_register("hh1_heavy_hitters", _HH1_SQL)
+def hh1_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: terms present in more than 1/20 of documents.
+    Per-doc distinct terms BEFORE the explode-count (array_distinct is a
+    per-row map, so a term spamming one doc can't inflate its document
+    frequency — and the shuffle carries one row per (doc, term), not per
+    occurrence). The threshold compare stays in integers (doc_freq*20 >
+    n_docs): no float ratio to disagree on. The sketch path at 100 TB is
+    count-min/space-saving; this exact form IS scale-correct for DF-style
+    heavy hitters because the (doc, term) dedup bounds the key space."""
+    from .operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    doc_terms = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
+    )
+    df_counts = doc_terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        df_counts.crossJoin(F.broadcast(n_docs))
+        .where(F.col("doc_freq") * 20 > F.col("n_docs"))
+        .select("term", "doc_freq")
+    )
