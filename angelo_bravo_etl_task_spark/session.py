@@ -43,9 +43,15 @@ _ENGINE_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
     "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
-    # TIMESTAMP(NANOS) parquet columns (the events table) surface as raw
-    # nanosecond longs; readers convert to microsecond timestamps explicitly.
+    # TIMESTAMP(NANOS) parquet columns (the events table, some driver data
+    # generations) surface as raw nanosecond longs; readers convert to
+    # microsecond timestamps explicitly.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Naive (isAdjustedToUTC=false) parquet timestamps — the current driver
+    # data generation — read as TIMESTAMP, not TIMESTAMP_NTZ, so the whole
+    # function surface (unix_micros, window, watermarks) applies uniformly;
+    # with the UTC session zone the instants equal DuckDB's naive values.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

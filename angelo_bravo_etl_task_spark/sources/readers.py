@@ -41,15 +41,30 @@ def read_parquet(
     return reader.parquet(path)
 
 
+def parquet_ts_unit(path: str, field: str = "ts") -> str | None:
+    """Physical timestamp unit ('ns'/'us'/'ms') of ``field`` in a parquet
+    file's footer, or None if the field isn't a timestamp. Footer-only read —
+    no data pages touched. The driver has shipped ``events.ts`` both as
+    TIMESTAMP(NANOS) (which Spark's parquet reader can't map to
+    TimestampType) and as plain TIMESTAMP(MICROS); readers must adapt to
+    the file in front of them rather than bake in either generation."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(path).field(field).type
+    return getattr(t, "unit", None)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md) by name.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    does not map to TimestampType — read it as raw nanos (long) and truncate
-    to microseconds (exactly what DuckDB's ns→us conversion does).
+    ``events.ts`` is read per its physical unit: TIMESTAMP(NANOS) files are
+    scanned as raw nanos (long) and truncated to microseconds (exactly what
+    DuckDB's ns→us conversion does); micro/millisecond files read directly
+    under the declared TimestampType schema (naive values; the session runs
+    UTC so instants equal DuckDB's naive comparison).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    if name == "events" and parquet_ts_unit(path) == "ns":
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType, StructField, StructType
 

@@ -131,10 +131,12 @@ def stream_events_raw(
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """readStream directly over the driver's original ``events.parquet`` —
-    no staging rewrite. The file stores TIMESTAMP(NANOS), which Spark's
-    reader won't map to TimestampType, so the stream schema reads ``ts`` as
-    raw nanos (long) and truncates to microseconds in-stream (identical to
-    ``sources/readers.load_table``).
+    no staging rewrite. ``ts`` is read per the file's physical unit
+    (footer-inspected, as in ``sources/readers.load_table``): a
+    TIMESTAMP(NANOS) file — which Spark's reader won't map to
+    TimestampType — streams as raw nanos (long) truncated to microseconds
+    in-stream; micro/millisecond files stream under the declared
+    TimestampType schema directly.
 
     SINGLE-BATCH INVARIANT for batch-oracle parity: the source is one
     parquet file and no ``maxFilesPerTrigger`` is set, so an availableNow
@@ -150,12 +152,8 @@ def stream_events_raw(
 
     from pyspark.sql.types import LongType, StructField, StructType
 
-    schema = StructType(
-        [
-            StructField(f.name, LongType() if f.name == "ts" else f.dataType)
-            for f in TESTDATA_SCHEMAS["events"].fields
-        ]
-    )
+    from ..sources.readers import parquet_ts_unit
+
     # the file-stream source requires a DIRECTORY base path — point at the
     # sf dir and glob-filter to the events file
     matches = [
@@ -169,16 +167,31 @@ def stream_events_raw(
             f"{sf_dir} (single-batch invariant for batch-oracle parity); "
             f"found {matches or 'none'}"
         )
+    nanos = (
+        parquet_ts_unit(os.path.join(sf_dir, "events.parquet")) == "ns"
+    )
+    schema = (
+        StructType(
+            [
+                StructField(
+                    f.name, LongType() if f.name == "ts" else f.dataType
+                )
+                for f in TESTDATA_SCHEMAS["events"].fields
+            ]
+        )
+        if nanos
+        else TESTDATA_SCHEMAS["events"]
+    )
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return (
-        raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select(*[f.name for f in TESTDATA_SCHEMAS["events"].fields])
-        .withWatermark("ts", watermark)
-    )
+    if nanos:
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ).select(*[f.name for f in TESTDATA_SCHEMAS["events"].fields])
+    return raw.withWatermark("ts", watermark)
 
 
 def tumbling_window_agg(
