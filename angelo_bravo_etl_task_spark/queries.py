@@ -1081,7 +1081,12 @@ _CHECK_FIRST: list[str] = [
     "e7_stream_filter_dedup",
     "w8_cumulative_distinct",
     "hh1_heavy_hitters",
-    # the five rows-only-by-design (driver records a rows-only row):
+    "u5_grouped_agg_udf",
+    "pk1_sequence_packing",
+    "sm2_mixture_resample",
+    "bk2_bucketed_agg",
+    # rows-only-by-design (driver records a rows-only row):
+    "hh2_heavy_hitters_sketch",
     "d3_minhash_lsh",
     "d4_simhash",
     "x2_lsh_topk",

@@ -888,3 +888,37 @@ def hh1_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_freq") * 20 > F.col("n_docs"))
         .select("term", "doc_freq")
     )
+
+
+# =========================================================================
+# hh2: approximate heavy hitters — the sketch path hh1's docstring promises
+# =========================================================================
+
+
+@_register("hh2_heavy_hitters_sketch", None)
+def hh2_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k terms via ``approx_top_k`` — the fixed-memory
+    sketch path for heavy hitters at 100 TB, where hh1's exact (doc, term)
+    group-by key space stops being cheap. One partial-aggregable sketch per
+    partition, merged on the driver-free combine path; memory is
+    O(maxItemsTracked) regardless of input rows. Same input frame as hh1
+    (per-doc DISTINCT terms before the count, so spam within one doc can't
+    inflate document frequency), so the unit test can tie the sketch's
+    estimates to hh1's exact doc_freq: with maxItemsTracked above the
+    distinct-term count the sketch is exact; under pressure it degrades to
+    an estimate. No DuckDB oracle — the sketch API is engine-specific
+    (rows-only driver row; the estimate-vs-exact bound lives in
+    tests/test_analytics.py)."""
+    from .operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    doc_terms = d.select(
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
+    )
+    sketch = doc_terms.agg(
+        F.expr("approx_top_k(term, 20, 100000)").alias("top")
+    )
+    return sketch.select(F.explode("top").alias("hit")).select(
+        F.col("hit.item").alias("term"),
+        F.col("hit.count").alias("est_doc_freq"),
+    )

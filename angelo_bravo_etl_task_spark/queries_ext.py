@@ -750,6 +750,41 @@ def u3_row_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "u5_grouped_agg_udf",
+    """
+    SELECT event_type,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user,
+           CAST(MAX(event_id) - MIN(event_id) AS BIGINT) AS id_span
+    FROM events GROUP BY event_type
+    """,
+)
+def u5_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-AGGREGATE pandas UDF (Series -> scalar) — the vectorized
+    custom-aggregation surface, completing the UDF family (u1 scalar
+    pandas, u2 grouped-map, u3 row, u4 UDTF). Each group's column arrives
+    as one Arrow-backed Series; the UDAF returns one scalar. Unlike u2's
+    grouped-map (whole group as a DataFrame, output schema free-form),
+    grouped-agg composes INSIDE a normal ``agg()`` next to built-ins and
+    supports partial-less one-pass evaluation. Integer reductions only —
+    exact, so the SQL oracle matches bit-for-bit; float UDAFs would be
+    order-sensitive."""
+
+    @F.pandas_udf("bigint")
+    def sum_user(u: pd.Series) -> int:
+        return int(u.sum())
+
+    @F.pandas_udf("bigint")
+    def id_span(i: pd.Series) -> int:
+        return int(i.max() - i.min())
+
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        sum_user(F.col("user_id")).alias("sum_user"),
+        id_span(F.col("event_id")).alias("id_span"),
+    )
+
+
+@_register(
     "x5_cluster_centroids",
     """
     SELECT vec_id % 8 AS cluster, ord - 1 AS pos, COUNT(*) AS n,

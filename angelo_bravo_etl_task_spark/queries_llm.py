@@ -25,7 +25,7 @@ operations a 100 TB pre-training corpus pass needs:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import text as TX
@@ -313,3 +313,124 @@ def e7_stream_filter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "minute"
         )
         return run_available_now(deduped, sink, timeout=120)
+
+
+# =========================================================================
+# pk1: sequence packing — documents into fixed-token-budget training rows
+# =========================================================================
+
+_PK1_BUDGET = 256
+
+_PK1_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         LENGTH(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+                            t -> LENGTH(t) > 0)) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_tok
+  FROM toks
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       start_tok // {_PK1_BUDGET} AS seq_id,
+       start_tok % {_PK1_BUDGET} AS seq_offset
+FROM packed
+"""
+
+
+@_register("pk1_sequence_packing", _PK1_SQL)
+def pk1_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the training-data step that concatenates documents
+    into fixed-token-budget rows (_PK1_BUDGET = 256 tokens): each doc gets
+    the (sequence id, offset) where its tokens start in the packed stream,
+    exactly the concat-then-chunk packing LLM loaders use (docs may straddle
+    a boundary; the loader splits them). The assignment is a pure prefix-sum:
+    ONE window (cumulative tokens over doc_id order per source shard) and
+    two integer ops — no greedy bin-packing loop, no driver state. At 100 TB
+    the partition key is the shard (source); each shard's prefix sum is an
+    independent sort, and the global op is one shuffle. Deterministic by
+    construction (doc_id is a total order within shard), so the SQL mirror
+    is exact."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    prev = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(prev), F.lit(0).cast("long"))
+    return toks.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(start / F.lit(_PK1_BUDGET)).alias("seq_id"),
+        (start % F.lit(_PK1_BUDGET)).alias("seq_offset"),
+    )
+
+
+# =========================================================================
+# sm2: data-mixture resampling — per-language hash sampling to target
+# weights
+# =========================================================================
+
+# (lang, hex-threshold of the first 4 md5 nibbles): en kept at 14/16,
+# de 8/16, fr 4/16, everything else 2/16 — the "upsample head language,
+# downsample tail" mixture every pretraining corpus spec encodes.
+_SM2_THRESHOLDS = [("en", "e000"), ("de", "8000"), ("fr", "4000")]
+_SM2_DEFAULT = "2000"
+
+_SM2_SQL = f"""
+WITH keyed AS (
+  SELECT lang, n_chars,
+         substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 4) AS bucket
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM keyed
+WHERE {" OR ".join(f"(lang = '{lang}' AND bucket < '{thr}')" for lang, thr in _SM2_THRESHOLDS)}
+   OR (lang NOT IN ({", ".join(f"'{lang}'" for lang, _ in _SM2_THRESHOLDS)})
+       AND bucket < '{_SM2_DEFAULT}')
+GROUP BY lang
+"""
+
+
+@_register("sm2_mixture_resample", _SM2_SQL)
+def sm2_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture resampling: sample each language stratum at its target
+    weight with a DETERMINISTIC hash predicate — md5(doc_id || ':mix')
+    prefix compared against a per-stratum hex threshold (en 87.5%, de 50%,
+    fr 25%, tail langs 12.5%). Same engine-portable idiom as sm1: the
+    decision is a pure function of the row key, so reruns, retries, and
+    other engines (the oracle) select the IDENTICAL row set — no RNG state,
+    no sampling seed to ship. At 100 TB this is a narrow filter fused into
+    the scan (no shuffle before the per-lang rollup), and changing the
+    mixture is a threshold-table edit, not a re-shard. The ':mix' salt
+    decorrelates this sample from any other hash-sample of the same keys
+    (sm1, px2's split)."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))), 1, 4
+    )
+    keep = F.lit(False)
+    seen = []
+    for lang, thr in _SM2_THRESHOLDS:
+        keep = keep | ((F.col("lang") == lang) & (bucket < thr))
+        seen.append(lang)
+    keep = keep | (~F.col("lang").isin(seen) & (bucket < _SM2_DEFAULT))
+    return (
+        d.where(keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )

@@ -407,3 +407,44 @@ def src3_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = spark.read.option("mergeSchema", "true").parquet(base)
     return merged.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@_register(
+    "bk2_bucketed_agg",
+    """
+    SELECT l_orderkey, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def bk2_bucketed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation on a bucketed table with ZERO exchange — bk1's layout
+    amortization applied to group-bys: the table is bucketed on the grouping
+    key, so the scan's hash distribution already satisfies the aggregate's
+    required clustering and Spark plans a single full HashAggregate with NO
+    shuffle (plan-asserted). At 100 TB this is the difference between a
+    full-data exchange per rollup and none at all for every aggregate keyed
+    on the bucket column — the write-once shuffle pays for reads forever.
+    The oracle aggregates the ORIGINAL parquet, so the bucketed round-trip
+    is value-checked too."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tbl = f"bk2_lineitem_{tag}"
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    (
+        li.write.mode("overwrite")
+        .option("path", os.path.join(_SCRATCH, tbl))
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .format("parquet")
+        .saveAsTable(tbl)
+    )
+    return (
+        spark.table(tbl)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )

@@ -170,3 +170,84 @@ def test_qt2_sketch_within_accuracy_of_qt1_exact(spark, sf_dir):
         for q, got in zip((0.25, 0.5, 0.75), r["approx_quantiles"]):
             want = exact[(r["l_returnflag"], q)]
             assert abs(got - want) <= 1.0, (r["l_returnflag"], q, got, want)
+
+
+def test_hh2_sketch_matches_exact_under_capacity(spark, sf_dir):
+    """maxItemsTracked (100k) exceeds the distinct-term count at test SFs,
+    so the approx_top_k estimates must EQUAL hh1-style exact document
+    frequencies, and the returned k terms must be the true top-k set."""
+    from pyspark.sql import functions as F
+
+    from angelo_bravo_etl_task_spark.operators.text import tokens
+    from angelo_bravo_etl_task_spark.sources.readers import load_table
+
+    est = {
+        r.term: r.est_doc_freq
+        for r in _run(spark, sf_dir, "hh2_heavy_hitters_sketch").collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    exact = {
+        r.term: r.doc_freq
+        for r in d.select(
+            F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .collect()
+    }
+    assert len(est) == 20
+    for term, e in est.items():
+        assert exact[term] == e, f"{term}: sketch {e} != exact {exact[term]}"
+    kth = sorted(est.values())[0]
+    missed = {
+        t for t, c in exact.items() if c > kth and t not in est
+    }
+    assert not missed, f"true heavy hitters missing from sketch top-k: {missed}"
+
+
+def test_pk1_packing_is_dense_and_in_budget(spark, sf_dir):
+    """Offsets stay inside the budget, sequences within a source are used
+    densely (no skipped seq ids), and each doc's start equals the running
+    token total of all earlier docs in its shard."""
+    from angelo_bravo_etl_task_spark.queries_llm import _PK1_BUDGET
+
+    rows = _run(spark, sf_dir, "pk1_sequence_packing").collect()
+    assert rows
+    by_src: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r.seq_offset < _PK1_BUDGET
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.doc_id)
+        total = 0
+        for r in rs:
+            assert r.seq_id == total // _PK1_BUDGET
+            assert r.seq_offset == total % _PK1_BUDGET
+            total += r.n_tokens
+        seqs = sorted({r.seq_id for r in rs})
+        assert seqs == list(range(seqs[-1] + 1)), f"gap in seq ids for {src}"
+
+
+def test_sm2_mixture_tracks_target_weights(spark, sf_dir):
+    """Kept fraction per language lands near its threshold weight (md5 is
+    uniform; tolerance generous at small SF) and the sample is a subset of
+    the stratum."""
+    from angelo_bravo_etl_task_spark.sources.readers import load_table
+
+    kept = {
+        r.lang: r.n_kept for r in _run(spark, sf_dir, "sm2_mixture_resample").collect()
+    }
+    totals = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    weights = {"en": 0.875, "de": 0.5, "fr": 0.25}
+    for lang, n in kept.items():
+        w = weights.get(lang, 0.125)
+        frac = n / totals[lang]
+        assert 0 < n <= totals[lang]
+        assert abs(frac - w) < 0.35, f"{lang}: kept {frac:.2f}, target {w}"

@@ -162,3 +162,14 @@ def test_px1_joins_broadcast_except_fact_regroup(spark, sf_dir):
     assert plan.count("SortMergeJoin") == 1
     assert plan.count("BroadcastHashJoin") >= 3
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bk2_bucketed_agg_has_no_exchange(spark, sf_dir):
+    """The table is bucketed on the grouping key: the scan's hash
+    distribution satisfies the aggregate's required clustering, so the
+    whole plan runs shuffle-free — no Exchange anywhere."""
+    df = QUERIES["bk2_bucketed_agg"][0](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "HashAggregate" in plan
+    assert "Exchange" not in plan, "bucketed aggregate still shuffles:\n" + plan
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
