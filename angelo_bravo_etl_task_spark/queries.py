@@ -1085,8 +1085,10 @@ _CHECK_FIRST: list[str] = [
     "pk1_sequence_packing",
     "sm2_mixture_resample",
     "bk2_bucketed_agg",
+    "x6_nearest_centroid",
     # rows-only-by-design (driver records a rows-only row):
     "hh2_heavy_hitters_sketch",
+    "a4_hll_rollup",
     "d3_minhash_lsh",
     "d4_simhash",
     "x2_lsh_topk",

