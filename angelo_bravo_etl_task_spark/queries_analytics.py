@@ -922,3 +922,191 @@ def hh2_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hit.item").alias("term"),
         F.col("hit.count").alias("est_doc_freq"),
     )
+
+
+# =========================================================================
+# cdc1: snapshot diff / change-data-capture classification
+# =========================================================================
+
+_CDC1_SQL = """
+WITH base AS (
+  SELECT o_orderkey,
+         o_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 7 <> 0
+), curr AS (
+  SELECT o_orderkey,
+         o_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           + CASE WHEN o_orderkey % 3 = 0 THEN 100 ELSE 0 END AS price_c
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+       CASE WHEN b.o_orderkey IS NULL THEN 'I'
+            WHEN c.o_orderkey IS NULL THEN 'D'
+            ELSE 'U' END AS change_type,
+       b.price_c AS old_price_c,
+       c.price_c AS new_price_c
+FROM base b FULL OUTER JOIN curr c ON b.o_orderkey = c.o_orderkey
+WHERE b.o_orderkey IS NULL
+   OR c.o_orderkey IS NULL
+   OR b.price_c <> c.price_c
+   OR b.o_custkey <> c.o_custkey
+"""
+
+
+@_register("cdc1_snapshot_diff", _CDC1_SQL)
+def cdc1_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture by snapshot diff: two versions of the orders
+    table (synthesized deterministically: the current snapshot drops keys
+    divisible by 5, adds keys divisible by 7, and bumps prices on keys
+    divisible by 3) are full-outer joined on the primary key and each key
+    classified Insert / Delete / Update; unchanged rows are filtered out
+    before they ever leave the join. One shuffle on the key — and at 100 TB
+    both snapshots would be bucketed on the PK (bk1's layout), making the
+    diff exchange-free. Prices are compared in integer cents, so the change
+    predicate is exact on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    price_c = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    base = o.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_custkey", price_c.alias("price_c")
+    )
+    curr = o.where(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (
+            price_c
+            + F.when(F.col("o_orderkey") % 3 == 0, F.lit(100)).otherwise(0)
+        ).alias("price_c"),
+    )
+    b, c = base.alias("b"), curr.alias("c")
+    j = b.join(c, F.col("b.o_orderkey") == F.col("c.o_orderkey"), "full_outer")
+    changed = j.where(
+        F.col("b.o_orderkey").isNull()
+        | F.col("c.o_orderkey").isNull()
+        | (F.col("b.price_c") != F.col("c.price_c"))
+        | (F.col("b.o_custkey") != F.col("c.o_custkey"))
+    )
+    return changed.select(
+        F.coalesce(F.col("b.o_orderkey"), F.col("c.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        F.when(F.col("b.o_orderkey").isNull(), "I")
+        .when(F.col("c.o_orderkey").isNull(), "D")
+        .otherwise("U")
+        .alias("change_type"),
+        F.col("b.price_c").alias("old_price_c"),
+        F.col("c.price_c").alias("new_price_c"),
+    )
+
+
+# =========================================================================
+# an1: exact z-score outlier detection (integer arithmetic end to end)
+# =========================================================================
+
+_AN1_SQL = """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+  FROM events
+), g AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(v_c) AS s,
+         SUM(CAST(v_c AS DECIMAL(19,0)) * CAST(v_c AS DECIMAL(19,0))) AS q
+  FROM v GROUP BY event_type
+)
+SELECT v.event_id, v.event_type, v.v_c
+FROM v JOIN g ON v.event_type = g.event_type
+WHERE CAST(v.v_c * g.n - g.s AS DECIMAL(19,0))
+      * CAST(v.v_c * g.n - g.s AS DECIMAL(19,0))
+    > CAST(9 * g.n AS DECIMAL(19,0)) * CAST(g.q AS DECIMAL(19,0))
+      - CAST(3 * g.s AS DECIMAL(19,0)) * CAST(3 * g.s AS DECIMAL(19,0))
+"""
+
+
+@_register("an1_exact_outliers", _AN1_SQL)
+def an1_exact_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection with NO floating point: flags
+    events whose value sits more than 3 population standard deviations from
+    their event_type mean. The textbook predicate (v-mu)^2 > 9*sigma^2 is
+    cleared of divisions by multiplying through by n^2:
+
+        (v*n - s)^2  >  9*n*q - (3*s)^2      [s = sum, q = sum of squares]
+
+    computed in integer cents with DECIMAL(38,0) products, so the borderline
+    rows cannot flip between engines the way double sqrt/stddev would.
+    Shape: one partial-aggregable group-by over five groups, broadcast of
+    the five stat rows back onto the scan — a single pass at any scale.
+    (events.value is exponential-ish, so the >3-sigma tail is non-empty.)"""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("v_c"),
+    )
+    g = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_c").alias("s"),
+        F.sum(
+            F.col("v_c").cast("decimal(19,0)") * F.col("v_c").cast("decimal(19,0)")
+        ).alias("q"),
+    )
+    j = v.join(F.broadcast(g), "event_type")
+    dev = (F.col("v_c") * F.col("n") - F.col("s")).cast("decimal(19,0)")
+    lhs = dev * dev
+    rhs = (9 * F.col("n")).cast("decimal(19,0)") * F.col("q").cast(
+        "decimal(19,0)"
+    ) - (3 * F.col("s")).cast("decimal(19,0)") * (3 * F.col("s")).cast(
+        "decimal(19,0)"
+    )
+    return j.where(lhs > rhs).select("event_id", "event_type", "v_c")
+
+
+# =========================================================================
+# hist1: fixed-width numeric histogram (distributive, no data pass on driver)
+# =========================================================================
+
+_HIST1_SQL = """
+WITH c AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+)
+SELECT cents // 5000000 AS bucket,
+       (cents // 5000000) * 50000 AS lo_dollars,
+       COUNT(*) AS n_orders,
+       SUM(cents) AS sum_cents,
+       MIN(cents) AS min_cents,
+       MAX(cents) AS max_cents
+FROM c GROUP BY 1
+"""
+
+
+@_register("hist1_histogram", _HIST1_SQL)
+def hist1_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order values ($50k buckets) as a pure
+    distributive aggregate: bucket id by INTEGER division of cents (never
+    float floor — bin-edge rows cannot migrate between engines), then
+    count/sum/min/max per bucket. One partial-aggregated shuffle of ~10
+    bucket rows regardless of input size; the profile-then-decide step
+    (choosing salt factors, spotting skew, sizing range partitions) runs
+    exactly this shape at 100 TB."""
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    c = o.select(cents.alias("cents"))
+    bucket = F.expr("cents DIV 5000000")
+    return c.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    ).select(
+        "bucket",
+        (F.col("bucket") * 50000).alias("lo_dollars"),
+        "n_orders",
+        "sum_cents",
+        "min_cents",
+        "max_cents",
+    )

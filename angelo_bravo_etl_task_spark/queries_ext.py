@@ -962,3 +962,119 @@ def a4_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# =========================================================================
+# mp1: map-typed column round-trip with higher-order map functions
+# =========================================================================
+
+_MP1_SQL = """
+WITH per_line AS (
+  SELECT l_orderkey, l_linenumber,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS qty_c
+  FROM lineitem GROUP BY l_orderkey, l_linenumber
+)
+SELECT l_orderkey, l_linenumber, qty_c
+FROM per_line WHERE qty_c > 2500
+"""
+
+
+@_register("mp1_map_roundtrip", _MP1_SQL)
+def mp1_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per order, fold the lines into a
+    map<linenumber, qty_cents> (map_from_entries over collect_list), prune
+    entries with the higher-order map_filter (qty > 25.00), then explode
+    the map back to rows. The oracle is the equivalent flat filter — so
+    the check proves the map construction/filter/explosion round-trip
+    loses nothing and that map content is insensitive to collect_list's
+    nondeterministic order. Maps ride the Tungsten format end to end; the
+    only exchange is the groupBy on the (high-cardinality) order key."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty_c = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint")
+    # line numbers repeat within an order in the synthetic data; map keys
+    # must be unique, so aggregate per (order, line) first
+    per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.sum(qty_c).alias("qty_c")
+    )
+    per_order = per_line.select(
+        "l_orderkey", F.struct(F.col("l_linenumber"), F.col("qty_c")).alias("e")
+    ).groupBy("l_orderkey").agg(
+        F.map_from_entries(F.collect_list("e")).alias("m")
+    )
+    pruned = per_order.select(
+        "l_orderkey",
+        F.map_filter("m", lambda k, v: v > 2500).alias("m"),
+    )
+    return pruned.select(
+        "l_orderkey", F.explode("m").alias("l_linenumber", "qty_c")
+    )
+
+
+# =========================================================================
+# u6: cogrouped applyInPandas — the last row of the UDF surface
+# =========================================================================
+
+_U6_SQL = """
+SELECT o.o_orderkey,
+       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+       COUNT(l.l_orderkey) AS n_lines,
+       COALESCE(SUM(CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)), 0)
+         AS sum_qty_c
+FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey % 10 = 0
+GROUP BY o.o_orderkey, price_c
+"""
+
+
+@_register("u6_cogrouped_udf", _U6_SQL)
+def u6_cogrouped_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped pandas UDF (groupby().cogroup().applyInPandas): orders and
+    lineitem are co-partitioned by order key and each key's TWO pandas
+    frames arrive in one Python call — the Arrow-batched escape hatch for
+    per-key logic that genuinely needs both sides materialized (custom
+    reconciliation, per-entity model scoring). Here it computes a per-order
+    left-join aggregate in pandas, integer cents throughout, so the SQL
+    oracle can verify it exactly. Cost shape: one co-partitioning shuffle
+    per side (same as the equivalent join) plus the Arrow hop; the hot-path
+    rule still stands — use joins unless the per-key logic is imperative."""
+    import pandas as pd
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("price_c"),
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("qty_c"),
+    )
+
+    def merge(odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        if odf.empty:  # lineitem-only keys (filtered-out orders): emit nothing
+            return pd.DataFrame(
+                columns=["o_orderkey", "price_c", "n_lines", "sum_qty_c"]
+            )
+        return pd.DataFrame(
+            {
+                "o_orderkey": odf["o_orderkey"].iloc[:1],
+                "price_c": odf["price_c"].iloc[:1],
+                "n_lines": [int(len(ldf))],
+                "sum_qty_c": [int(ldf["qty_c"].sum()) if len(ldf) else 0],
+            }
+        )
+
+    return (
+        o.groupby("o_orderkey")
+        .cogroup(li.groupby("l_orderkey"))
+        .applyInPandas(
+            merge,
+            "o_orderkey bigint, price_c bigint, n_lines bigint, sum_qty_c bigint",
+        )
+    )

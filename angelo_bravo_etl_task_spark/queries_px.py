@@ -986,3 +986,92 @@ def d8_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+# =========================================================================
+# pr1: PageRank over the supplier<->part incidence graph (iterative,
+# integer fixed-point — deterministic across engines and partitionings)
+# =========================================================================
+
+_PR1_ITER = """
+  SELECT e.dst AS node,
+         150000 + (85 * SUM(r.rank // d.outdeg)) // 100 AS rank
+  FROM edges e
+  JOIN {prev} r ON e.src = r.node
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+"""
+
+_PR1_SQL = (
+    """
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+), edges AS (
+  SELECT s AS src, 100000 + p AS dst FROM pairs
+  UNION ALL
+  SELECT 100000 + p, s FROM pairs
+), deg AS (
+  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+), r0 AS (
+  SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS rank FROM edges
+), r1 AS ("""
+    + _PR1_ITER.format(prev="r0")
+    + "), r2 AS ("
+    + _PR1_ITER.format(prev="r1")
+    + "), r3 AS ("
+    + _PR1_ITER.format(prev="r2")
+    + """)
+SELECT node, rank FROM r3
+"""
+)
+
+
+@_register("pr1_pagerank", _PR1_SQL)
+def pr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, damping 0.85) over the bipartite
+    supplier<->part graph induced by lineitem, in pure integer fixed-point
+    (rank unit = 1e-6): contribution = rank DIV outdeg, next rank =
+    0.15*SCALE + (85 * sum(contribs)) DIV 100. Integer sums are
+    order-independent, so the result is bit-identical no matter how Spark
+    partitions the edge list — the property double-typed PageRank lacks.
+    Edges are symmetric (both directions of each incidence), so there are
+    no dangling nodes and every node re-receives rank each round.
+
+    Scale shape: the edge list shuffles once to co-partition by src (join
+    with the degree table reuses that partitioning); each iteration is one
+    equi-join plus one partial-aggregated shuffle on dst — the label-
+    propagation shape d6's connected components already proved out, with
+    rank arithmetic instead of min(). The oracle unrolls the same three
+    iterations as nested CTEs."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select("l_suppkey", "l_partkey").distinct()
+    edges = (
+        pairs.select(
+            F.col("l_suppkey").alias("src"),
+            (F.lit(100000) + F.col("l_partkey")).alias("dst"),
+        )
+        .unionAll(
+            pairs.select(
+                (F.lit(100000) + F.col("l_partkey")).alias("src"),
+                F.col("l_suppkey").alias("dst"),
+            )
+        )
+        .localCheckpoint(eager=True)  # one edge materialization, 3 reuses
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edgesd = edges.join(deg, "src")
+    ranks = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.lit(1000000).cast("bigint").alias("rank"))
+    )
+    for _ in range(3):
+        contrib = edgesd.join(
+            ranks, edgesd["src"] == ranks["node"]
+        ).select(F.col("dst"), F.expr("rank DIV outdeg").alias("c"))
+        ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (F.lit(150000) + F.expr("(85 * SUM(c)) DIV 100"))
+            .cast("bigint")
+            .alias("rank")
+        )
+    return ranks
