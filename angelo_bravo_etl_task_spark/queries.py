@@ -1086,6 +1086,17 @@ _CHECK_FIRST: list[str] = [
     "sm2_mixture_resample",
     "bk2_bucketed_agg",
     "x6_nearest_centroid",
+    # new round-3 wave 2:
+    "cdc1_snapshot_diff",
+    "an1_exact_outliers",
+    "hist1_histogram",
+    "pr1_pagerank",
+    "mp1_map_roundtrip",
+    "u6_cogrouped_udf",
+    "e8_stream_static_join",
+    "src4_dynamic_overwrite",
+    "zo1_zorder_scan",
+    "tx9_bigram_novelty",
     # rows-only-by-design (driver records a rows-only row):
     "hh2_heavy_hitters_sketch",
     "a4_hll_rollup",

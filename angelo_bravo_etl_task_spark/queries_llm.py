@@ -434,3 +434,63 @@ def sm2_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("sum_chars"),
         )
     )
+
+
+# =========================================================================
+# tx9: bigram novelty — corpus-frequency profile of each document
+# =========================================================================
+
+_TX9_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+                     t -> LENGTH(t) > 0) AS w
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i + 1])) AS g
+    FROM toks WHERE len(w) >= 2
+  )
+), df AS (
+  SELECT g, COUNT(*) AS doc_freq FROM grams GROUP BY g
+)
+SELECT grams.doc_id,
+       COUNT(*) AS n_bigrams,
+       SUM(CASE WHEN df.doc_freq = 1 THEN 1 ELSE 0 END) AS n_unique
+FROM grams JOIN df USING (g)
+GROUP BY grams.doc_id
+"""
+
+
+@_register("tx9_bigram_novelty", _TX9_SQL)
+def tx9_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document novelty profile: per document, the count of distinct word
+    bigrams and how many of them appear NOWHERE else in the corpus
+    (document frequency 1). High-novelty documents carry information no
+    other document has; near-zero novelty marks templated/boilerplate text
+    — a cheap, exact memorization/diversity signal for corpus curation,
+    complementing tx7's within-document repetition. Integer outputs keep
+    the oracle exact. Shape: per-doc dedup inside codegen (array_distinct
+    before explode), then ONE count() window over the bigram column on the
+    single exploded frame (tx5's pattern — rows per gram partition IS the
+    document frequency, because each (doc, gram) appears once), then the
+    per-doc re-aggregation. Two high-cardinality shuffles; at 100 TB, hash
+    the bigram to shrink exchange width."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.word_ngrams(F.col("text"), 2))).alias(
+            "g"
+        ),
+    )
+    with_df = grams.withColumn(
+        "doc_freq", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    return with_df.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.when(F.col("doc_freq") == 1, 1).otherwise(0)).alias(
+            "n_unique"
+        ),
+    )

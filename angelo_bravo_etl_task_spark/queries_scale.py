@@ -448,3 +448,219 @@ def bk2_bucketed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_qty"),
         )
     )
+
+
+# =========================================================================
+# e8: stream-static join — enrich a stream against a batch dimension
+# =========================================================================
+
+_E8_RUN_SEQ = [0]
+
+
+@_register(
+    "e8_stream_static_join",
+    """
+    WITH dim(event_type, category, weight) AS (
+      VALUES ('click', 'engagement', 1), ('view', 'engagement', 2),
+             ('purchase', 'revenue', 5), ('signup', 'growth', 3)
+    ), agg AS (
+      SELECT d.category,
+             time_bucket(INTERVAL '10 minutes', e.ts) AS window_start,
+             COUNT(*) AS n_events,
+             SUM(CAST(e.value AS DECIMAL(18,2)) * d.weight) AS weighted_value
+      FROM events e JOIN dim d ON e.event_type = d.event_type
+      GROUP BY 1, 2
+    ), wm AS (
+      SELECT MAX(ts) - INTERVAL '30 minutes' AS horizon FROM events
+    )
+    SELECT category, window_start, n_events, weighted_value
+    FROM agg, wm
+    WHERE agg.window_start + INTERVAL '10 minutes' <= wm.horizon
+    """,
+)
+def e8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join, the third join mode Structured Streaming offers
+    (e5 covers stream-stream; this is the enrichment pattern: events flow,
+    the dimension sits in batch storage). The static side is tiny so it
+    broadcasts — per micro-batch, a stateless hash probe with NO join
+    state to expire, which is why stream-static inner joins need no
+    watermark on the static side. Downstream the enriched stream feeds a
+    tumbling-window weighted aggregate in append mode, which emits only
+    watermark-finalized windows — the oracle reproduces that cutoff
+    (window_end <= max event time - 30 min), exactly as e3 does. The
+    'error' type is absent from the dim — inner-join semantics drop it,
+    which the oracle mirrors. Weighted sums are exact DECIMAL * integer
+    weight."""
+    from .streaming.windows import (
+        run_available_now,
+        stream_events_raw,
+        stream_partitions,
+    )
+
+    _E8_RUN_SEQ[0] += 1
+    sink = f"e8_enrich_sink_{_E8_RUN_SEQ[0]}"
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement", 1),
+            ("view", "engagement", 2),
+            ("purchase", "revenue", 5),
+            ("signup", "growth", 3),
+        ],
+        "event_type string, category string, weight int",
+    )
+    with stream_partitions(spark):
+        stream = stream_events_raw(spark, sf_dir, watermark="30 minutes")
+        enriched = stream.join(F.broadcast(dim), "event_type").select(
+            "category",
+            "ts",
+            (F.col("value").cast("decimal(18,2)") * F.col("weight")).alias(
+                "wv"
+            ),
+        )
+        agg = (
+            enriched.groupBy(
+                "category", F.window("ts", "10 minutes").alias("w")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("wv").alias("weighted_value"),
+            )
+            .select(
+                "category",
+                F.col("w.start").alias("window_start"),
+                "n_events",
+                "weighted_value",
+            )
+        )
+        return run_available_now(agg, sink, timeout=120)
+
+
+# =========================================================================
+# src4: dynamic partition overwrite — idempotent partition-scoped rewrite
+# =========================================================================
+
+
+@_register(
+    "src4_dynamic_overwrite",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 200 AS BIGINT)
+                    ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               END) AS sum_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def src4_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent-backfill primitive for
+    a partitioned lake: a reprocessed slice replaces ONLY the partitions it
+    contains, never the whole table. Step 1 lands all of orders partitioned
+    by priority; step 2 overwrites just the 1-URGENT partition with
+    reprocessed rows (prices doubled) under
+    ``partitionOverwriteMode=dynamic``; the read-back aggregates the final
+    table. The oracle computes what the table MUST now hold — original
+    rows for untouched partitions, doubled cents for the rewritten one —
+    so both the overwrite scoping (did another partition get clobbered?)
+    and the rewrite content are value-checked. At 100 TB this is the daily
+    backfill: recompute day X, swap exactly day X's directory."""
+    sink = os.path.join(
+        _SCRATCH, "src4_orders_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    base = o.select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+    base.write.mode("overwrite").partitionBy("o_orderpriority").parquet(sink)
+    urgent_redo = base.where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).withColumn("cents", F.col("cents") * 2)
+    (
+        urgent_redo.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderpriority")
+        .parquet(sink)
+    )
+    back = spark.read.parquet(sink)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+# =========================================================================
+# zo1: Z-order (Morton) clustering for multi-column data skipping
+# =========================================================================
+
+
+def _spread_bits(col):
+    """Interleave-ready bit spread: 16-bit int -> 32-bit with zeros between
+    bits (classic Morton dilation, pure Column bit arithmetic)."""
+    x = col.bitwiseAND(F.lit(0xFFFF))
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def zorder_value(a, b):
+    """Morton code of two 16-bit keys — locality on BOTH dimensions."""
+    return _spread_bits(a).bitwiseOR(F.shiftleft(_spread_bits(b), 1))
+
+
+@_register(
+    "zo1_zorder_scan",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS sum_cents
+    FROM lineitem
+    WHERE l_partkey BETWEEN 40 AND 119 AND l_suppkey BETWEEN 2 AND 7
+    GROUP BY l_returnflag
+    """,
+)
+def zo1_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering — multi-column data skipping without partition
+    explosion: lineitem is rewritten range-partitioned AND sorted by the
+    Morton interleave of (l_partkey, l_suppkey), so parquet row-group
+    min/max stats become tight rectangles in BOTH key dimensions and a
+    2-D range predicate prunes most files (single-column sort would only
+    skip on the leading key; partitioning by either key at 100 TB would
+    create millions of directories). The interleave is pure Column bit
+    arithmetic (shiftleft/AND/OR) — no UDF. The query then range-filters
+    the z-ordered copy; the oracle runs the same filter on the ORIGINAL
+    rows, proving the rewrite is content-preserving. File-level skipping
+    is asserted in tests/test_plans.py by reading each file's key ranges."""
+    sink = os.path.join(
+        _SCRATCH, "zo1_lineitem_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    z = li.withColumn(
+        "zval", zorder_value(F.col("l_partkey"), F.col("l_suppkey"))
+    )
+    (
+        z.repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .drop("zval")
+        .write.mode("overwrite")
+        .parquet(sink)
+    )
+    # range chosen to be non-empty at every shipped SF (sf0.001 keys only
+    # reach partkey 199 / suppkey 9)
+    back = spark.read.parquet(sink).where(
+        F.col("l_partkey").between(40, 119)
+        & F.col("l_suppkey").between(2, 7)
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+    )

@@ -173,3 +173,43 @@ def test_bk2_bucketed_agg_has_no_exchange(spark, sf_dir):
     assert "HashAggregate" in plan
     assert "Exchange" not in plan, "bucketed aggregate still shuffles:\n" + plan
     assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
+
+
+def test_zo1_zorder_files_skip_2d_range(spark, sf_dir):
+    """The z-ordered layout must actually cluster BOTH key dimensions:
+    for the 2-D range predicate zo1 runs, the number of files whose
+    (partkey, suppkey) min/max rectangle intersects the query rectangle
+    must be a strict subset of all files — i.e. parquet stats can skip.
+    A single-column sort would leave the trailing key unclustered and
+    (at this file count) nearly every file overlapping."""
+    from angelo_bravo_etl_task_spark.queries_scale import zo1_zorder_scan
+
+    import os
+
+    zo1_zorder_scan(spark, sf_dir).collect()  # materializes the layout
+    from angelo_bravo_etl_task_spark.queries_scale import _SCRATCH
+
+    sink = os.path.join(
+        _SCRATCH, "zo1_lineitem_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    per_file = (
+        spark.read.parquet(sink)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("l_partkey").alias("pmin"),
+            F.max("l_partkey").alias("pmax"),
+            F.min("l_suppkey").alias("smin"),
+            F.max("l_suppkey").alias("smax"),
+        )
+        .collect()
+    )
+    n_files = len(per_file)
+    overlapping = [
+        r
+        for r in per_file
+        if r.pmin <= 119 and r.pmax >= 40 and r.smin <= 7 and r.smax >= 2
+    ]
+    assert n_files >= 4, f"expected multiple files, got {n_files}"
+    assert len(overlapping) < n_files, (
+        f"no skipping possible: {len(overlapping)}/{n_files} files overlap"
+    )
