@@ -142,3 +142,47 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return df.select("asset_id", "content").mapInPandas(sample, schema=out_schema)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("src_w", IntegerType(), True),
+        StructField("src_h", IntegerType(), True),
+        StructField("out_w", IntegerType(), True),
+        StructField("out_h", IntegerType(), True),
+        StructField("thumb_len", LongType(), True),
+    ]
+)
+
+
+def resize_images(df: DataFrame, box: int = 64, fake: bool = True) -> DataFrame:
+    """Aspect-preserving thumbnail resize — STUB codec, real plumbing.
+
+    Box-fit with INTEGER arithmetic only (out_w = src_w*box DIV max(src_w,
+    src_h)), so an SQL oracle can reproduce the output dimensions exactly;
+    a float scale factor would put borderline dims at the mercy of
+    rounding. The fake "resample" emits a payload slice sized
+    out_w*out_h*3 capped by the source length — enough to verify the
+    batch shape and output-size accounting of the real thing."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in RESIZE_SCHEMA.fields}
+            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                data = bytes(blob) if blob is not None else b""
+                w, h, _c = _decode_image_bytes(data, fake)
+                long_side = max(w, h)
+                ow, oh = (w * box) // long_side, (h * box) // long_side
+                thumb = data[: ow * oh * 3]
+                out["asset_id"].append(aid)
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["out_w"].append(ow)
+                out["out_h"].append(oh)
+                out["thumb_len"].append(len(thumb))
+            yield pd.DataFrame(out)
+
+    return df.select("asset_id", "content").mapInPandas(
+        resize, schema=RESIZE_SCHEMA
+    )

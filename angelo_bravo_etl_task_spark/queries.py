@@ -1097,15 +1097,27 @@ _CHECK_FIRST: list[str] = [
     "src4_dynamic_overwrite",
     "zo1_zorder_scan",
     "tx9_bigram_novelty",
-    # rows-only-by-design (driver records a rows-only row):
+    # new round-3 wave 3:
+    "sql1_sql_frontend",
+    "cache1_cached_reuse",
+    "ord1_global_row_number",
+    "src5_zstd_roundtrip",
+    "mm4_image_resize",
+    "ns1_nested_roundtrip",
+    "obs1_observed_agg",
+    "src6_corrupt_csv",
+    # rows-only-by-design, never yet recorded (new this round; a4 sits at
+    # position 51 — first in line for the next round's window):
     "hh2_heavy_hitters_sketch",
     "a4_hll_rollup",
+    # --- rotation: long-green queries last confirmed in r1, oldest first.
+    # d3/d4/x2/x4/a2 (rows-only) already have recorded rows from r1/r2 and
+    # moved to the tail to keep the 50-name sweep window on new queries ---
     "d3_minhash_lsh",
     "d4_simhash",
     "x2_lsh_topk",
     "x4_ivf_topk",
     "a2_approx_distinct",
-    # --- rotation: long-green queries last confirmed in r1, oldest first ---
     "r1_left_join",
     "r3_group_count",
     "r4_distinct",

@@ -1021,7 +1021,7 @@ SELECT o.o_orderkey,
        COALESCE(SUM(CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)), 0)
          AS sum_qty_c
 FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-WHERE o.o_orderkey % 10 = 0
+WHERE o.o_orderkey % 500 = 0
 GROUP BY o.o_orderkey, price_c
 """
 
@@ -1035,13 +1035,17 @@ def u6_cogrouped_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconciliation, per-entity model scoring). Here it computes a per-order
     left-join aggregate in pandas, integer cents throughout, so the SQL
     oracle can verify it exactly. Cost shape: one co-partitioning shuffle
-    per side (same as the equivalent join) plus the Arrow hop; the hot-path
-    rule still stands — use joins unless the per-key logic is imperative."""
+    per side plus ONE PYTHON CALL PER KEY IN THE UNION OF BOTH SIDES —
+    measured ~3 ms/key of pandas overhead, so BOTH inputs must be
+    key-filtered before the cogroup (filtering only orders still drags
+    every lineitem key through Python). That is the operational rule this
+    query encodes: cogroup on coarse, pre-pruned keys; use joins for
+    everything else."""
     import pandas as pd
 
     o = (
         _t(spark, sf_dir, "orders")
-        .where(F.col("o_orderkey") % 10 == 0)
+        .where(F.col("o_orderkey") % 500 == 0)
         .select(
             "o_orderkey",
             (F.col("o_totalprice").cast("decimal(18,2)") * 100)
@@ -1049,11 +1053,15 @@ def u6_cogrouped_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("price_c"),
         )
     )
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        (F.col("l_quantity").cast("decimal(18,2)") * 100)
-        .cast("bigint")
-        .alias("qty_c"),
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 500 == 0)  # prune BEFORE the cogroup
+        .select(
+            "l_orderkey",
+            (F.col("l_quantity").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("qty_c"),
+        )
     )
 
     def merge(odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
@@ -1077,4 +1085,288 @@ def u6_cogrouped_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             merge,
             "o_orderkey bigint, price_c bigint, n_lines bigint, sum_qty_c bigint",
         )
+    )
+
+
+# =========================================================================
+# sql1: the SQL-text frontend — the oracle string IS the query
+# =========================================================================
+
+_SQL1_TEXT = """
+SELECT n.n_name,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@_register("sql1_sql_frontend", _SQL1_TEXT)
+def sql1_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL frontend as a first-class entry point: temp views over the
+    parquet tables, then ``spark.sql`` executes the IDENTICAL ANSI text the
+    DuckDB oracle runs — one query string, two engines, same rows. Proves a
+    user can drive this engine with SQL alone (every other registry entry
+    exercises the DataFrame API); Catalyst plans it exactly like the
+    equivalent DataFrame composition — broadcast dims, one fact shuffle."""
+    for t in ("lineitem", "orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL1_TEXT)
+
+
+# =========================================================================
+# cache1: explicit caching — reuse an expensive intermediate across actions
+# =========================================================================
+
+
+@_register(
+    "cache1_cached_reuse",
+    """
+    WITH flagged AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+               AS rev
+      FROM lineitem WHERE l_quantity < 30
+    )
+    SELECT l_returnflag AS k, COUNT(*) AS n,
+           CAST(SUM(rev) AS DOUBLE) AS total
+    FROM flagged GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_linestatus, COUNT(*), CAST(SUM(rev) AS DOUBLE)
+    FROM flagged GROUP BY l_linestatus
+    """,
+)
+def cache1_cached_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit DataFrame caching: a filtered+projected intermediate is
+    .cache()d and TWO aggregations read it — the second (and every later)
+    pass scans the in-memory columnar form instead of re-reading parquet
+    (InMemoryTableScan, plan-asserted in tests/test_plans.py). This is the
+    iterative-workload primitive (d6/pr1 loops, interactive exploration);
+    at 100 TB you cache the 1000x-reduced intermediate, never the raw scan.
+    The oracle recomputes both branches from the same CTE."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(18,4)")
+    flagged = (
+        li.where(F.col("l_quantity") < 30)
+        .select("l_returnflag", "l_linestatus", rev.alias("rev"))
+        .cache()
+    )
+    by_flag = flagged.groupBy(F.col("l_returnflag").alias("k")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rev").cast("double").alias("total")
+    )
+    by_status = flagged.groupBy(F.col("l_linestatus").alias("k")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rev").cast("double").alias("total")
+    )
+    return by_flag.unionAll(by_status)
+
+
+# =========================================================================
+# ord1: stable global row numbering WITHOUT a single-partition sort
+# =========================================================================
+
+
+@_register(
+    "ord1_global_row_number",
+    """
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER (ORDER BY o_orderkey) AS row_id
+    FROM orders
+    """,
+)
+def ord1_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable global row numbering at scale. The naive ROW_NUMBER() OVER
+    (ORDER BY key) collapses the whole table into ONE window partition —
+    the classic driver-shaped bottleneck. This computes identical ids with
+    no global sort: (1) bucket rows by key DIV 1000; (2) count per bucket
+    (tiny aggregated frame); (3) exclusive prefix-sum of counts over that
+    tiny frame (the only single-partition window, over ~N/1000 rows);
+    (4) row_number within each bucket (high-cardinality partitions);
+    (5) id = bucket offset + within-bucket rank. Works because the bucket
+    function is monotone in the key. The oracle runs the naive global
+    window — equality proves the decomposition exact."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    b = o.withColumn("bucket", F.expr("o_orderkey DIV 1000"))
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = counts.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("bucket", "offset")
+    wb = Window.partitionBy("bucket").orderBy("o_orderkey")
+    return (
+        b.join(F.broadcast(offsets), "bucket")
+        .select(
+            "o_orderkey",
+            (F.col("offset") + F.row_number().over(wb)).alias("row_id"),
+        )
+    )
+
+
+# =========================================================================
+# ns1: nested data model round-trip (array<struct> through parquet)
+# =========================================================================
+
+_NS1_SQL = """
+SELECT l_orderkey, l_linenumber,
+       SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS qty_c
+FROM lineitem
+GROUP BY l_orderkey, l_linenumber
+"""
+
+
+@_register("ns1_nested_roundtrip", _NS1_SQL)
+def ns1_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested data modeling: order lines folded into a sorted
+    array<struct> per order (the denormalized document shape that
+    co-locates parent and children — one read, no join, the layout a
+    100 TB store uses for 1:N access paths), persisted to parquet WITH the
+    nesting, read back, and flattened via inline(). The oracle is the flat
+    per-line aggregate, so the check covers struct field alignment through
+    the parquet nested encoding, sort_array determinism over
+    collect_list's arbitrary order, and the 1->N inline explosion."""
+    import os
+
+    from .queries_scale import _SCRATCH
+
+    sink = os.path.join(
+        _SCRATCH, "ns1_nested_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    qty_c = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint")
+    per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.sum(qty_c).alias("qty_c")
+    )
+    nested = per_line.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("l_linenumber", "qty_c"))
+        ).alias("lines")
+    )
+    nested.write.mode("overwrite").parquet(sink)
+    back = spark.read.parquet(sink)
+    return back.select("l_orderkey", F.inline("lines"))
+
+
+# =========================================================================
+# obs1: observe() metrics — data-quality counters riding the main action
+# =========================================================================
+
+
+def _obs1_build(spark: SparkSession, sf_dir: str):
+    """Returns (result_df, observation). Split out so the unit test can
+    assert the observed metrics after an action while the registry entry
+    stays a plain DataFrame-returning query."""
+    from pyspark.sql import Observation
+
+    o = _t(spark, sf_dir, "orders")
+    obs = Observation("obs1_metrics")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    observed = o.select("o_orderpriority", cents.alias("cents")).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("total_cents"),
+    )
+    result = observed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    return result, obs
+
+
+@_register(
+    "obs1_observed_agg",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS sum_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def obs1_observed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability: ``df.observe`` attaches named metric
+    expressions (row count, total cents) that are computed DURING the main
+    action — zero extra passes, exactly how a 100 TB ETL job exports
+    row-count/invariant counters without re-scanning. The query result is
+    the ordinary aggregate (oracle-checked); the unit test runs an action
+    and asserts the observed metrics equal the aggregate's totals."""
+    result, _obs = _obs1_build(spark, sf_dir)
+    return result
+
+
+# =========================================================================
+# src6: malformed-record CSV ingest (PERMISSIVE + corrupt-record column)
+# =========================================================================
+
+_SRC6_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       COUNT(CASE WHEN o_orderkey % 10 = 0 THEN 1 END) AS n_corrupt,
+       SUM(CASE WHEN o_orderkey % 10 <> 0
+                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           END) AS good_cents
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@_register("src6_corrupt_csv", _SRC6_SQL)
+def src6_corrupt_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-ingest reality: a CSV batch where every 10th record carries a
+    non-numeric value in a numeric column. PERMISSIVE mode (the only sane
+    default on a 100 TB feed — FAILFAST kills the job on one bad row,
+    DROPMALFORMED silently loses data) parses what it can, nulls the bad
+    field, and captures the raw line in ``columnNameOfCorruptRecord`` so
+    the bad records are quarantineable. The corruption is synthesized
+    deterministically (key % 10), so the oracle can state exactly how many
+    rows per priority must land corrupt and what the good-row sum is."""
+    import os
+
+    from .queries_scale import _SCRATCH
+
+    sink = os.path.join(
+        _SCRATCH, "src6_csv_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderpriority"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("xx")).otherwise(
+            cents.cast("string")
+        ),
+    )
+    o.select(line.alias("value")).write.mode("overwrite").text(sink)
+    back = (
+        spark.read.schema(
+            "o_orderkey long, o_orderpriority string, cents long, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(sink)
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_corrupt").alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("cents"))).alias(
+            "good_cents"
+        ),
     )

@@ -175,13 +175,20 @@ def ct1_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded grams — no shuffle of the corpus. At 100 TB, join on
     xxhash64(gram) instead of the string to shrink exchange width; kept as
     the raw string here so the DuckDB oracle is hash-exact."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from .operators.partitioning import spread
+
+    # spread: the source is ONE parquet split, and the n-gram expression is
+    # the dominant cost — without repartitioning it runs on a single core.
+    # localCheckpoint: the bench branch and the corpus branch both consume
+    # `grams`; materializing once halves the n-gram work (6.6 s -> ~1.5 s
+    # at sf0.1).
+    d = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     grams = d.select(
         "doc_id",
         F.explode(F.array_distinct(TX.word_ngrams(F.col("text"), _CT1_N))).alias(
             "g"
         ),
-    )
+    ).localCheckpoint(eager=True)
     bench = (
         grams.where(F.col("doc_id") % 50 == 0).select("g").distinct()
     )
@@ -472,25 +479,40 @@ def tx9_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     other document has; near-zero novelty marks templated/boilerplate text
     — a cheap, exact memorization/diversity signal for corpus curation,
     complementing tx7's within-document repetition. Integer outputs keep
-    the oracle exact. Shape: per-doc dedup inside codegen (array_distinct
-    before explode), then ONE count() window over the bigram column on the
-    single exploded frame (tx5's pattern — rows per gram partition IS the
-    document frequency, because each (doc, gram) appears once), then the
-    per-doc re-aggregation. Two high-cardinality shuffles; at 100 TB, hash
-    the bigram to shrink exchange width."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    the oracle exact.
+
+    Shape — exploits that a df=1 bigram belongs to exactly ONE document:
+    the exploded (doc_id, gram) frame is computed ONCE — spread() first
+    (the source is a single parquet split, so the n-gram expression would
+    otherwise run on one core) and eagerly localCheckpoint'ed so the two
+    consuming aggregates don't re-derive it. n_bigrams is a per-doc count;
+    n_unique is one HASH aggregate — groupBy(gram) keeping count + the
+    owning min(doc_id), filter count=1, re-count per doc. The tx5-style
+    count() window here would SORT the (mostly-unique) bigram universe —
+    measured 6.6 s vs 4.2 s at sf0.1 (the residual is the n-gram
+    expression itself, shared by ct1). At 100 TB, swap the checkpoint for
+    persist(DISK) and hash the bigram to shrink exchange width."""
+    from .operators.partitioning import spread
+
+    d = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     grams = d.select(
         "doc_id",
         F.explode(F.array_distinct(TX.word_ngrams(F.col("text"), 2))).alias(
             "g"
         ),
+    ).localCheckpoint(eager=True)
+    n_bigrams = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams")
     )
-    with_df = grams.withColumn(
-        "doc_freq", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    uniq_per_doc = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("doc_id").alias("owner"))
+        .where(F.col("c") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_unique"))
     )
-    return with_df.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum(F.when(F.col("doc_freq") == 1, 1).otherwise(0)).alias(
-            "n_unique"
-        ),
+    return n_bigrams.join(uniq_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_bigrams",
+        F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
     )

@@ -1075,3 +1075,46 @@ def pr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank")
         )
     return ranks
+
+
+# =========================================================================
+# mm4: multimodal resize plumbing (mapInPandas, integer box-fit)
+# =========================================================================
+
+
+@_register(
+    "mm4_image_resize",
+    """
+    WITH dims AS (
+      SELECT doc_id AS asset_id,
+             octet_length(CAST(coalesce(text, '') AS BLOB)) AS blen,
+             CAST(64 + CAST('0x' || substr(sha256(coalesce(text, '')), 1, 2)
+                  AS INT) % 192 AS INTEGER) AS src_w,
+             CAST(64 + CAST('0x' || substr(sha256(coalesce(text, '')), 3, 2)
+                  AS INT) % 192 AS INTEGER) AS src_h
+      FROM documents
+    )
+    SELECT asset_id, src_w, src_h,
+           CAST(src_w * 64 // GREATEST(src_w, src_h) AS INTEGER) AS out_w,
+           CAST(src_h * 64 // GREATEST(src_w, src_h) AS INTEGER) AS out_h,
+           LEAST(blen,
+                 (src_w * 64 // GREATEST(src_w, src_h))
+               * (src_h * 64 // GREATEST(src_w, src_h)) * 3) AS thumb_len
+    FROM dims
+    """,
+)
+def mm4_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal RESIZE path (operators/multimodal.py::resize_images):
+    aspect-preserving box-fit thumbnails over Arrow batches. The stub
+    decoder derives source dims from sha256 (as mm2) and the box-fit is
+    integer division, so DuckDB reproduces output dimensions and thumbnail
+    byte counts exactly — the oracle checks the resize arithmetic and the
+    1:1 batch shape, which is everything except the codec call itself."""
+    from .operators.multimodal import resize_images
+
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    return resize_images(assets, box=64, fake=True)

@@ -290,3 +290,15 @@ def test_x6_assignment_is_total_and_consistent(spark, sf_dir):
     assert len(rows) == n_vecs
     assert len({r.vec_id for r in rows}) == n_vecs
     assert all(0 <= r.assigned_cluster < 8 and r.dist2 >= 0 for r in rows)
+
+
+def test_obs1_observed_metrics_match_action(spark, sf_dir):
+    """observe() metrics computed during the action must equal the
+    aggregate's own totals — no second scan needed."""
+    from angelo_bravo_etl_task_spark.queries_ext import _obs1_build
+
+    result, obs = _obs1_build(spark, sf_dir)
+    rows = result.collect()
+    m = obs.get
+    assert m["n_rows"] == sum(r.n_orders for r in rows)
+    assert m["total_cents"] == sum(r.sum_cents for r in rows)

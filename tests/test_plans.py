@@ -213,3 +213,12 @@ def test_zo1_zorder_files_skip_2d_range(spark, sf_dir):
     assert len(overlapping) < n_files, (
         f"no skipping possible: {len(overlapping)}/{n_files} files overlap"
     )
+
+
+def test_cache1_uses_in_memory_scan(spark, sf_dir):
+    """cache1's second aggregation must read the cached columnar form, not
+    re-scan parquet: InMemoryTableScan appears in the physical plan."""
+    from angelo_bravo_etl_task_spark.queries_ext import cache1_cached_reuse
+
+    df = cache1_cached_reuse(spark, sf_dir)
+    assert "InMemoryTableScan" in physical_plan(df)
