@@ -1106,8 +1106,10 @@ _CHECK_FIRST: list[str] = [
     "ns1_nested_roundtrip",
     "obs1_observed_agg",
     "src6_corrupt_csv",
-    # rows-only-by-design, never yet recorded (new this round; a4 sits at
-    # position 51 — first in line for the next round's window):
+    "vr1_variant_json",
+    "src7_python_datasource",
+    # rows-only-by-design, never yet recorded (past position 50 — first in
+    # line for the next round's window):
     "hh2_heavy_hitters_sketch",
     "a4_hll_rollup",
     # --- rotation: long-green queries last confirmed in r1, oldest first.

@@ -1370,3 +1370,41 @@ def src6_corrupt_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "good_cents"
         ),
     )
+
+
+# =========================================================================
+# vr1: VARIANT — the Spark 4 semi-structured type (open JSON without schema)
+# =========================================================================
+
+
+@_register(
+    "vr1_variant_json",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def vr1_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType (Spark 4): ``parse_json`` ingests the raw JSON props
+    column ONCE into Variant's binary representation; ``variant_get``
+    extracts typed paths with no per-query re-parse and no up-front schema
+    — the modern lake answer to schemaless event payloads (vs
+    get_json_object, which re-tokenizes the string on every extraction;
+    f3 covers that legacy path). At 100 TB the parse happens at ingest and
+    every downstream query reads the binary-encoded variant. The oracle
+    extracts the same path with DuckDB's JSON functions; SUM is CAST to
+    BIGINT on both sides."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("vprops")
+    )
+    k = F.variant_get(F.col("vprops"), "$.k", "bigint")
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )

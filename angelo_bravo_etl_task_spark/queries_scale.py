@@ -713,3 +713,48 @@ def src5_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
     )
+
+
+# =========================================================================
+# src7: custom Python DataSource (Spark 4 connector API)
+# =========================================================================
+
+
+@_register(
+    "src7_python_datasource",
+    """
+    WITH r AS (
+      SELECT i AS reading_id, i % 7 AS sensor_id, (i * i) % 1000 AS value
+      FROM generate_series(0, 9999) AS t(i)
+    )
+    SELECT sensor_id, COUNT(*) AS n_readings,
+           SUM(value) AS sum_value, MAX(value) AS max_value
+    FROM r GROUP BY sensor_id
+    """,
+)
+def src7_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Spark 4 Python DataSource API
+    (sources/pydatasource.py): a registered ``spark.read.format(
+    'range_sensor')`` source whose reader declares EIGHT InputPartitions —
+    each read as an independent task, which is the entire scale contract of
+    a V2 connector (a REST/queue wrapper partitions by page/shard the same
+    way). Row content is pure id arithmetic, so the DuckDB oracle rebuilds
+    the identical dataset from generate_series and the aggregate checks
+    both the values and that no partition was dropped or duplicated."""
+    from .sources.pydatasource import RangeSensorDataSource
+
+    try:
+        spark.dataSource.register(RangeSensorDataSource)
+    except Exception:
+        pass  # already registered in this session
+    r = (
+        spark.read.format("range_sensor")
+        .option("n_rows", "10000")
+        .option("n_parts", "8")
+        .load()
+    )
+    return r.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.sum("value").alias("sum_value"),
+        F.max("value").alias("max_value"),
+    )

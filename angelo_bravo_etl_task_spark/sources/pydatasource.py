@@ -1,0 +1,56 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API) — the
+V2 connector surface in pure Python.
+
+``RangeSensorDataSource`` is a deterministic synthetic source: ``n_rows``
+readings split across ``n_parts`` PARTITIONED ranges (each partition is an
+independent read task — the parallelism contract real connectors implement),
+with every value derived arithmetically from the row id, so an SQL oracle
+can reproduce the full output. This is the template for wrapping any
+Python-reachable system (REST pages, message queues, bespoke file formats)
+as a first-class ``spark.read.format(...)`` source: partitions() defines
+the split points, read(partition) yields tuples for one split.
+
+The reference's HTTP fetch (Angelo_ETL_Task.py:135-145) stays a driver-side
+staging step by design (two small files); this shows the scale path a REAL
+distributed feed would take.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class RangeSensorReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_parts = int(options.get("n_parts", 4))
+
+    def partitions(self):
+        step = max(1, self.n_rows // self.n_parts)
+        bounds = list(range(0, self.n_rows, step)) + [self.n_rows]
+        return [
+            _RangePartition(a, b) for a, b in zip(bounds, bounds[1:]) if a < b
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            # deterministic arithmetic -> SQL-reproducible
+            yield (i, i % 7, (i * i) % 1000)
+
+
+class RangeSensorDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "range_sensor"
+
+    def schema(self) -> str:
+        return "reading_id bigint, sensor_id bigint, value bigint"
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return RangeSensorReader(self.options)

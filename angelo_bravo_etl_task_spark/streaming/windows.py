@@ -82,11 +82,12 @@ def ephemeral_checkpoint_dir(prefix: str = "sg_ckpt_") -> Iterator[str]:
 
 
 def run_available_now(
-    df: DataFrame, sink: str, timeout: float = 300.0
+    df: DataFrame, sink: str, timeout: float = 300.0, output_mode: str = "append"
 ) -> DataFrame:
     """Run a streaming DataFrame to completion into a named memory sink.
 
-    One ``availableNow`` pass (append mode) with an ephemeral tmpfs
+    One ``availableNow`` pass (append mode by default; st2's
+    transformWithState emits in update mode) with an ephemeral tmpfs
     checkpoint; blocks until the trigger drains, then returns the sink
     table. Shared by every batch-harness streaming query (e3, e5, st1)."""
     spark = df.sparkSession
@@ -94,7 +95,7 @@ def run_available_now(
         q = (
             df.writeStream.format("memory")
             .queryName(sink)
-            .outputMode("append")
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()

@@ -232,3 +232,149 @@ def test_stream_to_jdbc_foreachbatch_sink(spark, sf_dir, tmp_path):
     got = back.agg(F.sum(F.col("VALUE").cast("decimal(18,6)"))).collect()[0][0]
     want = src.agg(F.sum(F.col("value").cast("decimal(18,6)"))).collect()[0][0]
     assert got == want
+
+
+def test_transform_with_state_user_totals(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): per-user
+    running totals equal the batch group-by. SKIPS where the protobuf
+    package (required by the state-server protocol) is unavailable."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from angelo_bravo_etl_task_spark.sources.readers import load_table
+    from angelo_bravo_etl_task_spark.streaming.stateful import user_totals_tws
+    from angelo_bravo_etl_task_spark.streaming.windows import (
+        run_available_now,
+        stream_events_raw,
+        stream_partitions,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        with stream_partitions(spark):
+            stream = stream_events_raw(spark, sf_dir).select(
+                "user_id",
+                (F.col("value").cast("decimal(18,2)") * 100)
+                .cast("bigint")
+                .alias("cents"),
+            )
+            got = {
+                (r.user_id, r.n_events, r.sum_cents)
+                for r in run_available_now(
+                    user_totals_tws(stream), "tws_totals", output_mode="update"
+                ).collect()
+            }
+        expected = {
+            (r.user_id, r.n_events, r.sum_cents)
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+                ).alias("sum_cents"),
+            )
+            .collect()
+        }
+        assert got == expected
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Exactly-once across a query RESTART: a windowed streaming aggregate
+    runs one micro-batch (maxFilesPerTrigger=1 over a 3-file staging dir),
+    stops, and a NEW query object resumes from the same checkpoint with
+    availableNow. The parquet sink must hold every watermark-finalized
+    window exactly once — no loss (offsets not re-read) and no duplication
+    (windows already emitted before the stop are not re-emitted), because
+    the checkpoint persists both the source offsets and the window state.
+    This is the recovery contract a production job relies on; the memory
+    sink can't test it (it does not survive the query object)."""
+    from pyspark.sql import functions as F
+
+    from angelo_bravo_etl_task_spark.sources.readers import load_table
+    from angelo_bravo_etl_task_spark.streaming.windows import stream_partitions
+
+    import time
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    staged = str(tmp_path / "staged")
+    # Stage as TIME-ORDERED slices (one file each, increasing mtime): the
+    # file source replays oldest-mtime first, so the watermark after slice
+    # N never exceeds slice N+1's minimum event time and nothing is
+    # spuriously dropped as late. A hash split would interleave times and
+    # run 2's rows would land below run 1's watermark — that would test
+    # late-data drop (e3's subject), not restart recovery.
+    cuts = ["2024-01-11", "2024-01-21"]
+    slices = [
+        ev.where(F.col("ts") < cuts[0]),
+        ev.where((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.where(F.col("ts") >= cuts[1]),
+    ]
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(staged)
+        time.sleep(1.1)  # distinct mtimes -> deterministic replay order
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+
+    def start_query():
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+            .withWatermark("ts", "30 minutes")
+        )
+        agg = (
+            stream.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n")
+        )
+        return (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+        )
+
+    with stream_partitions(spark):
+        # run 1: process at least one input file, then stop mid-stream
+        q1 = start_query().trigger(processingTime="0 seconds").start()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            p = q1.lastProgress
+            if p and p["numInputRows"] > 0:
+                break
+            time.sleep(0.5)
+        q1.stop()
+        q1.awaitTermination(60)
+        # run 2: resume from the checkpoint, drain everything remaining
+        q2 = start_query().trigger(availableNow=True).start()
+        q2.awaitTermination(120)
+        if q2.isActive:
+            q2.stop()
+
+    got = {
+        (r.ws, r.event_type, r.n)
+        for r in spark.read.schema("ws timestamp, event_type string, n long")
+        .parquet(sink)
+        .collect()
+    }
+    horizon = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 30 MINUTES")).alias("h")
+    ).collect()[0].h
+    expected = {
+        (r.ws, r.event_type, r.n)
+        for r in ev.groupBy(
+            F.window("ts", "10 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("w.end") <= F.lit(horizon))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+        .collect()
+    }
+    assert got == expected
