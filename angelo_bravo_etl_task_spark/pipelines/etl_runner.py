@@ -145,3 +145,69 @@ def run_etl(
         "csv_path": csv_path,
         "update_date": now,
     }
+
+
+def build_arg_parser():
+    """CLI mirroring the reference ``__main__``'s inputs
+    (Angelo_ETL_Task.py:377-390): LOINC credentials + PostgreSQL
+    connection + output directory."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="python -m angelo_bravo_etl_task_spark.pipelines.etl_runner",
+        description=(
+            "LOINC -> i2b2 ETL: authenticated download, transform to the "
+            "25-column i2b2 ontology table, JDBC load, CSV export."
+        ),
+    )
+    p.add_argument("--loinc-user", required=True, help="loinc.org username")
+    p.add_argument("--loinc-password", required=True, help="loinc.org password")
+    p.add_argument("--db-host", default="localhost")
+    p.add_argument("--db-port", default="5432")
+    p.add_argument("--db-name", required=True)
+    p.add_argument("--db-user", required=True)
+    p.add_argument("--db-password", required=True)
+    p.add_argument("--staging-dir", default=".etl_staging")
+    p.add_argument("--out-dir", default=".", help="CSV export directory")
+    p.add_argument("--table", default="I2B2")
+    p.add_argument(
+        "--mode",
+        choices=["spec", "compat"],
+        default="spec",
+        help="spec = docx-correct per-segment names; compat = reference-bug parity",
+    )
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    """Console entry point: the reference's ``__main__`` (:377-390) with a
+    timed run and the row-count print (:355, :390)."""
+    import time
+
+    from ..session import get_spark
+    from ..sources.staging import requests_session_fetcher
+
+    args = build_arg_parser().parse_args(argv)
+    t0 = time.time()
+    spark = get_spark()
+    url = (
+        f"jdbc:postgresql://{args.db_host}:{args.db_port}/{args.db_name}"
+        f"?user={args.db_user}&password={args.db_password}"
+    )
+    summary = run_etl(
+        spark,
+        requests_session_fetcher(args.loinc_user, args.loinc_password),
+        args.staging_dir,
+        url,
+        args.out_dir,
+        jdbc_table=args.table,
+        mode=args.mode,
+    )
+    print(f"{summary['rows_inserted']} ROWS INSERTED")
+    print(f"csv export: {summary['csv_path']}")
+    print(f"execution time: {time.time() - t0:.1f}s")
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via build_arg_parser test
+    raise SystemExit(main())

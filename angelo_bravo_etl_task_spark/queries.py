@@ -1108,6 +1108,10 @@ _CHECK_FIRST: list[str] = [
     "src6_corrupt_csv",
     "vr1_variant_json",
     "src7_python_datasource",
+    "xml2_from_xml_roundtrip",
+    "sk2_skew_profile",
+    "er1_blocked_fuzzy_match",
+    "u7_udtf_analyze",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

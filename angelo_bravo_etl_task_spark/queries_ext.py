@@ -1408,3 +1408,158 @@ def vr1_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.max(k).alias("max_k"),
     )
+
+
+# =========================================================================
+# xml2: from_xml parse-back — the XML story closed end to end
+# =========================================================================
+
+_XML2_SQL = """
+SELECT doc_id,
+       'C' || CAST(doc_id AS VARCHAR) AS loinc_num,
+       CASE WHEN doc_id % 5 = 0 THEN ''
+            ELSE TRIM(substring(text, 1, 40)) END AS component,
+       lang AS system
+FROM documents
+WHERE doc_id % 3 <> 0
+"""
+
+
+@_register("xml2_from_xml_roundtrip", _XML2_SQL)
+def xml2_from_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip: documents are serialized with the engine's
+    ElementTree-compatible generator (functions/xmlgen.py — f8's checked
+    output) and parsed BACK with Spark's native ``from_xml`` into a typed
+    struct. Equality with the pre-serialization values (the oracle computes
+    them straight from the source columns) proves generation and parsing
+    are true inverses — escaping round-trips and field order survives. Two
+    parser behaviors are pinned by the oracle rather than papered over:
+    ``<tag />`` empty elements parse as EMPTY STRING, not NULL, and
+    surrounding whitespace in element text is trimmed
+    (``ignoreSurroundingSpaces`` defaults true) — so a strict round-trip
+    contract must either forbid leading/trailing blanks or flip that
+    option. Both directions run inside codegen'd expressions; no UDF, no
+    driver XML library."""
+    from .functions.xmlgen import loinc_metadata_xml
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 3 != 0)
+    xml = loinc_metadata_xml(
+        loinc_num=F.concat(F.lit("C"), F.col("doc_id").cast("string")),
+        code_text=F.lit(None).cast("string"),
+        component=F.when(F.col("doc_id") % 5 != 0, F.substring("text", 1, 40)),
+        system=F.col("lang"),
+        method_typ=F.lit(None).cast("string"),
+    )
+    parsed = d.select(
+        "doc_id",
+        F.from_xml(
+            xml, "LOINC_NUM string, COMPONENT string, SYSTEM string"
+        ).alias("p"),
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("p.LOINC_NUM").alias("loinc_num"),
+        F.col("p.COMPONENT").alias("component"),
+        F.col("p.SYSTEM").alias("system"),
+    )
+
+
+# =========================================================================
+# sk2: key-skew profiler — the measurement that drives salting decisions
+# =========================================================================
+
+_SK2_SQL = """
+WITH counts AS (
+  SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey
+), tot AS (
+  SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM counts
+)
+SELECT c.l_suppkey, c.n,
+       (c.n * 10000) // t.total AS share_bp,
+       t.n_keys
+FROM counts c, tot t
+ORDER BY c.n DESC, c.l_suppkey
+LIMIT 10
+"""
+
+
+@_register("sk2_skew_profile", _SK2_SQL)
+def sk2_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profiler: the top-10 heaviest join/group keys with their
+    share of total rows in integer basis points (exact — no float shares)
+    plus the distinct-key count. This is the measurement that DECIDES the
+    scale tactics elsewhere in the repo: share_bp of the hottest key ×
+    executor count tells you whether a plain shuffle, AQE skew-split, or
+    sk1's salting is warranted. One partial-aggregated shuffle on the key
+    + a broadcast of the 1-row total; top-10 via TakeOrderedAndProject
+    (deterministic tiebreak on the key)."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "l_suppkey",
+            "n",
+            F.expr("(n * 10000) DIV total").alias("share_bp"),
+            "n_keys",
+        )
+        .orderBy(F.col("n").desc(), "l_suppkey")
+        .limit(10)
+    )
+
+
+# =========================================================================
+# u7: polymorphic UDTF — output schema computed by analyze()
+# =========================================================================
+
+_U7_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+                     t -> LENGTH(t) > 0) AS w
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id, w[1] AS c0, w[2] AS c1, w[3] AS c2
+FROM toks
+"""
+
+
+@_register("u7_udtf_analyze", _U7_SQL)
+def u7_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF: the output schema is not declared
+    statically but computed by a ``@staticmethod analyze`` from the
+    call-site arguments (here: n=3 leading words -> columns c0..c2 typed
+    at plan time). This is the Spark 4 machinery behind schema-bearing
+    table functions (CSV-line parsers, pivot-like expanders) where the
+    caller picks the width. u4 is the fixed-schema UDTF; this completes
+    the surface. The oracle projects the same three leading words with
+    list indexing (out-of-range -> NULL on both engines)."""
+    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class LeadingWords:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(int(n.value)):
+                schema = schema.add(f"c{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            words = [w for w in (text or "").strip().split() if w]
+            yield tuple(words[i] if i < len(words) else None for i in range(n))
+
+    spark.udtf.register("leading_words", LeadingWords)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("_u7_docs")
+    return spark.sql(
+        """
+        SELECT t.doc_id, w.*
+        FROM _u7_docs t, LATERAL leading_words(t.text, 3) w
+        WHERE t.doc_id < 100
+        """
+    )

@@ -157,3 +157,25 @@ def test_run_etl_reference_control_flow(spark, derby_url, tmp_path):
     assert back.count() == 6
     run2 = back.where(back["UPDATE_DATE"] == now2).select("IMPORT_DATE").distinct()
     assert [r[0] for r in run2.collect()] == [now1]
+
+
+def test_cli_arg_parser_mirrors_reference_main():
+    """The CLI surface covers every input the reference __main__ wires
+    (loinc credentials, db host/port/name/user/password, output path) and
+    rejects empty invocations."""
+    import pytest
+
+    from angelo_bravo_etl_task_spark.pipelines.etl_runner import build_arg_parser
+
+    p = build_arg_parser()
+    args = p.parse_args(
+        [
+            "--loinc-user", "u", "--loinc-password", "pw",
+            "--db-name", "i2b2", "--db-user", "dbu", "--db-password", "dbp",
+            "--out-dir", "/tmp/out", "--mode", "compat",
+        ]
+    )
+    assert args.db_host == "localhost" and args.db_port == "5432"
+    assert args.mode == "compat" and args.table == "I2B2"
+    with pytest.raises(SystemExit):
+        p.parse_args([])
