@@ -378,3 +378,78 @@ def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_foreach_batch_multi_sink_fanout(spark, sf_dir, tmp_path):
+    """foreachBatch fanout: ONE streaming pass lands each micro-batch in
+    TWO sinks (raw parquet + a running aggregate directory), the pattern
+    for serving + archival from a single ingest. The batch function
+    persists the batch frame so the two writes don't recompute it, and
+    both sinks must agree with the batch ground truth at the end."""
+    from pyspark.sql import functions as F
+
+    from angelo_bravo_etl_task_spark.sources.readers import load_table
+    from angelo_bravo_etl_task_spark.streaming.windows import (
+        ephemeral_checkpoint_dir,
+        stream_events_raw,
+        stream_partitions,
+    )
+
+    raw_sink = str(tmp_path / "raw")
+    agg_sink = str(tmp_path / "agg")
+
+    def land(batch_df, batch_id: int):
+        batch_df.persist()
+        try:
+            batch_df.write.mode("append").parquet(raw_sink)
+            (
+                batch_df.groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        (F.col("value").cast("decimal(18,2)") * 100).cast(
+                            "bigint"
+                        )
+                    ).alias("cents"),
+                )
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(agg_sink)
+            )
+        finally:
+            batch_df.unpersist()
+
+    with stream_partitions(spark), ephemeral_checkpoint_dir() as ckpt:
+        q = (
+            stream_events_raw(spark, sf_dir)
+            .select("event_type", "value")
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+
+    ev = load_table(spark, sf_dir, "events")
+    assert spark.read.parquet(raw_sink).count() == ev.count()
+    got = {
+        (r.event_type, r.n, r.cents)
+        for r in spark.read.parquet(agg_sink)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+        .collect()
+    }
+    expected = {
+        (r.event_type, r.n, r.cents)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+            ).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == expected
