@@ -1112,6 +1112,8 @@ _CHECK_FIRST: list[str] = [
     "sk2_skew_profile",
     "er1_blocked_fuzzy_match",
     "u7_udtf_analyze",
+    "dp1_incremental_dedup",
+    "cp1_compaction",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

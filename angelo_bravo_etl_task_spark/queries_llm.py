@@ -516,3 +516,42 @@ def tx9_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
     )
+
+
+# =========================================================================
+# dp1: incremental ingest dedup — new batch vs standing corpus fingerprints
+# =========================================================================
+
+_DP1_SQL = """
+WITH corpus AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 7 <> 0
+), batch AS (
+  SELECT doc_id, md5(text) AS h, n_chars FROM documents WHERE doc_id % 7 = 0
+)
+SELECT b.doc_id, b.n_chars
+FROM batch b LEFT JOIN corpus c ON b.h = c.h
+WHERE c.h IS NULL
+"""
+
+
+@_register("dp1_incremental_dedup", _DP1_SQL)
+def dp1_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the ingest-time variant of d1: an arriving
+    batch (doc_id % 7 = 0 stands in for today's crawl) is admitted only
+    where its content hash is absent from the standing corpus fingerprint
+    set, via a LEFT ANTI join on md5. At 100 TB the fingerprint table is
+    the persistent artifact (16 bytes/doc, bucketed by hash prefix) so
+    each daily batch joins against fingerprints, never against corpus
+    text — the batch side shuffles |batch|, the corpus side is a one-time
+    layout. d1 dedups a corpus against itself; this is the steady-state
+    pipeline that keeps it deduped."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = (
+        d.where(F.col("doc_id") % 7 != 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    batch = d.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.md5("text").alias("h"), "n_chars"
+    )
+    return batch.join(corpus, "h", "left_anti").select("doc_id", "n_chars")

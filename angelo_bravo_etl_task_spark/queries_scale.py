@@ -758,3 +758,48 @@ def src7_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").alias("sum_value"),
         F.max("value").alias("max_value"),
     )
+
+
+# =========================================================================
+# cp1: small-file compaction — the lake-maintenance job
+# =========================================================================
+
+
+@_register(
+    "cp1_compaction",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def cp1_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance job every streaming/CDC
+    ingest needs: a deliberately fragmented copy of events (64 files of a
+    few KB each — the shape micro-batch sinks produce) is rewritten into
+    4 right-sized files with one repartition. Small files are the silent
+    100 TB killer: each costs a scan task, a name-node/object-store
+    round-trip, and a parquet footer read, so a 1000x file-count reduction
+    is routinely a 10x scan speedup. The oracle aggregates the ORIGINAL
+    rows, proving compaction is content-preserving; the file counts before
+    and after are asserted in the unit test."""
+    frag = os.path.join(
+        _SCRATCH, "cp1_frag_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    compact = os.path.join(
+        _SCRATCH, "cp1_compact_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(
+        compact
+    )
+    back = spark.read.parquet(compact)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+        ).alias("sum_cents"),
+    )

@@ -409,3 +409,20 @@ def test_profile_columns_single_pass_and_hostile_names(spark):
 
     with _pytest.raises(ValueError, match="not in DataFrame"):
         profile_columns(df, ["nope"])
+
+
+def test_cp1_compaction_reduces_file_count(spark, sf_dir):
+    """cp1's rewrite must actually shrink the file count 64 -> 4."""
+    import glob
+    import os
+
+    from angelo_bravo_etl_task_spark.queries import QUERIES
+    from angelo_bravo_etl_task_spark.queries_scale import _SCRATCH
+
+    QUERIES["cp1_compaction"][0](spark, sf_dir).collect()
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    n_frag = len(glob.glob(os.path.join(_SCRATCH, f"cp1_frag_{tag}", "*.parquet")))
+    n_compact = len(
+        glob.glob(os.path.join(_SCRATCH, f"cp1_compact_{tag}", "*.parquet"))
+    )
+    assert n_frag == 64 and n_compact == 4
