@@ -1114,6 +1114,8 @@ _CHECK_FIRST: list[str] = [
     "u7_udtf_analyze",
     "dp1_incremental_dedup",
     "cp1_compaction",
+    "w9_nth_value_offsets",
+    "g4_grouping_id",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -1563,3 +1563,78 @@ def u7_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE t.doc_id < 100
         """
     )
+
+
+# =========================================================================
+# w9 / g4: window + grouping surface completion
+# =========================================================================
+
+
+@_register(
+    "w9_nth_value_offsets",
+    """
+    SELECT c_nationkey, c_custkey,
+           nth_value(c_acctbal, 3) OVER
+             (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_bal,
+           lead(c_acctbal, 2, -1.0) OVER
+             (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+             AS bal_plus2,
+           lag(c_custkey, 3) OVER
+             (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+             AS cust_minus3
+    FROM customer
+    """,
+)
+def w9_nth_value_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window offset completion beyond w3/w5: nth_value over a growing
+    frame (NULL until the 3rd row arrives), lead with an explicit DEFAULT
+    for the partition tail, and a 3-step lag — the remaining offset
+    functions a SQL window surface owes. Unique tiebreak (c_custkey) keeps
+    every offset deterministic. One shuffle on the partition key."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.nth_value("c_acctbal", 3).over(wf).alias("third_bal"),
+        F.lead("c_acctbal", 2, -1.0).over(w).alias("bal_plus2"),
+        F.lag("c_custkey", 3).over(w).alias("cust_minus3"),
+    )
+
+
+@_register(
+    "g4_grouping_id",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n,
+           SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS sum_cents
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def g4_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping_id completion for the rollup family (g1-g3): the bitmask
+    that tells a consumer WHICH level each rollup row belongs to —
+    indispensable once subtotal rows and genuine NULL group values can
+    collide. Spark's grouping_id() bit order matches the SQL-standard
+    GROUPING() composition the oracle spells out."""
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    return (
+        o.select("o_orderstatus", "o_orderpriority", cents.alias("cents"))
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid", "n", "sum_cents"
+        )
+    )
