@@ -1116,6 +1116,9 @@ _CHECK_FIRST: list[str] = [
     "cp1_compaction",
     "w9_nth_value_offsets",
     "g4_grouping_id",
+    "j6_null_safe_join",
+    "f11_try_functions",
+    "cl1_collation",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -1638,3 +1638,141 @@ def g4_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus", "o_orderpriority", "gid", "n", "sum_cents"
         )
     )
+
+
+# =========================================================================
+# j6 / f11 / cl1: null-safe join, ANSI-safe try_*, collation
+# =========================================================================
+
+
+@_register(
+    "j6_null_safe_join",
+    """
+    WITH sides AS (
+      SELECT CASE WHEN o_orderpriority = '3-MEDIUM' THEN NULL
+                  ELSE o_orderpriority END AS pr,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ), dim(pr, rank) AS (
+      VALUES ('1-URGENT', 1), ('2-HIGH', 2), (NULL, 99),
+             ('4-NOT SPECIFIED', 4), ('5-LOW', 5)
+    )
+    SELECT s.pr, s.n, d.rank
+    FROM sides s JOIN dim d ON s.pr IS NOT DISTINCT FROM d.pr
+    """,
+)
+def j6_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (``<=>`` / eqNullSafe): NULL keys MATCH each
+    other instead of vanishing — the semantics a dimension with an explicit
+    'unknown' row needs (a plain equi-join silently drops every NULL-keyed
+    fact). One priority is mapped to NULL to exercise it; the oracle uses
+    the SQL-standard IS NOT DISTINCT FROM. Catalyst still plans a hash
+    join (null-safe equality is a valid hash key — NULL hashes like a
+    value here), so the scale shape is unchanged."""
+    o = _t(spark, sf_dir, "orders")
+    sides = (
+        o.select(
+            F.when(
+                F.col("o_orderpriority") == "3-MEDIUM", F.lit(None)
+            ).otherwise(F.col("o_orderpriority")).alias("pr")
+        )
+        .groupBy("pr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("2-HIGH", 2), (None, 99), ("4-NOT SPECIFIED", 4), ("5-LOW", 5)],
+        "pr string, rank int",
+    )
+    return sides.join(
+        F.broadcast(dim), sides["pr"].eqNullSafe(dim["pr"])
+    ).select(sides["pr"], "n", "rank")
+
+
+@_register(
+    "f11_try_functions",
+    """
+    WITH t AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_c,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) - 2000
+               AS denom,
+             CASE WHEN l_orderkey % 5 = 0 THEN 'notanum'
+                  ELSE CAST(l_linenumber AS VARCHAR) END AS maybe_num
+      FROM lineitem
+    )
+    SELECT COUNT(CASE WHEN denom = 0 THEN 1 END) AS n_div_null,
+           COUNT(CASE WHEN TRY_CAST(maybe_num AS BIGINT) IS NULL THEN 1 END)
+             AS n_cast_null,
+           SUM(TRY_CAST(maybe_num AS BIGINT)) AS sum_cast,
+           SUM(CASE WHEN denom <> 0 THEN price_c // denom END) AS sum_div
+    FROM t
+    """,
+)
+def f11_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: this engine runs Spark 4's ANSI mode, where
+    division by zero and bad casts THROW — one poisoned row kills a
+    100 TB job at hour three. ``try_divide`` / ``try_cast`` return NULL
+    instead, making dirty-data tolerance an explicit per-expression choice
+    rather than a global dialect downgrade. Counts of each failure class
+    plus integer sums of the successes; the oracle spells the same
+    semantics with guarded CASE arithmetic and DuckDB's TRY_CAST.
+    (try_divide yields DOUBLE, so the integer quotient is re-derived with
+    DIV on the guarded path for an exact cross-engine sum.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    price_c = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    denom = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    ) - 2000
+    maybe = F.when(F.col("l_orderkey") % 5 == 0, F.lit("notanum")).otherwise(
+        F.col("l_linenumber").cast("string")
+    )
+    t = li.select(
+        price_c.alias("price_c"),
+        denom.alias("denom"),
+        F.try_divide(price_c, denom).alias("q"),
+        maybe.try_cast("bigint").alias("casted"),
+    )
+    return t.agg(
+        F.count(F.when(F.col("q").isNull(), 1)).alias("n_div_null"),
+        F.count(F.when(F.col("casted").isNull(), 1)).alias("n_cast_null"),
+        F.sum("casted").alias("sum_cast"),
+        F.sum(
+            F.when(F.col("denom") != 0, F.expr("price_c DIV denom"))
+        ).alias("sum_div"),
+    )
+
+
+@_register(
+    "cl1_collation",
+    """
+    WITH mixed AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN UPPER(lang) ELSE lang END AS l
+      FROM documents
+    )
+    SELECT LOWER(l) AS lang_ci, COUNT(*) AS n
+    FROM mixed GROUP BY LOWER(l)
+    """,
+)
+def cl1_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collation (Spark 4): grouping under the UTF8_LCASE collation
+    merges case variants AT THE TYPE LEVEL — comparisons, joins, and
+    aggregations become case-insensitive without rewriting every
+    expression to lower() (and without losing prefix-pushdown the way
+    wrapping columns in functions does). Half the lang codes are
+    upper-cased first; the collated group-by must merge them. The emitted
+    group key is canonicalized with lower() because which variant the
+    group-by keeps as representative is not defined; the oracle groups by
+    lower() directly."""
+    d = _t(spark, sf_dir, "documents")
+    mixed = d.select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("lang"))
+        .otherwise(F.col("lang"))
+        .alias("l")
+    )
+    return (
+        mixed.groupBy(F.collate(F.col("l"), "UTF8_LCASE").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lower("k").alias("lang_ci"), "n")
+    )
