@@ -144,3 +144,105 @@ def test_partial_aggregate_merge_identity(spark, rows):
     )
     got = {r["k"]: (r["n"], r["s"]) for r in merged.collect()}
     assert got == full
+
+
+# ---------------------------------------------------------------------------
+# round-3 operators: Morton interleave, exact outlier predicate, global ids
+# ---------------------------------------------------------------------------
+
+
+def _morton_py(a: int, b: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 0xFFFF), st.integers(0, 0xFFFF)),
+        min_size=1,
+        max_size=24,
+        unique=True,
+    )
+)
+@settings(**PROP_SETTINGS)
+def test_zorder_value_matches_reference_interleave(spark, pairs):
+    """The Column-expression Morton code equals the bit-by-bit reference
+    implementation for arbitrary 16-bit pairs — i.e. it is a true
+    interleave (hence bijective, hence content-preserving as a sort key)."""
+    from angelo_bravo_etl_task_spark.queries_scale import zorder_value
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select(
+            "a", "b", zorder_value(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    }
+    for (a, b), z in got.items():
+        assert z == _morton_py(a, b), (a, b, z)
+
+
+@given(
+    vals=st.lists(st.integers(0, 50_000), min_size=4, max_size=40),
+)
+@settings(**PROP_SETTINGS)
+def test_exact_outlier_predicate_matches_float_zscore(spark, vals):
+    """an1's integer predicate (v*n - s)^2 > 9*n*q - (3s)^2 agrees with the
+    float z^2 > 9 definition away from the boundary (where float is
+    untrustworthy — the exact form is the point)."""
+    import math
+
+    n = len(vals)
+    s = sum(vals)
+    q = sum(v * v for v in vals)
+    mu = s / n
+    var = q / n - mu * mu
+    for v in vals:
+        exact = (v * n - s) ** 2 > 9 * n * q - (3 * s) ** 2
+        if var <= 0:
+            assert not exact  # zero variance -> nothing is an outlier
+            continue
+        z2 = (v - mu) ** 2 / var
+        if abs(z2 - 9.0) > 1e-6:  # outside the float-uncertainty band
+            assert exact == (z2 > 9.0), (v, n, s, q, z2, exact)
+
+
+@given(
+    keys=st.lists(st.integers(0, 500_000), min_size=1, max_size=60, unique=True),
+)
+@settings(**PROP_SETTINGS)
+def test_ord1_bucketed_ids_equal_naive_global_rownumber(spark, keys):
+    """The bucketed global-row-number decomposition yields EXACTLY the ids
+    of the naive single-partition ROW_NUMBER() OVER (ORDER BY key), for
+    arbitrary unique key sets (including keys straddling bucket borders)."""
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame([(k,) for k in keys], "o_orderkey long")
+    b = df.withColumn("bucket", F.expr("o_orderkey DIV 1000"))
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = counts.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("bucket", "offset")
+    wb = Window.partitionBy("bucket").orderBy("o_orderkey")
+    got = {
+        (r.o_orderkey, r.row_id)
+        for r in b.join(F.broadcast(offsets), "bucket")
+        .select(
+            "o_orderkey",
+            (F.col("offset") + F.row_number().over(wb)).alias("row_id"),
+        )
+        .collect()
+    }
+    expected = {(k, i + 1) for i, k in enumerate(sorted(keys))}
+    assert got == expected
