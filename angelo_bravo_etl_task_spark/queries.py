@@ -1119,6 +1119,7 @@ _CHECK_FIRST: list[str] = [
     "j6_null_safe_join",
     "f11_try_functions",
     "cl1_collation",
+    "sh1_curriculum_shards",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -555,3 +555,53 @@ def dp1_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5("text").alias("h"), "n_chars"
     )
     return batch.join(corpus, "h", "left_anti").select("doc_id", "n_chars")
+
+
+# =========================================================================
+# sh1: curriculum sharding — ordered, size-capped training shards
+# =========================================================================
+
+
+@_register(
+    "sh1_curriculum_shards",
+    """
+    SELECT COUNT(*) AS n_docs,
+           SUM(CAST(n_chars AS BIGINT)) AS total_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    """,
+)
+def sh1_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum sharding — the EXPORT step of a training-data pipeline:
+    documents are range-partitioned by a quality/difficulty score
+    (n_chars here) so shard k holds one contiguous score band (a training
+    loop reading shards in order gets curriculum ordering for free), and
+    ``maxRecordsPerFile`` caps every shard file (dataloaders want
+    uniform-sized shards, not one fat partition). The oracle checks
+    content preservation through the rewrite; the curriculum property
+    itself — pairwise-disjoint per-file score ranges and the record cap —
+    is asserted in tests/test_operators.py (range split points come from
+    sampling, so they are layout, not semantics)."""
+    import os
+
+    from .queries_scale import _SCRATCH
+
+    sink = os.path.join(
+        _SCRATCH, "sh1_shards_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    (
+        d.repartitionByRange(4, "n_chars", "doc_id")
+        .sortWithinPartitions("n_chars", "doc_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", "100")
+        .parquet(sink)
+    )
+    back = spark.read.parquet(sink)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

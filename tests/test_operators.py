@@ -426,3 +426,36 @@ def test_cp1_compaction_reduces_file_count(spark, sf_dir):
         glob.glob(os.path.join(_SCRATCH, f"cp1_compact_{tag}", "*.parquet"))
     )
     assert n_frag == 64 and n_compact == 4
+
+
+def test_sh1_shards_are_curriculum_ordered_and_capped(spark, sf_dir):
+    """sh1's layout contract: every shard file holds <= 100 records, there
+    are multiple files, and the per-file [min,max] n_chars ranges are
+    pairwise non-overlapping up to shared boundary values (range
+    partitioning puts equal scores on a boundary in adjacent files; the
+    (n_chars, doc_id) sort key makes ranges strictly ordered by file)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from angelo_bravo_etl_task_spark.queries import QUERIES
+    from angelo_bravo_etl_task_spark.queries_scale import _SCRATCH
+
+    QUERIES["sh1_curriculum_shards"][0](spark, sf_dir).collect()
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    sink = os.path.join(_SCRATCH, f"sh1_shards_{tag}")
+    per_file = (
+        spark.read.parquet(sink)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+        .collect()
+    )
+    assert len(per_file) > 1
+    assert all(r.n <= 100 for r in per_file)
+    ranges = sorted((r.lo, r.hi) for r in per_file)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (ranges,)
