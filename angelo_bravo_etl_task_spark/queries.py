@@ -1120,6 +1120,8 @@ _CHECK_FIRST: list[str] = [
     "f11_try_functions",
     "cl1_collation",
     "sh1_curriculum_shards",
+    "px3_streaming_ingest_pipeline",
+    "tc1_triangle_count",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -605,3 +605,93 @@ def sh1_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# =========================================================================
+# px3: the continuous-ingest flagship — gate -> dedup -> enrich -> window
+# in ONE streaming query
+# =========================================================================
+
+_PX3_RUN_SEQ = [0]
+
+
+@_register(
+    "px3_streaming_ingest_pipeline",
+    """
+    WITH dim(event_type, weight) AS (
+      VALUES ('click', 1), ('view', 2), ('purchase', 5), ('signup', 3)
+    ), gated AS (
+      SELECT DISTINCT ON (event_id) event_id, ts, event_type, value
+      FROM events
+      WHERE value >= 1.0 AND event_type <> 'error'
+    ), agg AS (
+      SELECT d.weight,
+             g.event_type,
+             time_bucket(INTERVAL '10 minutes', g.ts) AS window_start,
+             COUNT(*) AS n_events,
+             SUM(CAST(g.value AS DECIMAL(18,2)) * d.weight) AS weighted_value
+      FROM gated g JOIN dim d ON g.event_type = d.event_type
+      GROUP BY 1, 2, 3
+    ), wm AS (
+      SELECT MAX(ts) - INTERVAL '30 minutes' AS horizon FROM events
+    )
+    SELECT event_type, window_start, n_events, weighted_value
+    FROM agg, wm
+    WHERE agg.window_start + INTERVAL '10 minutes' <= wm.horizon
+    """,
+)
+def px3_streaming_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTINUOUS-INGEST flagship: every streaming stage this engine
+    provides, composed into ONE streaming query — (1) stateless quality
+    gate (evaluated before any state exists, so rejects never cost state),
+    (2) stateful exact dedup on event_id (dropDuplicatesWithinWatermark,
+    state freed past the watermark), (3) stream-static broadcast
+    enrichment (no join state), (4) watermarked tumbling weighted
+    aggregate in append mode. This is e7 + e8 fused — the point is that
+    the stages COMPOSE under one watermark with bounded state, which is
+    the production property; each stage alone is already oracle-checked.
+    The oracle mirrors gate -> DISTINCT ON(event_id) -> join -> window
+    with the append-mode finality cutoff. event_id is unique in the
+    source, so dedup's survivor choice cannot affect values."""
+    from .streaming.windows import (
+        run_available_now,
+        stream_events_raw,
+        stream_partitions,
+        streaming_dedup,
+    )
+
+    _PX3_RUN_SEQ[0] += 1
+    sink = f"px3_ingest_sink_{_PX3_RUN_SEQ[0]}"
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 5), ("signup", 3)],
+        "event_type string, weight int",
+    )
+    with stream_partitions(spark):
+        stream = stream_events_raw(spark, sf_dir, watermark="30 minutes")
+        gated = stream.where(
+            (F.col("value") >= 1.0) & (F.col("event_type") != "error")
+        ).select("event_id", "ts", "event_type", "value")
+        deduped = streaming_dedup(gated, keys=("event_id",))
+        enriched = deduped.join(F.broadcast(dim), "event_type").select(
+            "event_type",
+            "ts",
+            (F.col("value").cast("decimal(18,2)") * F.col("weight")).alias(
+                "wv"
+            ),
+        )
+        agg = (
+            enriched.groupBy(
+                "event_type", F.window("ts", "10 minutes").alias("w")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("wv").alias("weighted_value"),
+            )
+            .select(
+                "event_type",
+                F.col("w.start").alias("window_start"),
+                "n_events",
+                "weighted_value",
+            )
+        )
+        return run_available_now(agg, sink, timeout=180)

@@ -1118,3 +1118,71 @@ def mm4_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").cast("binary").alias("content"),
     )
     return resize_images(assets, box=64, fake=True)
+
+
+# =========================================================================
+# tc1: triangle counting — the clustering-coefficient primitive
+# =========================================================================
+
+_TC1_SQL = """
+WITH edges AS (
+  SELECT DISTINCT LEAST(u0, v0) AS u, GREATEST(u0, v0) AS v
+  FROM (
+    SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '-u'), 1, 4)
+                AS INT) % 499 AS u0,
+           CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '-v'), 1, 4)
+                AS INT) % 499 AS v0
+    FROM orders WHERE o_orderkey < 20000
+  ) WHERE u0 <> v0
+), wedges AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+)
+SELECT COUNT(*) AS n_triangles,
+       (SELECT COUNT(*) FROM edges) AS n_edges
+FROM wedges w JOIN edges e3 ON w.a = e3.u AND w.c = e3.v
+"""
+
+
+@_register("tc1_triangle_count", _TC1_SQL)
+def tc1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting, the clustering-coefficient primitive: canonical
+    u < v edges, wedges from one edge-edge equi-join, each wedge closed by
+    probing the edge set — every triangle counted exactly once (a < b < c
+    by construction), all equi-joins, no cartesian.
+
+    The graph is a deterministic sparse synthetic (md5-mixed order keys
+    onto 499 vertices — md5 because LINEAR key mixing degenerates to a
+    permutation graph with zero triangles; edge count CAPPED by a fixed
+    key range so density does not grow with SF). The natural co-purchase
+    projection (suppliers sharing a part) is near-COMPLETE on this data —
+    every supplier pair shares some part, 1.7e8 triangles at sf0.1 — which
+    is the degenerate case triangle counting is never run on raw; real
+    deployments threshold or sparsify first (and orient edges from low-
+    to high-degree, bounding wedge counts by arboricity — the join shape
+    stays exactly this)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 20000)
+
+    def mix(tag: str):
+        h = F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(tag)))
+        return (F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % 499)
+
+    raw = o.select(mix("-u").alias("u0"), mix("-v").alias("v0")).where(
+        F.col("u0") != F.col("v0")
+    )
+    edges = (
+        raw.select(
+            F.least("u0", "v0").alias("u"), F.greatest("u0", "v0").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # three consumers below
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
+        F.col("e1.u").alias("wa"), F.col("e2.v").alias("wc")
+    )
+    tri = wedges.join(
+        e3, (F.col("wa") == F.col("e3.u")) & (F.col("wc") == F.col("e3.v"))
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return tri.crossJoin(F.broadcast(n_edges))
