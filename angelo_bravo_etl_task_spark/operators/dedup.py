@@ -237,6 +237,9 @@ def _minhash_signature_arrow(num_hashes: int = 64):
 
     @pandas_udf("array<bigint>")
     def minhash_from_hashes(bh: pd.Series) -> pd.Series:
+        # uint64 wraparound IS the XXH64 arithmetic — silence the benign
+        # numpy overflow warning for this scope only
+        np.seterr(over="ignore")
         n = len(bh)
         if n == 0:
             return pd.Series([], dtype=object)
