@@ -1122,6 +1122,7 @@ _CHECK_FIRST: list[str] = [
     "sh1_curriculum_shards",
     "px3_streaming_ingest_pipeline",
     "tc1_triangle_count",
+    "f12_array_set_algebra",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

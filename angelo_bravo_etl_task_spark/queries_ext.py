@@ -1776,3 +1776,66 @@ def cl1_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lower("k").alias("lang_ci"), "n")
     )
+
+
+# =========================================================================
+# f12: array set algebra — union / intersect / except on array columns
+# =========================================================================
+
+_F12_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         list_sort(list_distinct(COALESCE(list(l_linenumber)
+           FILTER (WHERE l_quantity > 25), CAST([] AS BIGINT[])))) AS hi_qty,
+         list_sort(list_distinct(COALESCE(list(l_linenumber)
+           FILTER (WHERE l_extendedprice > 30000), CAST([] AS BIGINT[]))))
+           AS hi_price
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       list_sort(list_distinct(list_cat(hi_qty, hi_price))) AS u,
+       list_sort(list_intersect(hi_qty, hi_price)) AS i,
+       list_sort(list_filter(hi_qty,
+                 x -> NOT list_contains(hi_price, x))) AS d
+FROM per_order
+WHERE len(hi_qty) > 0 OR len(hi_price) > 0
+"""
+
+
+@_register("f12_array_set_algebra", _F12_SQL)
+def f12_array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra: per order, the line numbers with high quantity
+    vs high price as array columns, combined with array_union /
+    array_intersect / array_except — the set operations arrays owe once a
+    data model nests 1:N facts (ns1's layout). Both engines canonicalize
+    with sort+distinct because the builtins differ in ORDER guarantees
+    (Spark preserves first-argument order, DuckDB does not) — order is
+    representation, set content is semantics, and the oracle pins the
+    semantics."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.array_distinct(
+                F.collect_list(
+                    F.when(F.col("l_quantity") > 25, F.col("l_linenumber"))
+                )
+            )
+        ).alias("hi_qty"),
+        F.array_sort(
+            F.array_distinct(
+                F.collect_list(
+                    F.when(
+                        F.col("l_extendedprice") > 30000, F.col("l_linenumber")
+                    )
+                )
+            )
+        ).alias("hi_price"),
+    )
+    return per_order.where(
+        (F.size("hi_qty") > 0) | (F.size("hi_price") > 0)
+    ).select(
+        "l_orderkey",
+        F.array_sort(F.array_union("hi_qty", "hi_price")).alias("u"),
+        F.array_sort(F.array_intersect("hi_qty", "hi_price")).alias("i"),
+        F.array_sort(F.array_except("hi_qty", "hi_price")).alias("d"),
+    )
