@@ -92,10 +92,21 @@ def asof_join(
     left_time: str,
     right_time: str,
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    right_time_as: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the single right row with the greatest
     ``right_time <= left_time`` (direction='backward') or smallest
     ``right_time >= left_time`` ('forward'), per key.
+
+    ``tolerance_seconds`` bounds the match the way pandas ``merge_asof``'s
+    tolerance does: a candidate further than the bound (in seconds for
+    timestamp axes — the gap is computed on ``cast('double')``, i.e. epoch
+    seconds; in native units for numeric axes) leaves the right-side
+    columns NULL instead. ``right_time_as`` additionally emits the matched
+    right row's time under that name (NULL where no match) — callers need
+    it to see WHICH observation matched, and the tolerance check uses it
+    internally anyway.
 
     Implemented as union + window (no cross product): tag both sides, union
     on the key+time axis, carry right-side values with ``last(ignorenulls)``
@@ -120,7 +131,11 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"_r_{c}") for c in rcols],
     )
+    lt = lt.withColumn("_src_t", F.lit(None).cast(right.schema[right_time].dataType))
+    rt = rt.withColumn("_src_t", F.col("_t"))
     unioned = lt.unionByName(rt)
+    rcols = rcols + ["__matched_t"]
+    unioned = unioned.withColumn("_r___matched_t", F.col("_src_t")).drop("_src_t")
 
     if direction == "backward":
         # right rows sort before left rows at equal time → a match at t==t counts
@@ -159,7 +174,23 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction}")
 
     out = filled.where(F.col("_is_left") == 1).drop("_is_left")
-    renames = {f"_r_{c}": c for c in rcols}
-    for old, new in renames.items():
-        out = out.withColumnRenamed(old, new)
+    value_rcols = [c for c in rcols if c != "__matched_t"]
+    if tolerance_seconds is not None:
+        gap = F.col("_t").cast("double") - F.col("_r___matched_t").cast("double")
+        if direction == "forward":
+            gap = -gap
+        ok = F.col("_r___matched_t").isNotNull() & (gap <= F.lit(float(tolerance_seconds)))
+        out = out.select(
+            *keys,
+            "_t",
+            *lcols,
+            *[F.when(ok, F.col(f"_r_{c}")).alias(f"_r_{c}") for c in value_rcols],
+            F.when(ok, F.col("_r___matched_t")).alias("_r___matched_t"),
+        )
+    if right_time_as is not None:
+        out = out.withColumnRenamed("_r___matched_t", right_time_as)
+    else:
+        out = out.drop("_r___matched_t")
+    for c in value_rcols:
+        out = out.withColumnRenamed(f"_r_{c}", c)
     return out.withColumnRenamed("_t", left_time)

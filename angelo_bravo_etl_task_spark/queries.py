@@ -1123,6 +1123,7 @@ _CHECK_FIRST: list[str] = [
     "px3_streaming_ingest_pipeline",
     "tc1_triangle_count",
     "f12_array_set_algebra",
+    "j7_asof_tolerance",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -1839,3 +1839,56 @@ def f12_array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.array_intersect("hi_qty", "hi_price")).alias("i"),
         F.array_sort(F.array_except("hi_qty", "hi_price")).alias("d"),
     )
+
+
+# =========================================================================
+# j7: as-of join with tolerance — bounded-staleness lookup
+# =========================================================================
+
+_J7_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+), m AS (
+  SELECT p.event_id AS eid, MAX(c.ts) AS click_ts
+  FROM p JOIN c
+    ON c.user_id = p.user_id
+   AND c.ts <= p.ts
+   AND c.ts >= p.ts - INTERVAL '10 minutes'
+  GROUP BY p.event_id
+)
+SELECT p.event_id, p.ts, m.click_ts
+FROM p LEFT JOIN m ON p.event_id = m.eid
+"""
+
+
+@_register("j7_asof_tolerance", _J7_SQL)
+def j7_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (operators/joins.py::asof_join,
+    pandas merge_asof semantics): each purchase picks up its user's most
+    recent click, but only if it happened within the last 10 minutes —
+    beyond that the match is NULLed, which is the bounded-staleness rule
+    every attribution/quote-lookup pipeline needs (an as-of match from
+    last Tuesday is not a signal). Union + ordered window, one shuffle on
+    the user key, no interval join blow-up; the matched click's timestamp
+    is emitted so the oracle (a bounded interval join + MAX) can verify
+    WHICH observation matched, not just that one did."""
+    from .operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        direction="backward",
+        tolerance_seconds=600,
+        right_time_as="click_ts",
+    )
+    return joined.select("event_id", "ts", "click_ts")
