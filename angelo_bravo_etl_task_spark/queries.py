@@ -1124,6 +1124,7 @@ _CHECK_FIRST: list[str] = [
     "tc1_triangle_count",
     "f12_array_set_algebra",
     "j7_asof_tolerance",
+    "w10_rolling_distinct",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",
