@@ -1125,6 +1125,8 @@ _CHECK_FIRST: list[str] = [
     "f12_array_set_algebra",
     "j7_asof_tolerance",
     "w10_rolling_distinct",
+    "seq1_gaps_islands",
+    "f13_timezone_hours",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -1219,3 +1219,92 @@ def w10_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.size(F.collect_set("user_id").over(w)).alias("uniq_users_1h"),
     )
+
+
+# =========================================================================
+# seq1: gaps and islands — consecutive-streak detection
+# =========================================================================
+
+_SEQ1_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), tagged AS (
+  SELECT user_id, d,
+         CAST(d - DATE '2024-01-01' AS BIGINT)
+           - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS island
+  FROM days
+)
+SELECT user_id,
+       MIN(d) AS streak_start,
+       MAX(d) AS streak_end,
+       COUNT(*) AS streak_days
+FROM tagged
+GROUP BY user_id, island
+HAVING COUNT(*) >= 3
+"""
+
+
+@_register("seq1_gaps_islands", _SEQ1_SQL)
+def seq1_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's streaks of CONSECUTIVE active days
+    (>= 3 days), the classic sessionization-in-discrete-time pattern
+    (login streaks, SLA runs, sensor uptime). The island id is the
+    difference between the day ordinal and its per-user row_number —
+    constant exactly while days are consecutive — so detection needs ONE
+    window over the deduplicated (user, day) frame plus one aggregate; no
+    self-joins, no iteration. Both engines anchor the ordinal to the same
+    epoch date so the island ids (grouping keys, not emitted) coincide."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    tagged = days.withColumn(
+        "island",
+        F.datediff(F.col("d"), F.lit("2024-01-01").cast("date")).cast("bigint")
+        - F.row_number().over(w),
+    )
+    return (
+        tagged.groupBy("user_id", "island")
+        .agg(
+            F.min("d").alias("streak_start"),
+            F.max("d").alias("streak_end"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .where(F.col("streak_days") >= 3)
+        .drop("island")
+    )
+
+
+# =========================================================================
+# f13: timezone conversion — UTC storage, local-time semantics
+# =========================================================================
+
+_F13_SQL = """
+SELECT strftime(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York',
+                '%H') AS ny_hour,
+       COUNT(*) AS n_events
+FROM events
+WHERE ts < TIMESTAMP '2024-02-01 00:00:00'
+GROUP BY 1
+"""
+
+
+@_register("f13_timezone_hours", _F13_SQL)
+def f13_timezone_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone semantics: events stored naive-UTC (the only sane lake
+    convention), bucketed by their NEW YORK local hour — the
+    reporting-calendar question every global dataset eventually gets.
+    ``from_utc_timestamp`` and DuckDB's double AT TIME ZONE hop resolve
+    through the same IANA tzdata; the January-only filter keeps the check
+    away from DST transitions, where the engines agree too but a
+    regenerated dataset straddling a transition would make failures hard
+    to localize. Hour extracted as a string to dodge int-width noise."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("ts") < F.lit("2024-02-01 00:00:00").cast("timestamp"))
+        .groupBy(
+            F.date_format(
+                F.from_utc_timestamp("ts", "America/New_York"), "HH"
+            ).alias("ny_hour")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
