@@ -1127,6 +1127,7 @@ _CHECK_FIRST: list[str] = [
     "w10_rolling_distinct",
     "seq1_gaps_islands",
     "f13_timezone_hours",
+    "ck1_doc_chunking",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -695,3 +695,65 @@ def px3_streaming_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         )
         return run_available_now(agg, sink, timeout=180)
+
+
+# =========================================================================
+# ck1: document chunking with overlap — the pretraining/RAG splitter
+# =========================================================================
+
+_CK1_C = 64  # chunk size (tokens)
+_CK1_S = 48  # stride (=> 16-token overlap)
+
+_CK1_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+                     t -> LENGTH(t) > 0) AS w
+  FROM documents
+), chunks AS (
+  SELECT doc_id,
+         (s - 1) // {_CK1_S} AS chunk_idx,
+         list_slice(w, s, LEAST(len(w), s + {_CK1_C} - 1)) AS chunk
+  FROM toks, UNNEST(generate_series(1, len(w), {_CK1_S})) AS t(s)
+  WHERE len(w) > 0
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM chunks
+"""
+
+
+@_register("ck1_doc_chunking", _CK1_SQL)
+def ck1_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking with overlap — the splitter every pretraining /
+    RAG pipeline runs before anything else: fixed 64-token windows at
+    stride 48 (16-token overlap so no boundary context is lost), emitted
+    as (doc_id, chunk_idx, token count, content hash). One sequence() +
+    posexplode + slice, all inside codegen — 1 -> N fan-out with zero
+    Python and zero shuffles; at 100 TB this runs at scan speed and the
+    only cost is output volume (~n/stride x chunk rows). The oracle
+    rebuilds identical chunks with list_slice over the same stride grid,
+    so window boundaries, the short tail chunks, and content all
+    hash-match."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", TX.tokens(F.col("text")).alias("w")).where(
+        F.size("w") > 0
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.sequence(F.lit(1), F.size("w"), F.lit(_CK1_S))
+        ).alias("chunk_idx", "s"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.slice(F.col("w"), F.col("s"), F.lit(_CK1_C)).alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+    )
