@@ -1128,6 +1128,8 @@ _CHECK_FIRST: list[str] = [
     "seq1_gaps_islands",
     "f13_timezone_hours",
     "ck1_doc_chunking",
+    "vb1_vocab_build",
+    "dm1_per_source_caps",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

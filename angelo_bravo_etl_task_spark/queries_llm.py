@@ -757,3 +757,90 @@ def ck1_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunk").cast("bigint").alias("n_chunk_tokens"),
         F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
     )
+
+
+# =========================================================================
+# vb1: vocabulary build — ranked terms with dense ids
+# =========================================================================
+
+_VB1_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+                     t -> LENGTH(t) > 0) AS w
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, unnest(w) AS term FROM toks
+), df AS (
+  SELECT term, COUNT(*) AS doc_freq FROM grams GROUP BY term
+)
+SELECT term, doc_freq,
+       ROW_NUMBER() OVER (ORDER BY doc_freq DESC, term) AS token_id
+FROM df
+QUALIFY token_id <= 1000
+"""
+
+
+@_register("vb1_vocab_build", _VB1_SQL)
+def vb1_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction — the tokenizer-artifact query: per-term
+    document frequency, top 1000 terms, each assigned a DENSE token id by
+    rank (deterministic tiebreak on the term). The global ROW_NUMBER runs
+    over the AGGREGATED term frame (vocab-sized, thousands of rows), never
+    the corpus — the same aggregate-first discipline as ord1/qt1; corpus
+    cost is one explode + one hash aggregate. This is hh1's count feeding
+    ord1's enumeration: the output table IS the vocab file a tokenizer
+    ships."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("term")
+    )
+    df_counts = grams.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("term"))
+    return (
+        df_counts.withColumn("token_id", F.row_number().over(w))
+        .where(F.col("token_id") <= 1000)
+    )
+
+
+# =========================================================================
+# dm1: per-source document caps — crawl-curation quota
+# =========================================================================
+
+_DM1_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_kept,
+       SUM(CAST(n_chars AS BIGINT)) AS kept_chars
+FROM ranked WHERE rnk <= 40
+GROUP BY source
+"""
+
+
+@_register("dm1_per_source_caps", _DM1_SQL)
+def dm1_per_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps — the crawl-curation quota that stops one
+    domain from dominating a corpus: keep at most 40 documents per source,
+    best-first by a quality proxy (length, deterministic id tiebreak), and
+    account what survived. One window partitioned by source (cardinality =
+    number of domains — large in a real crawl, so the partitioning
+    distributes) + one aggregate. The per-domain cap composes with dp1's
+    fingerprint dedup and sm2's mixture weights as the standard curation
+    stack."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 40)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("kept_chars"),
+        )
+    )
