@@ -1045,23 +1045,22 @@ def pr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations as nested CTEs."""
     li = _t(spark, sf_dir, "lineitem")
     pairs = li.select("l_suppkey", "l_partkey").distinct()
-    edges = (
+    edges = pairs.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(100000) + F.col("l_partkey")).alias("dst"),
+    ).unionAll(
         pairs.select(
-            F.col("l_suppkey").alias("src"),
-            (F.lit(100000) + F.col("l_partkey")).alias("dst"),
+            (F.lit(100000) + F.col("l_partkey")).alias("src"),
+            F.col("l_suppkey").alias("dst"),
         )
-        .unionAll(
-            pairs.select(
-                (F.lit(100000) + F.col("l_partkey")).alias("src"),
-                F.col("l_suppkey").alias("dst"),
-            )
-        )
-        .localCheckpoint(eager=True)  # one edge materialization, 3 reuses
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edgesd = edges.join(deg, "src")
+    # materialize the degree-annotated edge list ONCE — every iteration
+    # probes this frame, so checkpointing after the deg join saves three
+    # re-joins (and re-derivations of the distinct pair set)
+    edgesd = edges.join(deg, "src").localCheckpoint(eager=True)
     ranks = (
-        edges.select("src")
+        edgesd.select("src")
         .distinct()
         .select(F.col("src").alias("node"), F.lit(1000000).cast("bigint").alias("rank"))
     )
