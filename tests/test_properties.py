@@ -246,3 +246,115 @@ def test_ord1_bucketed_ids_equal_naive_global_rownumber(spark, keys):
     }
     expected = {(k, i + 1) for i, k in enumerate(sorted(keys))}
     assert got == expected
+
+
+@given(
+    n_tokens=st.integers(1, 300),
+)
+@settings(**PROP_SETTINGS)
+def test_ck1_chunk_grid_covers_every_token_once_per_window(spark, n_tokens):
+    """Chunking invariants for any document length: chunk starts form the
+    stride grid, every token is covered by at least one chunk, full
+    neighbor chunks overlap by exactly C - S tokens, and no chunk exceeds
+    C tokens."""
+    from angelo_bravo_etl_task_spark.queries_llm import _CK1_C, _CK1_S
+
+    text = " ".join(f"w{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    from pyspark.sql import functions as F
+
+    from angelo_bravo_etl_task_spark.operators.text import tokens
+
+    toks = df.select("doc_id", tokens(F.col("text")).alias("w"))
+    chunks = (
+        toks.select(
+            F.posexplode(
+                F.sequence(F.lit(1), F.size("w"), F.lit(_CK1_S))
+            ).alias("chunk_idx", "s"),
+            F.col("w"),
+        )
+        .select("chunk_idx", "s", F.slice("w", F.col("s"), F.lit(_CK1_C)).alias("chunk"))
+        .collect()
+    )
+    starts = [r.s for r in chunks]
+    assert starts == list(range(1, n_tokens + 1, _CK1_S))
+    covered = set()
+    for r in chunks:
+        assert 1 <= len(r.chunk) <= _CK1_C
+        covered.update(range(r.s, r.s + len(r.chunk)))
+    assert covered == set(range(1, n_tokens + 1))
+    full = [r for r in chunks if len(r.chunk) == _CK1_C]
+    for a, b in zip(full, full[1:]):
+        if b.s - a.s == _CK1_S:
+            overlap = set(range(a.s, a.s + _CK1_C)) & set(range(b.s, b.s + _CK1_C))
+            assert len(overlap) == _CK1_C - _CK1_S
+
+
+@given(
+    day_offsets=st.sets(st.integers(0, 40), min_size=1, max_size=25),
+)
+@settings(**PROP_SETTINGS)
+def test_seq1_islands_match_naive_streaks(spark, day_offsets):
+    """The ordinal-minus-rownumber island trick equals a naive python
+    streak scan for arbitrary day sets."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = dt.date(2024, 1, 1)
+    days = sorted(base + dt.timedelta(days=o) for o in day_offsets)
+    df = spark.createDataFrame([(1, d) for d in days], "user_id long, d date")
+    w = Window.partitionBy("user_id").orderBy("d")
+    got = {
+        (r.streak_start, r.streak_end, r.streak_days)
+        for r in df.withColumn(
+            "island",
+            F.datediff(F.col("d"), F.lit("2024-01-01").cast("date")).cast("bigint")
+            - F.row_number().over(w),
+        )
+        .groupBy("user_id", "island")
+        .agg(
+            F.min("d").alias("streak_start"),
+            F.max("d").alias("streak_end"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .collect()
+    }
+    expected = set()
+    run = [days[0]]
+    for prev, cur in zip(days, days[1:]):
+        if (cur - prev).days == 1:
+            run.append(cur)
+        else:
+            expected.add((run[0], run[-1], len(run)))
+            run = [cur]
+    expected.add((run[0], run[-1], len(run)))
+    assert got == expected
+
+
+@given(
+    lefts=st.lists(st.integers(0, 5000), min_size=1, max_size=15),
+    rights=st.lists(st.integers(0, 5000), min_size=0, max_size=15),
+    tol=st.integers(1, 1000),
+)
+@settings(**PROP_SETTINGS)
+def test_asof_tolerance_matches_naive(spark, lefts, rights, tol):
+    """asof_join backward with tolerance == per-row 'latest right <= t
+    within tol' on a numeric time axis, including the no-match NULLs."""
+    from angelo_bravo_etl_task_spark.operators.joins import asof_join
+
+    l = spark.createDataFrame(
+        [(1, t, i) for i, t in enumerate(lefts)], "k long, t long, lid long"
+    )
+    r = spark.createDataFrame([(1, t) for t in rights], "k long, t long")
+    out = asof_join(
+        l, r, on="k", left_time="t", right_time="t",
+        direction="backward", tolerance_seconds=tol, right_time_as="mt",
+    ).collect()
+    got = {(row.lid, row.mt) for row in out}
+    expected = set()
+    for i, t in enumerate(lefts):
+        cands = [x for x in rights if x <= t and t - x <= tol]
+        expected.add((i, max(cands) if cands else None))
+    assert got == expected
