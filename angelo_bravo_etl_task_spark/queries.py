@@ -1130,6 +1130,7 @@ _CHECK_FIRST: list[str] = [
     "ck1_doc_chunking",
     "vb1_vocab_build",
     "dm1_per_source_caps",
+    "bm1_bitmap_distinct",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

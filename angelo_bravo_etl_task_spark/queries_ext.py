@@ -1892,3 +1892,40 @@ def j7_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_time_as="click_ts",
     )
     return joined.select("event_id", "ts", "click_ts")
+
+
+# =========================================================================
+# bm1: bitmap exact distinct — the RE-AGGREGABLE exact counterpart to HLL
+# =========================================================================
+
+
+@_register(
+    "bm1_bitmap_distinct",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def bm1_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting that stays mergeable: per (group, bucket),
+    a roaring-style bitmap of bit positions (bitmap_construct_agg); bucket
+    bitmaps OR together and their popcounts ADD — so, unlike
+    COUNT(DISTINCT), the partials can live in a materialized view and
+    re-aggregate to any coarser grouping with no rescan (mv1's algebra,
+    but for distinct counts; a4's HLL trades exactness for fixed size on
+    unbounded ID spaces, this keeps exactness for dense integer keys).
+    The oracle is plain COUNT(DISTINCT) — equal counts prove the bitmap
+    path loses and double-counts nothing."""
+    ev = _t(spark, sf_dir, "events")
+    per_bucket = (
+        ev.selectExpr(
+            "event_type",
+            "bitmap_bucket_number(user_id) AS bn",
+            "bitmap_bit_position(user_id) AS bp",
+        )
+        .groupBy("event_type", "bn")
+        .agg(F.expr("bitmap_construct_agg(bp)").alias("bm"))
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.expr("sum(bitmap_count(bm))").cast("bigint").alias("n_users")
+    )
