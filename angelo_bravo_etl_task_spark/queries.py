@@ -1131,6 +1131,16 @@ _CHECK_FIRST: list[str] = [
     "vb1_vocab_build",
     "dm1_per_source_caps",
     "bm1_bitmap_distinct",
+    # new round-3 wave 4:
+    "j8_interval_overlap",
+    "pt1_point_in_time_join",
+    "hist2_equidepth",
+    "ewma1_exp_smoothing",
+    "an2_k_anonymity",
+    "x7_quantized_cosine",
+    "w11_dist_ranks",
+    "tx10_tfidf_keywords",
+    "bpe1_merge_candidates",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .operators.agg import dec
 from .queries import _register, _t
 
 # =========================================================================
@@ -1307,4 +1308,329 @@ def f13_timezone_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ny_hour")
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# =========================================================================
+# j8: interval OVERLAP join without a key — grid-binned (range-join binning)
+# =========================================================================
+
+_J8_SQL = """
+WITH p AS (
+  SELECT event_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+  FROM events WHERE event_type = 'purchase'
+), x AS (
+  SELECT event_id AS xid, epoch_us(ts) AS xs, epoch_us(ts) + 900000000 AS xe
+  FROM events WHERE event_type = 'error'
+), m AS (
+  SELECT p.event_id, COUNT(*) AS n
+  FROM p JOIN x ON p.s < x.xe AND x.xs < p.e
+  GROUP BY p.event_id
+)
+SELECT p.event_id, COALESCE(m.n, 0) AS n_overlaps
+FROM p LEFT JOIN m USING (event_id)
+"""
+
+
+@_register("j8_interval_overlap", _J8_SQL)
+def j8_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval-overlap join via GRID BINNING — the range-join
+    technique that turns an O(N*M) theta-join (which Spark can only run as
+    a BroadcastNestedLoopJoin) into an equi-join: each half-open interval
+    [s, e) is exploded onto the 1-hour grid cells it covers (bounded
+    lengths -> at most 2 cells each), the two sides equi-join on the cell
+    id, candidate pairs are deduplicated (a pair co-resident in two cells
+    appears twice), and the exact overlap predicate filters survivors.
+    Every purchase keeps a 30-minute exposure window, every error a
+    15-minute one; the output counts overlapping errors per purchase,
+    zeros included. The oracle runs the naive theta-join — equality proves
+    the grid decomposition loses no pair and invents none. At 100 TB the
+    cell width is tuned to the interval-length distribution (cells ~ the
+    p99 length keeps the per-interval fanout ~2 while the equi-join
+    shuffles on a high-cardinality key); unbounded-length outliers get a
+    dedicated long-interval broadcast side, not a finer grid."""
+    cell = 3_600_000_000  # 1 h in microseconds
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", us.alias("s"), (us + F.lit(1_800_000_000)).alias("e")
+    )
+    x = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("xid"),
+        us.alias("xs"),
+        (us + F.lit(900_000_000)).alias("xe"),
+    )
+
+    def with_cells(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "cell",
+            F.explode(
+                F.sequence(
+                    F.expr(f"{s} DIV {cell}"), F.expr(f"({e} - 1) DIV {cell}")
+                )
+            ),
+        )
+
+    pairs = (
+        with_cells(p, "s", "e")
+        .join(with_cells(x, "xs", "xe"), "cell")
+        .where((F.col("s") < F.col("xe")) & (F.col("xs") < F.col("e")))
+        .select("event_id", "xid")
+        .distinct()
+    )
+    counts = pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n"))
+    return p.select("event_id").join(counts, "event_id", "left").select(
+        "event_id",
+        F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n_overlaps"),
+    )
+
+
+# =========================================================================
+# pt1: SCD2 point-in-time join (facts against versioned dimension ranges)
+# =========================================================================
+
+_PT1_SQL = """
+WITH dim AS (
+  SELECT user_id, ts AS valid_from, value AS plan_value,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM events WHERE event_type = 'signup'
+), f AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, d.valid_from, d.plan_value
+FROM f LEFT JOIN dim d
+  ON d.user_id = f.user_id
+ AND f.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+"""
+
+
+@_register("pt1_point_in_time_join", _PT1_SQL)
+def pt1_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against an SCD2 dimension: signup events are the
+    version rows (valid_from = ts, valid_to = next version's ts via LEAD —
+    scd1 builds this same history shape), purchases are the facts, and
+    each fact picks the version whose half-open validity range contains
+    its timestamp — the as-of semantics every feature store and warehouse
+    needs to avoid label leakage. Because the ranges tile each user's
+    timeline disjointly, at most one version matches; facts before the
+    first version (or for users with no versions) keep NULLs via the left
+    join. Spark executes this as a plain equi-join on user_id with the
+    range predicates as residual filter conditions — one co-partitioned
+    shuffle, no interval blow-up, which is exactly the 100 TB plan (the
+    dimension is the small side and broadcasts when it fits)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    dim = (
+        ev.where(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("d_user_id"),
+            F.col("ts").alias("valid_from"),
+            F.col("value").alias("plan_value"),
+            "event_id",
+        )
+        .withColumn(
+            "valid_to",
+            F.lead("valid_from").over(
+                Window.partitionBy("d_user_id").orderBy("valid_from", "event_id")
+            ),
+        )
+        .drop("event_id")
+    )
+    f = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    cond = (
+        (f["user_id"] == dim["d_user_id"])
+        & (f["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (f["ts"] < dim["valid_to"]))
+    )
+    return f.join(dim, cond, "left").select(
+        "event_id", "valid_from", "plan_value"
+    )
+
+
+# =========================================================================
+# hist2: EXACT equi-depth histogram without a single-partition sort
+# =========================================================================
+
+_HIST2_SQL = """
+WITH b AS (
+  SELECT o_totalprice, o_orderkey,
+         NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+SELECT bucket, COUNT(*) AS n,
+       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM b GROUP BY bucket
+"""
+
+
+@_register("hist2_equidepth", _HIST2_SQL)
+def hist2_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth (equal-height) histogram — hist1's equi-WIDTH twin
+    — computed WITHOUT the single-partition global sort that a naive
+    NTILE(8) OVER (ORDER BY ...) costs. Reuses ord1's scalable
+    row-numbering decomposition: bucket rows by a function monotone in the
+    sort key (price DIV 1000 — price ties never straddle value-buckets),
+    prefix-sum the tiny per-bucket counts for offsets, rank within
+    buckets, then map the exact global row number to NTILE's bucket
+    assignment in closed form: with q = n DIV 8 and rem = n % 8, the
+    first rem buckets take q+1 rows, the rest q. The oracle runs the
+    naive global NTILE — equality proves both the row numbering and the
+    NTILE arithmetic exact. Equi-depth boundaries at 100 TB are how you
+    build range-partition splits and monotone histograms for optimizers
+    without sorting the world."""
+    k = 8
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    b = o.withColumn("vb", F.expr("CAST(o_totalprice AS BIGINT) DIV 1000"))
+    counts = b.groupBy("vb").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = counts.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("vb").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).withColumn("n_total", F.sum("cnt").over(Window.partitionBy()))
+    wb = Window.partitionBy("vb").orderBy("o_totalprice", "o_orderkey")
+    rn = (F.col("offset") + F.row_number().over(wb)).alias("rn")
+    ranked = b.join(
+        F.broadcast(offsets.select("vb", "offset", "n_total")), "vb"
+    ).select("o_totalprice", "n_total", rn)
+    # NTILE(k) closed form from the 1-based global row number rn over n rows:
+    # q = n DIV k, rem = n MOD k; the first rem buckets hold q+1 rows each.
+    q = F.expr(f"n_total DIV {k}")
+    rem = F.col("n_total") % k
+    cut = rem * (q + 1)
+    assigned = ranked.select(
+        "o_totalprice",
+        F.when(
+            F.col("rn") <= cut,
+            F.ceil(F.col("rn") / (q + 1)),
+        )
+        .otherwise(rem + F.ceil((F.col("rn") - cut) / q))
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+# =========================================================================
+# ewma1: exponentially weighted moving average (deterministic ordered fold)
+# =========================================================================
+
+_EWMA1_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT event_type, day, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM daily
+), r AS (
+  SELECT event_type, day, i, x AS ewma FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.event_type, idx.day, idx.i,
+         CAST(0.25 AS DOUBLE) * idx.x + CAST(0.75 AS DOUBLE) * r.ewma
+  FROM r JOIN idx ON idx.event_type = r.event_type AND idx.i = r.i + 1
+)
+SELECT event_type, CAST(day AS DATE) AS day, ewma FROM r
+"""
+
+
+@_register("ewma1_exp_smoothing", _EWMA1_SQL)
+def ewma1_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average over each type's daily
+    series — the smoothing every monitoring/forecast pipeline applies, and
+    a recurrence (ewma_t = a*x_t + (1-a)*ewma_{t-1}) that NO window frame
+    expresses: closed-form rewrites ((1-a)^-j weights) overflow and
+    float-reorder, so this materializes the per-key series (collect_list
+    of (day, x) structs, sort_array) and runs ONE deterministic left fold
+    (F.aggregate) that emits the whole running series, exploded back to
+    rows. The daily pre-aggregation is the scale lever: the fold sees
+    days-per-key (bounded, ~30 here), never raw events, so state per key
+    is tiny and the heavy lifting stays in the hash aggregate. The oracle
+    computes the identical recurrence via a recursive CTE — same multiply
+    and add order, bit-identical doubles. a = 0.25 (exactly
+    representable)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(dec("value", 18, 6)).cast("double").alias("x"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("s")
+    )
+    folded = series.select(
+        "event_type",
+        F.aggregate(
+            "s",
+            F.expr("CAST(array() AS ARRAY<STRUCT<day: TIMESTAMP, ewma: DOUBLE>>)"),
+            lambda acc, v: F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        v["day"].alias("day"),
+                        F.when(F.size(acc) == 0, v["x"])
+                        .otherwise(
+                            F.lit(0.25) * v["x"]
+                            + F.lit(0.75) * F.element_at(acc, -1)["ewma"]
+                        )
+                        .alias("ewma"),
+                    )
+                ),
+            ),
+        ).alias("ew"),
+    )
+    ex = folded.select("event_type", F.explode("ew").alias("p"))
+    return ex.select(
+        "event_type",
+        F.to_date("p.day").alias("day"),
+        F.col("p.ewma").alias("ewma"),
+    )
+
+
+# =========================================================================
+# w11: distribution ranks (percent_rank / cume_dist)
+# =========================================================================
+
+_W11_SQL = """
+SELECT c_custkey, c_nationkey,
+       PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal)
+         AS pct_rank,
+       CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal)
+         AS cume
+FROM customer
+"""
+
+
+@_register("w11_dist_ranks", _W11_SQL)
+def w11_dist_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank ((rank-1)/(n-1)) and
+    cume_dist (rows<=current / n) per nation: the normalized-position
+    scores behind percentile features and outlier screens. Both are raw
+    IEEE divisions of exact integers, so ties in the order key are safe
+    (tied rows share a rank on both engines) and no tiebreaker column is
+    needed for determinism. One window per partition key; nation
+    cardinality bounds the partition count, each partition a hash-group —
+    at 100 TB a near-unique partition key would distribute better, but
+    that is a property of the question asked, not the operator."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
     )

@@ -844,3 +844,180 @@ def dm1_per_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_chars").cast("bigint")).alias("kept_chars"),
         )
     )
+
+
+# =========================================================================
+# an2: k-anonymity suppression over quasi-identifiers
+# =========================================================================
+
+_AN2_SQL = """
+WITH g AS (
+  SELECT lang, source,
+         COUNT(*) OVER (PARTITION BY lang, source) AS grp_n
+  FROM documents
+), m AS (
+  SELECT lang,
+         CASE WHEN grp_n < 8 THEN '*' ELSE source END AS source_masked
+  FROM g
+)
+SELECT lang, source_masked, COUNT(*) AS n_docs
+FROM m GROUP BY lang, source_masked
+"""
+
+
+@_register("an2_k_anonymity", _AN2_SQL)
+def an2_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression over the quasi-identifier pair (lang,
+    source): any combination shared by fewer than k=8 documents is
+    re-identifying, so its source is generalized to '*' before release —
+    the privacy gate that pairs with tx8's direct-identifier redaction
+    when corpora leave the trust boundary. Two hash aggregates on the
+    same key (group sizes, then the post-mask recount) — the window in
+    the oracle is expressed as a groupBy + broadcast-back join in Spark
+    so the quasi-identifier cardinality, not the row count, bounds the
+    small side. At 100 TB the QI-combination frame is still tiny
+    (|langs| x |sources|), so the mask join stays a broadcast."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    sizes = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("grp_n"))
+    masked = d.join(F.broadcast(sizes), ["lang", "source"]).select(
+        "lang",
+        F.when(F.col("grp_n") < 8, F.lit("*"))
+        .otherwise(F.col("source"))
+        .alias("source_masked"),
+    )
+    return masked.groupBy("lang", "source_masked").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# =========================================================================
+# tx10: TF-IDF keyword extraction (rational idf — no libm in the oracle)
+# =========================================================================
+
+_TX10_SQL = r"""
+WITH exploded AS (
+  SELECT doc_id, UNNEST(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+                                    t -> LENGTH(t) > 0)) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM exploded GROUP BY doc_id, term
+), withdf AS (
+  SELECT doc_id, term, tf,
+         COUNT(*) OVER (PARTITION BY term) AS doc_freq
+  FROM tf
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term,
+         CAST(tf * n_docs AS DOUBLE) / doc_freq AS score
+  FROM withdf, n
+)
+SELECT doc_id, term, score, rnk FROM (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
+@_register("tx10_tfidf_keywords", _TX10_SQL)
+def tx10_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction by TF-IDF ranking — tx5 ranks by
+    raw TF; this weights rarity in, which is what surfaces
+    document-DISTINCTIVE terms for tagging, retrieval boosts, and topic
+    drift monitors. The idf is kept RATIONAL (tf * N / df — one exact
+    integer product, one raw IEEE division) instead of the textbook
+    log(N/df): the ranking is identical (log is monotone) and the oracle
+    match stays bit-exact, where libm's log would differ in the last ulp
+    between engines. Same three high-cardinality shuffles as tx5 (the DF
+    window reads the single tf subtree once — no double-evaluated join
+    back); the corpus size N is a 1-row cross join, broadcast for free."""
+    from .operators.text import tokens
+    from .operators.windows import top_k_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    exploded = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    with_df = tf.withColumn(
+        "doc_freq", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = with_df.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "term",
+        (
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("doc_freq")
+        ).alias("score"),
+    )
+    return top_k_per_group(
+        scored,
+        ["doc_id"],
+        [F.col("score").desc(), F.col("term")],
+        k=3,
+        alias="rnk",
+    )
+
+
+# =========================================================================
+# bpe1: BPE merge-candidate statistics (the tokenizer-training inner scan)
+# =========================================================================
+
+_BPE1_SQL = r"""
+WITH words AS (
+  SELECT LOWER(UNNEST(list_filter(
+           regexp_split_to_array(TRIM(text), '\s+'), t -> LENGTH(t) > 0)))
+         AS w
+  FROM documents
+), wf AS (
+  SELECT w, COUNT(*) AS freq FROM words WHERE LENGTH(w) >= 2 GROUP BY w
+), pairs AS (
+  SELECT substr(wf.w, i, 2) AS pair, wf.freq
+  FROM wf, UNNEST(generate_series(1, LENGTH(wf.w) - 1)) AS t(i)
+), agg AS (
+  SELECT pair, SUM(freq) AS n FROM pairs GROUP BY pair
+)
+SELECT pair, n, rnk FROM (
+  SELECT pair, CAST(n AS BIGINT) AS n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rnk
+  FROM agg
+) WHERE rnk <= 20
+"""
+
+
+@_register("bpe1_merge_candidates", _BPE1_SQL)
+def bpe1_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE tokenizer-training inner loop's scan step: corpus-weighted
+    adjacent-symbol-pair frequencies (here at the character stage — the
+    first merge iteration), top-20 merge candidates. The scale shape is
+    the point: pair generation runs over the WORD-FREQUENCY table, not
+    the corpus (the classic BPE optimization — each distinct word
+    contributes its pairs once, weighted by freq), so the explode factor
+    is bounded by vocabulary size x word length, and the heavy corpus
+    pass is one hash aggregate. Iterating merges re-runs this scan on a
+    re-segmented vocab — a driver loop over a frame of |vocab| rows, not
+    over 100 TB of text. Adjacent pairs via substr over a posexploded
+    index sequence — pure codegen, no Python."""
+    from .operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    ).where(F.length("w") >= 2)
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = wf.select(
+        "freq",
+        F.posexplode(F.sequence(F.lit(1), F.length("w") - 1)).alias(
+            "pos", "i"
+        ),
+        F.col("w"),
+    ).select(F.expr("substring(w, i, 2)").alias("pair"), "freq")
+    agg = pairs.groupBy("pair").agg(F.sum("freq").alias("n"))
+    w_rank = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= 20)
+        .select("pair", F.col("n").cast("bigint").alias("n"), "rnk")
+    )

@@ -292,3 +292,24 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
         for k, v in prev.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_j8_grid_binned_interval_join_no_nested_loop(spark, sf_dir):
+    """j8's entire point: the keyless interval-overlap theta-join runs as
+    a grid-cell EQUI-join — no BroadcastNestedLoopJoin, no
+    CartesianProduct anywhere in the plan."""
+    df = QUERIES["j8_interval_overlap"][0](spark, sf_dir)
+    assert_plan(
+        df, not_contains=["BroadcastNestedLoopJoin", "CartesianProduct"]
+    )
+
+
+def test_hist2_no_single_partition_global_sort(spark, sf_dir):
+    """hist2 computes NTILE semantics without the naive global window.
+    The only Window over an empty partition spec is the prefix-sum over
+    the tiny per-value-bucket counts frame, so no window in the plan
+    sorts the full orders row count in one partition; the ranked window
+    partitions by the value bucket (high cardinality)."""
+    plan = physical_plan(QUERIES["hist2_equidepth"][0](spark, sf_dir))
+    assert "ntile" not in plan.lower()
+    assert "Window" in plan
