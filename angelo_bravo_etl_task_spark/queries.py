@@ -1141,6 +1141,8 @@ _CHECK_FIRST: list[str] = [
     "w11_dist_ranks",
     "tx10_tfidf_keywords",
     "bpe1_merge_candidates",
+    "fh1_feature_hashing",
+    "fh2_sparse_cosine_topk",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -1021,3 +1021,163 @@ def bpe1_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 20)
         .select("pair", F.col("n").cast("bigint").alias("n"), "rnk")
     )
+
+
+# =========================================================================
+# fh1/fh2: feature hashing (the hashing trick) + inverted-index sparse
+# cosine — the no-model embedding path for corpus-scale similarity
+# =========================================================================
+
+_FH1_SQL = r"""
+WITH terms AS (
+  SELECT doc_id,
+         UNNEST(list_filter(regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                            t -> LENGTH(t) > 0)) AS term
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(term), 1, 4) AS BIGINT) % 64 AS dim,
+         CASE WHEN CAST('0x' || substr(md5(term), 5, 1) AS BIGINT) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM terms
+)
+SELECT doc_id, dim, CAST(SUM(s) AS BIGINT) AS weight
+FROM hashed GROUP BY doc_id, dim HAVING SUM(s) <> 0
+"""
+
+
+@_register("fh1_feature_hashing", _FH1_SQL)
+def fh1_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick, Weinberger et al. 2009): each
+    token is hashed straight to one of 64 dimensions with a hash-derived
+    ±1 sign, giving every document a fixed-width sparse vector with NO
+    vocabulary table, no fit step, and no driver state — the embedding
+    path that works on the first pass over 100 TB because it is
+    embarrassingly parallel and the dimensionality is a constant, not a
+    function of the corpus. Signed sums make collisions cancel in
+    expectation (the property that preserves inner products). md5-derived
+    dim and sign are engine-portable; weights are exact integer sums.
+    Zero-weight cells are dropped — the vector is stored sparse,
+    (doc_id, dim, weight)."""
+    from .operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    h = F.md5(F.col("term"))
+    dim = F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % 64
+    sign = F.when(
+        F.conv(F.substring(h, 5, 1), 16, 10).cast("bigint") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        terms.select("doc_id", dim.alias("dim"), sign.alias("s"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").cast("bigint").alias("weight"))
+        .where(F.col("weight") != 0)
+    )
+
+
+_FH2_SQL = r"""
+WITH terms AS (
+  SELECT doc_id,
+         UNNEST(list_filter(regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                            t -> LENGTH(t) > 0)) AS term
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(term), 1, 4) AS BIGINT) % 64 AS dim,
+         CASE WHEN CAST('0x' || substr(md5(term), 5, 1) AS BIGINT) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM terms
+), vec AS (
+  SELECT doc_id, dim, CAST(SUM(s) AS BIGINT) AS weight
+  FROM hashed GROUP BY doc_id, dim HAVING SUM(s) <> 0
+), norm2 AS (
+  SELECT doc_id, SUM(weight * weight) AS n2 FROM vec GROUP BY doc_id
+), dots AS (
+  SELECT p.doc_id AS query_id, c.doc_id AS neighbor_id,
+         SUM(p.weight * c.weight) AS dot
+  FROM vec p JOIN vec c ON p.dim = c.dim
+  WHERE p.doc_id < 20 AND p.doc_id <> c.doc_id
+  GROUP BY p.doc_id, c.doc_id
+), scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         CAST(d.dot AS DOUBLE)
+         / (sqrt(CAST(np.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE)))
+           AS cos_sim
+  FROM dots d
+  JOIN norm2 np ON np.doc_id = d.query_id
+  JOIN norm2 nc ON nc.doc_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@_register("fh2_sparse_cosine_topk", _FH2_SQL)
+def fh2_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-5 over fh1's sparse hashed vectors via an
+    INVERTED-INDEX join — the sparse-similarity shape that scales where
+    dense all-pairs cannot: vectors join on the DIMENSION id, so only
+    coordinate overlaps generate work (for high-dimensional sparse data
+    the dim join prunes most pairs; pairs sharing no dimension never
+    materialize, which is also why they can't reach the top-k — their
+    dot is 0). Dots are exact integer sums; only the two sqrt norms and
+    the final division touch doubles, in identical order on both
+    engines. The probe filter (doc_id < 20) pushes into the index scan;
+    at 100 TB the same plan runs probe-batch x inverted-index with the
+    dim-join shuffle partitioned by dimension id."""
+    # vec feeds THREE subtrees (probes, candidates, norms); checkpoint so
+    # the tokenize+hash explode runs once, not per join side (same
+    # double-compute hazard as the LSH signature self-joins in d3/d7)
+    vec = fh1_feature_hashing(spark, sf_dir).localCheckpoint(eager=True)
+    norm2 = vec.groupBy("doc_id").agg(
+        F.sum(F.col("weight") * F.col("weight")).alias("n2")
+    )
+    p = (
+        vec.where(F.col("doc_id") < 20)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            "dim",
+            F.col("weight").alias("pw"),
+        )
+    )
+    dots = (
+        p.join(vec.withColumnRenamed("doc_id", "neighbor_id"), "dim")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("pw") * F.col("weight")).alias("dot"))
+    )
+    np_ = norm2.select(F.col("doc_id").alias("query_id"), F.col("n2").alias("pn2"))
+    nc = norm2.select(
+        F.col("doc_id").alias("neighbor_id"), F.col("n2").alias("cn2")
+    )
+    scored = (
+        dots.join(F.broadcast(np_), "query_id")
+        .join(nc, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("pn2").cast("double"))
+                    * F.sqrt(F.col("cn2").cast("double"))
+                )
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
