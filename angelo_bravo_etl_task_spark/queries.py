@@ -1143,6 +1143,7 @@ _CHECK_FIRST: list[str] = [
     "bpe1_merge_candidates",
     "fh1_feature_hashing",
     "fh2_sparse_cosine_topk",
+    "fe1_feature_binning",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

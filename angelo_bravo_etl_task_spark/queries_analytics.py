@@ -1634,3 +1634,71 @@ def w11_dist_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+# =========================================================================
+# fe1: ML feature preparation — binning, one-hot, min-max scaling
+# =========================================================================
+
+_FE1_SQL = """
+WITH ext AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority,
+         MIN(o_totalprice) OVER () AS pmin,
+         MAX(o_totalprice) OVER () AS pmax
+  FROM orders
+)
+SELECT o_orderkey,
+       CASE WHEN o_totalprice < 50000 THEN 'lo'
+            WHEN o_totalprice < 150000 THEN 'mid'
+            WHEN o_totalprice < 300000 THEN 'hi'
+            ELSE 'top' END AS price_bin,
+       CAST(o_orderpriority = '1-URGENT' AS INT) AS pri_urgent,
+       CAST(o_orderpriority = '2-HIGH' AS INT) AS pri_high,
+       CAST(o_orderpriority = '3-MEDIUM' AS INT) AS pri_medium,
+       CAST(o_orderpriority = '4-NOT SPECIFIED' AS INT) AS pri_notspec,
+       CAST(o_orderpriority = '5-LOW' AS INT) AS pri_low,
+       (o_totalprice - pmin) / (pmax - pmin) AS price_scaled
+FROM ext
+"""
+
+
+@_register("fe1_feature_binning", _FE1_SQL)
+def fe1_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML feature preparation in one projection: fixed-split binning of a
+    numeric column (literal edges — data-independent, so bins never
+    migrate between training runs), one-hot encoding of a low-cardinality
+    categorical (one 0/1 column per level — NO pivot shuffle; one-hot is
+    per-row, not an aggregation), and min-max scaling against global
+    bounds. The bounds are two scalars from one aggregate, broadcast via
+    a 1-row cross join — at 100 TB that is one extra reduction, and the
+    feature projection itself stays a zero-shuffle codegen map over the
+    scan. Scaling division is raw IEEE on exact inputs — deterministic;
+    ANSI-safe because pmax > pmin on any non-constant column (and a
+    constant column should fail loudly, not silently emit 0)."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("pmin"), F.max("o_totalprice").alias("pmax")
+    )
+    p = F.col("o_totalprice")
+    onehot = [
+        (F.col("o_orderpriority") == v).cast("int").alias(a)
+        for v, a in [
+            ("1-URGENT", "pri_urgent"),
+            ("2-HIGH", "pri_high"),
+            ("3-MEDIUM", "pri_medium"),
+            ("4-NOT SPECIFIED", "pri_notspec"),
+            ("5-LOW", "pri_low"),
+        ]
+    ]
+    return o.crossJoin(F.broadcast(bounds)).select(
+        "o_orderkey",
+        F.when(p < 50000, "lo")
+        .when(p < 150000, "mid")
+        .when(p < 300000, "hi")
+        .otherwise("top")
+        .alias("price_bin"),
+        *onehot,
+        ((p - F.col("pmin")) / (F.col("pmax") - F.col("pmin"))).alias(
+            "price_scaled"
+        ),
+    )
