@@ -1144,6 +1144,8 @@ _CHECK_FIRST: list[str] = [
     "fh1_feature_hashing",
     "fh2_sparse_cosine_topk",
     "fe1_feature_binning",
+    "mv2_incremental_distinct",
+    "rc1_reconciliation",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -2041,3 +2041,146 @@ def x7_quantized_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "qcos", "rank")
     )
+
+
+# =========================================================================
+# mv2: incremental DISTINCT-count maintenance (bm1's algebra, end-to-end)
+# =========================================================================
+
+_MV2_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+@_register("mv2_incremental_distinct", _MV2_SQL)
+def mv2_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view maintenance for DISTINCT counts — the query
+    COUNT(DISTINCT) can never maintain under appends (it is not
+    distributive), made maintainable by storing bm1's bitmap partials:
+    the standing corpus (event_id % 5 != 0) is reduced ONCE to per
+    (group, bucket) bitmaps; the arriving batch (event_id % 5 = 0)
+    reduces to its own bitmaps; the refresh is bitmap_or_agg over the
+    two PARTIAL frames — whose size is groups × occupied buckets, not
+    rows — then popcount. mv1 does this for sums; this completes the
+    algebra for distincts. The oracle recomputes COUNT(DISTINCT) over
+    the full table — equality proves OR-merge loses and double-counts
+    nothing, i.e. the stored partials really are a sufficient statistic.
+    At 100 TB the base partials live in a table and only the delta
+    touches new data."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.where(F.col("event_id") % 5 != 0)
+    delta = ev.where(F.col("event_id") % 5 == 0)
+
+    def partials(df: DataFrame) -> DataFrame:
+        return (
+            df.selectExpr(
+                "event_type",
+                "bitmap_bucket_number(user_id) AS bn",
+                "bitmap_bit_position(user_id) AS bp",
+            )
+            .groupBy("event_type", "bn")
+            .agg(F.expr("bitmap_construct_agg(bp)").alias("bm"))
+        )
+
+    merged = (
+        partials(base)
+        .unionByName(partials(delta))
+        .groupBy("event_type", "bn")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+    )
+    return merged.groupBy("event_type").agg(
+        F.expr("sum(bitmap_count(bm))").cast("bigint").alias("n_users")
+    )
+
+
+# =========================================================================
+# rc1: data reconciliation — column-level mismatch accounting
+# =========================================================================
+
+_RC1_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders
+), v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         CASE WHEN o_orderkey % 17 = 0
+              THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1
+                        AS DOUBLE)
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 11 <> 0
+)
+SELECT
+  COUNT(*) FILTER (WHERE v2.o_orderkey IS NULL) AS missing_right,
+  COUNT(*) FILTER (WHERE v1.o_orderkey IS NULL) AS missing_left,
+  COUNT(*) FILTER (WHERE v1.o_orderkey IS NOT NULL
+                     AND v2.o_orderkey IS NOT NULL
+                     AND v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus)
+    AS status_mismatch,
+  COUNT(*) FILTER (WHERE v1.o_orderkey IS NOT NULL
+                     AND v2.o_orderkey IS NOT NULL
+                     AND v1.o_totalprice IS DISTINCT FROM v2.o_totalprice)
+    AS price_mismatch,
+  COUNT(*) FILTER (WHERE v1.o_orderkey IS NOT NULL
+                     AND v2.o_orderkey IS NOT NULL
+                     AND v1.o_orderpriority IS DISTINCT FROM v2.o_orderpriority)
+    AS priority_mismatch
+FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+"""
+
+
+@_register("rc1_reconciliation", _RC1_SQL)
+def rc1_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Migration reconciliation: two versions of a table (the second with
+    deterministic planted drift — dropped keys, a mutated status column,
+    a shifted price column) full-outer-joined on the key, reduced to ONE
+    summary row of per-column mismatch counts (null-safe IS DISTINCT
+    FROM, so NULL vs value counts as a difference and NULL vs NULL does
+    not). cdc1 emits the row-level diff; this is the control-total view
+    a cutover sign-off actually reads. One co-partitioned shuffle for
+    the full outer join, then a global aggregate of five conditional
+    counters — no per-column passes, one scan of each side."""
+    o = _t(spark, sf_dir, "orders")
+    v1 = o.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    v2 = (
+        o.where(F.col("o_orderkey") % 11 != 0)
+        .select(
+            F.col("o_orderkey").alias("k2"),
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("s2"),
+            F.when(
+                F.col("o_orderkey") % 17 == 0,
+                (F.col("o_totalprice").cast("decimal(18,2)") + 1).cast(
+                    "double"
+                ),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("p2"),
+            F.col("o_orderpriority").alias("pr2"),
+        )
+    )
+    j = v1.join(v2, v1["o_orderkey"] == v2["k2"], "full_outer")
+    both = v1["o_orderkey"].isNotNull() & v2["k2"].isNotNull()
+
+    def n(cond):
+        return F.count(F.when(cond, F.lit(1))).cast("bigint")
+
+    return j.agg(
+        n(v2["k2"].isNull()).alias("missing_right"),
+        n(v1["o_orderkey"].isNull()).alias("missing_left"),
+        n(both & ~v1["o_orderstatus"].eqNullSafe(v2["s2"])).alias(
+            "status_mismatch"
+        ),
+        n(both & ~v1["o_totalprice"].eqNullSafe(v2["p2"])).alias(
+            "price_mismatch"
+        ),
+        n(both & ~v1["o_orderpriority"].eqNullSafe(v2["pr2"])).alias(
+            "priority_mismatch"
+        ),
+    )
