@@ -96,8 +96,10 @@ def asof_join(
     right_time_as: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the single right row with the greatest
-    ``right_time <= left_time`` (direction='backward') or smallest
-    ``right_time >= left_time`` ('forward'), per key.
+    ``right_time <= left_time`` (direction='backward'), the smallest
+    ``right_time >= left_time`` ('forward'), or the closest in absolute
+    distance with exact ties going backward ('nearest' — pandas
+    merge_asof's tie rule), per key.
 
     ``tolerance_seconds`` bounds the match the way pandas ``merge_asof``'s
     tolerance does: a candidate further than the bound (in seconds for
@@ -170,12 +172,64 @@ def asof_join(
                 for c in rcols
             ],
         )
+    elif direction == "nearest":
+        # Both directional fills over the SAME union — two window sorts,
+        # one shuffle — then a per-row choice: the candidate with the
+        # smaller absolute gap wins; an exact tie goes to the backward
+        # match (pandas merge_asof semantics).
+        wb = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_t").desc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        two = unioned.select(
+            *keys,
+            "_t",
+            "_is_left",
+            *lcols,
+            *[
+                F.last(F.col(f"_r_{c}"), ignorenulls=True).over(wb).alias(f"_rb_{c}")
+                for c in rcols
+            ],
+            *[
+                F.last(F.col(f"_r_{c}"), ignorenulls=True).over(wf).alias(f"_rf_{c}")
+                for c in rcols
+            ],
+        )
+        gap_b = F.col("_t").cast("double") - F.col("_rb___matched_t").cast("double")
+        gap_f = F.col("_rf___matched_t").cast("double") - F.col("_t").cast("double")
+        ok_b = F.col("_rb___matched_t").isNotNull()
+        ok_f = F.col("_rf___matched_t").isNotNull()
+        if tolerance_seconds is not None:
+            tol = F.lit(float(tolerance_seconds))
+            ok_b = ok_b & (gap_b <= tol)
+            ok_f = ok_f & (gap_f <= tol)
+        use_b = ok_b & (~ok_f | (gap_b <= gap_f))
+        filled = two.select(
+            *keys,
+            "_t",
+            "_is_left",
+            *lcols,
+            *[
+                F.when(use_b, F.col(f"_rb_{c}"))
+                .when(ok_f, F.col(f"_rf_{c}"))
+                .alias(f"_r_{c}")
+                for c in rcols
+            ],
+        )
     else:
-        raise ValueError(f"direction must be backward|forward, got {direction}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction}"
+        )
 
     out = filled.where(F.col("_is_left") == 1).drop("_is_left")
     value_rcols = [c for c in rcols if c != "__matched_t"]
-    if tolerance_seconds is not None:
+    if tolerance_seconds is not None and direction != "nearest":
         gap = F.col("_t").cast("double") - F.col("_r___matched_t").cast("double")
         if direction == "forward":
             gap = -gap

@@ -1146,6 +1146,7 @@ _CHECK_FIRST: list[str] = [
     "fe1_feature_binning",
     "mv2_incremental_distinct",
     "rc1_reconciliation",
+    "j9_asof_nearest",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

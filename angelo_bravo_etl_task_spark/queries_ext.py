@@ -2184,3 +2184,60 @@ def rc1_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "priority_mismatch"
         ),
     )
+
+
+# =========================================================================
+# j9: as-of join, direction='nearest' (merge_asof's third mode)
+# =========================================================================
+
+_J9_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+), b AS (
+  SELECT p.event_id, MAX(c.ts) AS bt
+  FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+  GROUP BY p.event_id
+), f AS (
+  SELECT p.event_id, MIN(c.ts) AS ft
+  FROM p JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts
+  GROUP BY p.event_id
+)
+SELECT p.event_id, p.ts,
+       CASE WHEN b.bt IS NOT NULL
+             AND (f.ft IS NULL OR
+                  (epoch_us(p.ts) / 1000000.0 - epoch_us(b.bt) / 1000000.0)
+                  <= (epoch_us(f.ft) / 1000000.0 - epoch_us(p.ts) / 1000000.0))
+            THEN b.bt ELSE f.ft END AS click_ts
+FROM p LEFT JOIN b ON b.event_id = p.event_id
+       LEFT JOIN f ON f.event_id = p.event_id
+"""
+
+
+@_register("j9_asof_nearest", _J9_SQL)
+def j9_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join in NEAREST mode — merge_asof's third direction: each
+    purchase matches its user's click closest in absolute time, before or
+    after, exact ties going to the backward match. Implemented as both
+    directional fills over ONE union (one shuffle on the key, two window
+    sorts) and a per-row choice — still no interval join, still no
+    per-key blow-up. The oracle materializes best-backward and
+    best-forward independently and applies the identical tie rule with
+    the same epoch-seconds double arithmetic."""
+    from .operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        direction="nearest",
+        right_time_as="click_ts",
+    ).select("event_id", "ts", "click_ts")

@@ -97,6 +97,58 @@ def test_asof_join_backward(spark):
     assert got == {("A", 2): 10.0, ("A", 5): 11.0, ("A", 0): None, ("B", 9): 20.0}
 
 
+def test_asof_join_nearest_tie_goes_backward(spark):
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 5, 11.0), ("A", 9, 12.0), ("B", 30, 20.0)],
+        "sym STRING, qt INT, px DOUBLE",
+    )
+    trades = spark.createDataFrame(
+        [("A", 3), ("A", 6), ("A", 0), ("B", 10), ("C", 7)],
+        "sym STRING, tt INT",
+    )
+    out = J.asof_join(
+        trades,
+        quotes,
+        on="sym",
+        left_time="tt",
+        right_time="qt",
+        direction="nearest",
+    ).collect()
+    got = {(r["sym"], r["tt"]): r["px"] for r in out}
+    # tt=3: gap to qt=1 is 2, to qt=5 is 2 — exact tie, backward (10.0) wins
+    # tt=6: qt=5 (gap 1) beats qt=9 (gap 3); tt=0: only forward exists
+    assert got == {
+        ("A", 3): 10.0,
+        ("A", 6): 11.0,
+        ("A", 0): 10.0,
+        ("B", 10): 20.0,
+        ("C", 7): None,
+    }
+
+
+def test_asof_join_nearest_with_tolerance(spark):
+    quotes = spark.createDataFrame(
+        [("A", 0, 10.0), ("A", 100, 11.0)], "sym STRING, qt INT, px DOUBLE"
+    )
+    trades = spark.createDataFrame(
+        [("A", 4), ("A", 60), ("A", 97)], "sym STRING, tt INT"
+    )
+    out = J.asof_join(
+        trades,
+        quotes,
+        on="sym",
+        left_time="tt",
+        right_time="qt",
+        direction="nearest",
+        tolerance_seconds=5,
+        right_time_as="matched",
+    ).collect()
+    got = {r["tt"]: (r["px"], r["matched"]) for r in out}
+    # tt=4 matches qt=0 (gap 4 <= 5); tt=60 matches nothing (gaps 60/40);
+    # tt=97 matches qt=100 (gap 3)
+    assert got == {4: (10.0, 0), 60: (None, None), 97: (11.0, 100)}
+
+
 def test_range_join_bucketed(spark):
     points = spark.createDataFrame([(1, 5), (2, 15), (3, 25)], "id INT, x INT")
     bands = spark.createDataFrame(
