@@ -1147,6 +1147,10 @@ _CHECK_FIRST: list[str] = [
     "mv2_incremental_distinct",
     "rc1_reconciliation",
     "j9_asof_nearest",
+    "sql2_lateral_subquery",
+    "p3_pivot_multi_agg",
+    "f15_explode_outer",
+    "u8_arrow_udf",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -2241,3 +2241,173 @@ def j9_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="nearest",
         right_time_as="click_ts",
     ).select("event_id", "ts", "click_ts")
+
+
+# =========================================================================
+# sql2: LATERAL correlated subquery (top-1-per-row in pure SQL)
+# =========================================================================
+
+_SQL2_TEXT = """
+SELECT o.o_orderkey, l.l_linenumber, l.l_quantity
+FROM orders o,
+LATERAL (
+  SELECT l_linenumber, l_quantity
+  FROM lineitem
+  WHERE l_orderkey = o.o_orderkey
+  ORDER BY l_quantity DESC, l_linenumber
+  LIMIT 1
+) l
+WHERE o.o_orderkey % 10 = 0
+"""
+
+
+@_register("sql2_lateral_subquery", _SQL2_TEXT)
+def sql2_lateral_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — the SQL-frontend spelling of
+    top-1-per-group: for each order, its heaviest line item, ORDER BY +
+    LIMIT 1 inside a correlated derived table. Catalyst decorrelates
+    this into a window/aggregate over one join (DecorrelateInnerQuery) —
+    no per-row re-execution, which is the property that makes the
+    construct usable at 100 TB (a naive nested-loop interpretation
+    would be N subquery scans). Identical text runs on DuckDB, which
+    also decorrelates. Deterministic: the LIMIT is ordered by a unique
+    (quantity, linenumber) composite within the order."""
+    for t in ("orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL2_TEXT)
+
+
+# =========================================================================
+# p3: pivot with MULTIPLE aggregates per cell
+# =========================================================================
+
+_P3_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_n,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) AS f_total,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_n,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE) AS o_total,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_n,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FILTER (WHERE o_orderstatus = 'P'), 0) AS DOUBLE) AS p_total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@_register("p3_pivot_multi_agg", _P3_SQL)
+def p3_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivoted value (count + exact
+    decimal sum per status) — p1 pivots one measure; real reporting
+    pivots several. Pivot values are ENUMERATED ('F','O','P'), which is
+    what keeps the operator scale-safe: with explicit values Spark skips
+    the distinct-value discovery job and plans ONE partial-aggregate
+    pass with 6 conditional aggregates — same plan as the FILTER-clause
+    SQL the oracle runs, no second scan, no wide-row shuffle. Missing
+    cells surface as 0 (COALESCE'd in both engines)."""
+    o = _t(spark, sf_dir, "orders")
+    pv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("total"),
+        )
+    )
+    return pv.select(
+        "o_orderpriority",
+        F.col("F_n").cast("bigint").alias("f_n"),
+        F.col("F_total").alias("f_total"),
+        F.col("O_n").cast("bigint").alias("o_n"),
+        F.col("O_total").alias("o_total"),
+        F.col("P_n").cast("bigint").alias("p_n"),
+        F.col("P_total").alias("p_total"),
+    )
+
+
+# =========================================================================
+# f15: outer explode — null preservation for empty/NULL collections
+# =========================================================================
+
+_F15_SQL = """
+WITH nested AS (
+  SELECT o.o_orderkey,
+         list(l.l_linenumber ORDER BY l.l_linenumber)
+           FILTER (WHERE l.l_linenumber IS NOT NULL AND l.l_quantity > 45)
+           AS heavy_lines
+  FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey
+)
+SELECT o_orderkey,
+       UNNEST(CASE WHEN heavy_lines IS NULL OR LEN(heavy_lines) = 0
+                   THEN [NULL] ELSE heavy_lines END) AS line_no
+FROM nested
+"""
+
+
+@_register("f15_explode_outer", _F15_SQL)
+def f15_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer semantics: orders whose heavy-line list is EMPTY
+    must survive flattening as a NULL row — plain explode silently drops
+    them, the classic fan-out bug that loses parent rows (and with them,
+    left-join semantics) in denormalization pipelines. The collection is
+    built with collect_list over a left join, so childless parents are
+    exercised too. The oracle spells the same semantics as UNNEST over
+    a [NULL]-substituted empty list. Same plan shape as explode plus a
+    null branch — no extra shuffle."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    nested = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("l_quantity") > 45, F.col("l_linenumber"))
+                )
+            ).alias("heavy_lines")
+        )
+    )
+    return nested.select(
+        "o_orderkey",
+        F.explode_outer("heavy_lines").alias("line_no"),
+    )
+
+
+# =========================================================================
+# u8: Arrow-optimized row UDF (Spark 4's useArrow path)
+# =========================================================================
+
+
+@_register(
+    "u8_arrow_udf",
+    """
+    SELECT event_id, value * 3.0 - 1.0 AS transformed
+    FROM events WHERE event_type = 'view'
+    """,
+)
+def u8_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's Arrow-OPTIMIZED Python UDF (useArrow=True): row-lambda
+    authoring ergonomics, Arrow-batch serialization — the middle rung
+    between u3's pickled row UDF (the documented slow path) and u1's
+    fully vectorized pandas UDF. The lambda still runs per row in
+    Python, so the pandas UDF remains the hot-path choice; this exists
+    because the surface does, and the arithmetic is IEEE-identical to
+    the SQL expression."""
+    from pyspark.sql.functions import udf
+
+    @udf("double", useArrow=True)
+    def affine(v):
+        return v * 3.0 - 1.0
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(F.col("event_type") == "view").select(
+        "event_id", affine("value").alias("transformed")
+    )

@@ -358,3 +358,67 @@ def test_asof_tolerance_matches_naive(spark, lefts, rights, tol):
         cands = [x for x in rights if x <= t and t - x <= tol]
         expected.add((i, max(cands) if cands else None))
     assert got == expected
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.sampled_from(["A", "B"]), st.integers(0, 50)),
+        min_size=1,
+        max_size=12,
+    ),
+    rights=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.integers(0, 50),
+            st.integers(-5, 5),
+        ),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+)
+@settings(**PROP_SETTINGS)
+def test_asof_all_directions_match_pandas_merge_asof(
+    spark, lefts, rights, direction
+):
+    """asof_join vs pandas merge_asof (by=key) as ground truth, all three
+    directions. Right times are unique per key so the matched VALUE is
+    well-defined; pandas resolves nearest ties backward, which is the
+    documented tie rule asof_join implements."""
+    import pandas as pd
+
+    from angelo_bravo_etl_task_spark.operators import joins as J
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)],
+        "k STRING, t INT, lid INT",
+    )
+    rdf = spark.createDataFrame(rights, "k STRING, t INT, v INT")
+    got = {
+        r["lid"]: r["v"]
+        for r in J.asof_join(
+            ldf, rdf, on="k", left_time="t", right_time="t",
+            direction=direction,
+        ).collect()
+    }
+
+    lp = (
+        pd.DataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(lefts)],
+            columns=["k", "t", "lid"],
+        )
+        .astype({"k": "string", "t": "int64", "lid": "int64"})
+        .sort_values("t", kind="stable")
+    )
+    rp = (
+        pd.DataFrame(rights, columns=["k", "t", "v"])
+        .astype({"k": "string", "t": "int64", "v": "int64"})
+        .sort_values("t", kind="stable")
+    )
+    merged = pd.merge_asof(lp, rp, on="t", by="k", direction=direction)
+    want = {
+        int(row.lid): (None if pd.isna(row.v) else int(row.v))
+        for row in merged.itertuples()
+    }
+    assert got == want
