@@ -1151,6 +1151,8 @@ _CHECK_FIRST: list[str] = [
     "p3_pivot_multi_agg",
     "f15_explode_outer",
     "u8_arrow_udf",
+    "e9_complete_mode",
+    "seq2_capped_sessions",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -1702,3 +1702,90 @@ def fe1_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_scaled"
         ),
     )
+
+
+# =========================================================================
+# seq2: sessionization with BOTH an idle gap and a max-duration cap
+# =========================================================================
+
+_SEQ2_SQL = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+  FROM events
+), r AS (
+  SELECT user_id, t, i, t AS start, 1 AS idx FROM ev WHERE i = 1
+  UNION ALL
+  SELECT ev.user_id, ev.t, ev.i,
+         CASE WHEN ev.t - r.t > 1800000000 OR ev.t - r.start > 7200000000
+              THEN ev.t ELSE r.start END,
+         CASE WHEN ev.t - r.t > 1800000000 OR ev.t - r.start > 7200000000
+              THEN r.idx + 1 ELSE r.idx END
+  FROM r JOIN ev ON ev.user_id = r.user_id AND ev.i = r.i + 1
+)
+SELECT user_id, idx AS session_idx,
+       MIN(t) AS start_us, MAX(t) AS end_us,
+       COUNT(*) AS n_events
+FROM r GROUP BY user_id, idx
+"""
+
+
+@_register("seq2_capped_sessions", _SEQ2_SQL)
+def seq2_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization under TWO constraints — a 30-minute idle gap AND a
+    2-hour maximum session duration (billing periods, security sessions,
+    attribution windows all cap duration). The cap makes this genuinely
+    sequential: whether an event opens a new session depends on the start
+    chosen for the previous one, so no window frame or gaps-and-islands
+    trick (seq1) expresses it. Same decomposition as ewma1: per-user
+    event lists are bounded (user activity, not corpus size), so ONE
+    deterministic sorted fold per user assigns session indexes, exploded
+    back to rows and aggregated. Integer microsecond arithmetic —
+    bit-exact against the oracle's recursive-CTE recurrence. The
+    streaming twin is st1's applyInPandasWithState (which applies the
+    same rules incrementally); this is the batch/backfill path."""
+    ev = _t(spark, sf_dir, "events")
+    gap, cap = 1_800_000_000, 7_200_000_000
+    series = (
+        ev.select(
+            "user_id", F.unix_micros("ts").alias("t"), "event_id"
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("t", "event_id"))).alias("s"))
+    )
+
+    def merge(acc, v):
+        new_sess = (
+            (acc["last"] < 0)
+            | ((v["t"] - acc["last"]) > gap)
+            | ((v["t"] - acc["start"]) > cap)
+        )
+        idx = (acc["idx"] + F.when(new_sess, 1).otherwise(0)).cast("int")
+        start = F.when(new_sess, v["t"]).otherwise(acc["start"])
+        return F.struct(
+            v["t"].alias("last"),
+            start.alias("start"),
+            idx.alias("idx"),
+            F.concat(
+                acc["out"],
+                F.array(F.struct(v["t"].alias("t"), idx.alias("idx"))),
+            ).alias("out"),
+        )
+
+    init = F.expr(
+        "named_struct('last', CAST(-1 AS BIGINT), 'start', CAST(-1 AS BIGINT),"
+        " 'idx', CAST(0 AS INT),"
+        " 'out', CAST(array() AS ARRAY<STRUCT<t: BIGINT, idx: INT>>))"
+    )
+    folded = series.select(
+        "user_id",
+        F.aggregate("s", init, merge, lambda acc: acc["out"]).alias("out"),
+    )
+    ex = folded.select("user_id", F.explode("out").alias("p"))
+    return ex.groupBy(
+        "user_id", F.col("p.idx").alias("session_idx")
+    ).agg(
+        F.min("p.t").alias("start_us"),
+        F.max("p.t").alias("end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1181,3 +1181,47 @@ def fh2_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# =========================================================================
+# e9: COMPLETE output mode — the third streaming output mode
+# =========================================================================
+
+_E9_RUN_SEQ = [0]
+
+_E9_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+@_register("e9_complete_mode", _E9_SQL)
+def e9_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third streaming output mode, COMPLETE: the sink holds the full
+    recomputed aggregate after every micro-batch — no watermark, no
+    append-finalization cutoff, state = one row per group forever. That
+    state contract is exactly why complete mode is ONLY viable for
+    low-cardinality aggregates (a live per-type dashboard: 5 groups), and
+    why every high-cardinality query in this repo runs append mode with
+    a watermark instead; the mode choice IS the scale decision. After the
+    availableNow drain the sink equals the batch aggregate, which the
+    oracle computes directly — same exact-decimal sum discipline as e1."""
+    from .streaming.windows import (
+        run_available_now,
+        stream_events_raw,
+        stream_partitions,
+    )
+
+    _E9_RUN_SEQ[0] += 1
+    sink = f"e9_complete_sink_{_E9_RUN_SEQ[0]}"
+    with stream_partitions(spark):
+        stream = stream_events_raw(spark, sf_dir, watermark="10 minutes")
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        return run_available_now(agg, sink, timeout=120, output_mode="complete")
