@@ -1153,6 +1153,7 @@ _CHECK_FIRST: list[str] = [
     "u8_arrow_udf",
     "e9_complete_mode",
     "seq2_capped_sessions",
+    "dq2_rule_violations",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -1789,3 +1789,88 @@ def seq2_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("p.t").alias("end_us"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# =========================================================================
+# dq2: declarative data-quality rules — one scan, one violations report
+# =========================================================================
+
+_DQ2_SQL = """
+WITH dirty AS (
+  SELECT CASE WHEN l_orderkey % 79 = 0 THEN l_orderkey + 1000000000
+              ELSE l_orderkey END AS l_orderkey,
+         CASE WHEN l_orderkey % 97 = 0 THEN NULL
+              WHEN l_orderkey % 89 = 0 THEN 999.0
+              ELSE l_quantity END AS l_quantity,
+         CASE WHEN l_orderkey % 83 = 0 THEN 0.5 ELSE l_discount END
+           AS l_discount,
+         l_shipdate
+  FROM lineitem
+), li AS (
+  SELECT l.*, o.o_orderkey AS ok, o.o_orderdate AS od
+  FROM dirty l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT
+  COUNT(*) AS n_rows,
+  COUNT(*) FILTER (WHERE l_quantity IS NULL) AS null_quantity,
+  COUNT(*) FILTER (WHERE l_quantity IS NOT NULL
+                     AND (l_quantity < 1 OR l_quantity > 50)) AS range_quantity,
+  COUNT(*) FILTER (WHERE l_discount IS NOT NULL
+                     AND (l_discount < 0 OR l_discount > 0.1))
+    AS range_discount,
+  COUNT(*) FILTER (WHERE ok IS NULL) AS orphan_lines,
+  COUNT(*) FILTER (WHERE l_shipdate IS NOT NULL AND od IS NOT NULL
+                     AND l_shipdate > od + INTERVAL '120 days') AS late_ship
+FROM li
+"""
+
+
+@_register("dq2_rule_violations", _DQ2_SQL)
+def dq2_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rules evaluated in ONE pass: null checks,
+    numeric range constraints, referential integrity (order lines whose
+    order key has no parent — the left-join-null probe), and a
+    cross-column temporal rule (shipped >120 days after the order date). All five
+    rules compile to conditional counters inside a single aggregate over
+    a single scan + one broadcast-able parent join. The clean synthetic
+    corpus would leave most counters at zero (a vacuous check), so
+    deterministic violations are planted identically in both engines —
+    every rule fires on a known key slice — the shape that
+    matters at 100 TB, where a per-rule pass (the naive
+    one-query-per-check harness) multiplies cost by the rule count.
+    dq1 profiles columns; this enforces expectations. Exact counts."""
+    raw = _t(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    li = raw.select(
+        F.when(k % 79 == 0, k + 1_000_000_000).otherwise(k).alias("l_orderkey"),
+        F.when(k % 97 == 0, F.lit(None).cast("double"))
+        .when(k % 89 == 0, F.lit(999.0))
+        .otherwise(F.col("l_quantity"))
+        .alias("l_quantity"),
+        F.when(k % 83 == 0, F.lit(0.5)).otherwise(F.col("l_discount")).alias(
+            "l_discount"
+        ),
+        "l_shipdate",
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_orderdate").alias("od")
+    )
+    j = li.join(F.broadcast(o), li["l_orderkey"] == F.col("ok"), "left")
+    q = F.col("l_quantity")
+    d = F.col("l_discount")
+
+    def n(cond):
+        return F.count(F.when(cond, F.lit(1))).cast("bigint")
+
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        n(q.isNull()).alias("null_quantity"),
+        n(q.isNotNull() & ((q < 1) | (q > 50))).alias("range_quantity"),
+        n(d.isNotNull() & ((d < 0) | (d > 0.1))).alias("range_discount"),
+        n(F.col("ok").isNull()).alias("orphan_lines"),
+        n(
+            F.col("l_shipdate").isNotNull()
+            & F.col("od").isNotNull()
+            & (F.col("l_shipdate") > F.col("od") + F.expr("INTERVAL 120 DAYS"))
+        ).alias("late_ship"),
+    )

@@ -2302,10 +2302,13 @@ def p3_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal sum per status) — p1 pivots one measure; real reporting
     pivots several. Pivot values are ENUMERATED ('F','O','P'), which is
     what keeps the operator scale-safe: with explicit values Spark skips
-    the distinct-value discovery job and plans ONE partial-aggregate
-    pass with 6 conditional aggregates — same plan as the FILTER-clause
-    SQL the oracle runs, no second scan, no wide-row shuffle. Missing
-    cells surface as 0 (COALESCE'd in both engines)."""
+    the distinct-value discovery job (an extra full scan) and plans ONE
+    scan feeding two aggregate pairs — a partial+final aggregate on
+    (priority, status) that collapses the data to |priority|x|status|
+    rows, then a pivotfirst aggregate over that tiny frame (cost ~ the
+    cell count, not the row count). The oracle spells the same result as
+    FILTER-clause conditional aggregation. Missing cells surface as 0
+    (COALESCE'd in both engines)."""
     o = _t(spark, sf_dir, "orders")
     pv = (
         o.groupBy("o_orderpriority")

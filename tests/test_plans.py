@@ -313,3 +313,29 @@ def test_hist2_no_single_partition_global_sort(spark, sf_dir):
     plan = physical_plan(QUERIES["hist2_equidepth"][0](spark, sf_dir))
     assert "ntile" not in plan.lower()
     assert "Window" in plan
+
+
+def test_fe1_feature_prep_zero_shuffle(spark, sf_dir):
+    """fe1's claim: binning + one-hot + scaling is a codegen projection —
+    the only exchange is the 1-row bounds broadcast, never a hash
+    repartition."""
+    plan = physical_plan(QUERIES["fe1_feature_binning"][0](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_p3_pivot_single_pass(spark, sf_dir):
+    """p3's claim: enumerated pivot values → ONE scan (no distinct-value
+    discovery job) feeding two aggregate pairs — the keyed partial+final
+    pair plus the pivotfirst pair over the collapsed cell frame."""
+    plan = physical_plan(QUERIES["p3_pivot_multi_agg"][0](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("HashAggregate") == 4, plan
+
+
+def test_dq2_rules_single_scan_each_side(spark, sf_dir):
+    """dq2's claim: five rules, ONE pass — one scan per table (no
+    per-rule passes), parent side broadcast."""
+    plan = physical_plan(QUERIES["dq2_rule_violations"][0](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2, plan
+    assert "BroadcastHashJoin" in plan
