@@ -1154,6 +1154,8 @@ _CHECK_FIRST: list[str] = [
     "e9_complete_mode",
     "seq2_capped_sessions",
     "dq2_rule_violations",
+    "ab1_experiment_analysis",
+    "arr1_nested_no_explode",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

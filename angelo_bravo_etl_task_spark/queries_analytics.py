@@ -1874,3 +1874,151 @@ def dq2_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") > F.col("od") + F.expr("INTERVAL 120 DAYS"))
         ).alias("late_ship"),
     )
+
+
+# =========================================================================
+# ab1: A/B experiment analysis — two-proportion z without libm hazards
+# =========================================================================
+
+_AB1_SQL = """
+WITH assign AS (
+  SELECT user_id, user_id % 2 AS variant,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 200
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT variant, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS c
+  FROM assign GROUP BY variant
+), wide AS (
+  SELECT
+    MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+    MAX(CASE WHEN variant = 0 THEN c END) AS c0,
+    MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+    MAX(CASE WHEN variant = 1 THEN c END) AS c1
+  FROM arms
+)
+SELECT n0, c0, n1, c1,
+       CAST(c0 AS DOUBLE) / n0 AS rate0,
+       CAST(c1 AS DOUBLE) / n1 AS rate1,
+       (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+       / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+              * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+              * (1.0 / n0 + 1.0 / n1)) AS z_stat
+FROM wide
+"""
+
+
+@_register("ab1_experiment_analysis", _AB1_SQL)
+def ab1_experiment_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: deterministic assignment (user_id parity —
+    production uses a salted hash, same shape), per-user conversion
+    (any purchase above a value threshold — chosen so both arms hold
+    converters AND non-converters at every SF, keeping the pooled
+    variance nonzero), per-arm counts, conversion rates, and the pooled
+    two-proportion z-statistic. Everything after the two exact integer
+    aggregates is scalar IEEE arithmetic on a 1-row frame — divisions of
+    exact integers, one sqrt (correctly rounded per IEEE-754 in both
+    engines, unlike log/exp which are libm-dependent and stay out of
+    oracles), identical operation order. The per-user reduction is the
+    scale step: one shuffle on user_id; the arm rollup is 2 rows. The
+    oracle recomputes the identical formula textually."""
+    ev = _t(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 200),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select((F.col("user_id") % 2).alias("variant"), "converted")
+    arms = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("bigint").alias("c"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("c"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("c"))).alias("c1"),
+    )
+    n0, c0 = F.col("n0"), F.col("c0")
+    n1, c1 = F.col("n1"), F.col("c1")
+    rate0 = c0.cast("double") / n0
+    rate1 = c1.cast("double") / n1
+    pooled = (c0 + c1).cast("double") / (n0 + n1)
+    se = F.sqrt(
+        pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / n0 + F.lit(1.0) / n1)
+    )
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        rate0.alias("rate0"),
+        rate1.alias("rate1"),
+        ((rate1 - rate0) / se).alias("z_stat"),
+    )
+
+
+# =========================================================================
+# arr1: nested-document analytics WITHOUT flattening
+# =========================================================================
+
+_ARR1_SQL = """
+WITH nested AS (
+  SELECT l_orderkey,
+         list(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+              ORDER BY l_linenumber, l_partkey, l_quantity) AS qty_c
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(qty_c) AS INT) AS n_lines,
+       list_reduce(qty_c, (a, b) -> a + b) AS total_qty_c,
+       list_max(qty_c) AS max_qty_c,
+       CAST(len(list_filter(qty_c, q -> q >= 2500)) AS BIGINT)
+         AS n_heavy_lines
+FROM nested
+"""
+
+
+@_register("arr1_nested_no_explode", _ARR1_SQL)
+def arr1_nested_no_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics over the DENORMALIZED document layout without flattening:
+    per-order line stats (count, total, max, threshold count) computed
+    with higher-order functions directly on the nested array — no
+    explode, so no fan-out re-shuffle of child rows and the parent row
+    count is preserved by construction (the explode→regroup round trip
+    this replaces costs a full exchange on the parent key AND can lose
+    childless parents, f15's bug class). ns1 proves the nested layout
+    round-trips storage; this is the read path that makes the layout pay
+    at 100 TB: one scan of the document, per-row array compute inside
+    codegen. Quantities as integer cents; the fold order is pinned by
+    the sorted array construction on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "l_linenumber",
+                    "l_partkey",
+                    "l_quantity",
+                    (F.col("l_quantity").cast("decimal(18,2)") * 100)
+                    .cast("bigint")
+                    .alias("qc"),
+                )
+            )
+        ).alias("lines")
+    ).select(
+        "l_orderkey",
+        F.transform("lines", lambda s: s["qc"]).alias("qty_c"),
+    )
+    return nested.select(
+        "l_orderkey",
+        F.size("qty_c").alias("n_lines"),
+        F.aggregate(
+            F.slice("qty_c", 2, F.greatest(F.size("qty_c") - 1, F.lit(0))),
+            F.element_at("qty_c", 1),
+            lambda a, b: a + b,
+        ).alias("total_qty_c"),
+        F.array_max("qty_c").alias("max_qty_c"),
+        F.size(F.filter("qty_c", lambda q: q >= 2500))
+        .cast("bigint")
+        .alias("n_heavy_lines"),
+    )
