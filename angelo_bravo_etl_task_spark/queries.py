@@ -1156,6 +1156,8 @@ _CHECK_FIRST: list[str] = [
     "dq2_rule_violations",
     "ab1_experiment_analysis",
     "arr1_nested_no_explode",
+    "e10_stream_union",
+    "u9_broadcast_model_udf",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -2414,3 +2414,49 @@ def u8_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.where(F.col("event_type") == "view").select(
         "event_id", affine("value").alias("transformed")
     )
+
+
+# =========================================================================
+# u9: broadcast model weights into a vectorized UDF (batch ML inference)
+# =========================================================================
+
+_U9_SQL = """
+SELECT event_id,
+       0.5 * value + 0.25 * (user_id % 16) + 0.125 AS score
+FROM events WHERE event_type = 'view'
+"""
+
+
+@_register("u9_broadcast_model_udf", _U9_SQL)
+def u9_broadcast_model_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ML inference: model parameters shipped ONCE per executor via
+    a Spark broadcast variable and read inside a vectorized pandas UDF —
+    the pattern for scoring 100 TB with a real model (weights live in the
+    closure of every task otherwise, re-serialized per task; broadcast
+    amortizes to once per executor and is the only sane way to ship
+    multi-MB weight blobs). The 'model' here is a linear scorer with
+    exactly-representable binary weights so numpy's per-batch arithmetic
+    is IEEE-identical to the SQL expression the oracle runs — the check
+    covers the broadcast + Arrow plumbing, not float luck."""
+    import numpy as np
+
+    weights = spark.sparkContext.broadcast(
+        {"w_value": 0.5, "w_bucket": 0.25, "bias": 0.125}
+    )
+
+    @F.pandas_udf("double")
+    def score(value: pd.Series, bucket: pd.Series) -> pd.Series:
+        w = weights.value
+        return pd.Series(
+            w["w_value"] * value.to_numpy()
+            + w["w_bucket"] * bucket.to_numpy().astype(np.float64)
+            + w["bias"]
+        )
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(F.col("event_type") == "view").select(
+        "event_id",
+        score(F.col("value"), (F.col("user_id") % 16).cast("double")).alias(
+            "score"
+        ),
+    )

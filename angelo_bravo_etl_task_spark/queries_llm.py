@@ -1225,3 +1225,80 @@ def e9_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
         return run_available_now(agg, sink, timeout=120, output_mode="complete")
+
+
+# =========================================================================
+# e10: union of streams — two sources merged under one watermark
+# =========================================================================
+
+_E10_RUN_SEQ = [0]
+
+_E10_SQL = """
+WITH unioned AS (
+  SELECT 'web' AS channel, ts, value FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT 'txn' AS channel, ts, value FROM events WHERE event_type = 'purchase'
+), agg AS (
+  SELECT channel,
+         time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+  FROM unioned GROUP BY 1, 2
+)
+SELECT channel, window_start, n, sum_value FROM agg
+WHERE window_start + INTERVAL '15 minutes'
+      <= (SELECT MAX(ts) FROM events
+          WHERE event_type IN ('click', 'purchase')) - INTERVAL '10 minutes'
+"""
+
+
+@_register("e10_stream_union", _E10_SQL)
+def e10_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION of two streams — the multi-source ingest shape (web events +
+    transaction feed merging into one sessionless rollup): two readStream
+    branches tagged with their channel, unionByName'd, then ONE windowed
+    aggregate under ONE watermark. Structured Streaming tracks the
+    watermark across all inputs of the single post-union watermark node,
+    so one lagging channel correctly holds back finalization — semantics
+    a hand-rolled dual-job merge gets wrong. Both branches here read the same single file
+    (hermetic harness; production = two Kafka topics), one micro-batch.
+    Append-mode oracle needs the usual watermark-finalization cutoff."""
+    from .streaming.windows import (
+        run_available_now,
+        stream_events_raw,
+        stream_partitions,
+    )
+
+    _E10_RUN_SEQ[0] += 1
+    sink = f"e10_union_sink_{_E10_RUN_SEQ[0]}"
+    with stream_partitions(spark):
+        stream = stream_events_raw(spark, sf_dir, watermark=None)
+        web = stream.where(F.col("event_type") == "click").select(
+            F.lit("web").alias("channel"), "ts", "value"
+        )
+        txn = stream.where(F.col("event_type") == "purchase").select(
+            F.lit("txn").alias("channel"), "ts", "value"
+        )
+        # ONE watermark node ABOVE the union: the effective watermark is
+        # max(ts over both channels) - delay, which the oracle's cutoff can
+        # state exactly (per-branch watermark nodes would make it depend on
+        # filter pushdown; see stream_events_raw)
+        unioned = web.unionByName(txn).withWatermark("ts", "10 minutes")
+        agg = (
+            unioned.groupBy(
+                "channel", F.window("ts", "15 minutes").alias("w")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                "channel",
+                F.col("w.start").alias("window_start"),
+                "n",
+                "sum_value",
+            )
+        )
+        return run_available_now(agg, sink, timeout=120)

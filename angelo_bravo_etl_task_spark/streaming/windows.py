@@ -192,6 +192,14 @@ def stream_events_raw(
         raw = raw.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         ).select(*[f.name for f in TESTDATA_SCHEMAS["events"].fields])
+    # watermark=None returns the bare stream so callers can place their own
+    # watermark node deliberately (e10 watermarks ABOVE a union of filtered
+    # branches: with per-branch watermark nodes the effective watermark is
+    # min-policy over per-branch maxima, which depends on whether the
+    # optimizer pushed each filter below its watermark node — an
+    # un-modelable cutoff for a batch oracle)
+    if watermark is None:
+        return raw
     return raw.withWatermark("ts", watermark)
 
 
