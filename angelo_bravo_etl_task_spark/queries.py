@@ -1158,6 +1158,8 @@ _CHECK_FIRST: list[str] = [
     "arr1_nested_no_explode",
     "e10_stream_union",
     "u9_broadcast_model_udf",
+    "qt3_weighted_median",
+    "cal1_calendar_spine",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -2022,3 +2022,108 @@ def arr1_nested_no_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_heavy_lines"),
     )
+
+
+# =========================================================================
+# qt3: exact WEIGHTED median (no sketch, no sort-the-world)
+# =========================================================================
+
+_QT3_SQL = """
+WITH w AS (
+  SELECT l_returnflag, l_quantity,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS wt
+  FROM lineitem
+), agg AS (
+  SELECT l_returnflag, l_quantity, SUM(wt) AS wt
+  FROM w GROUP BY l_returnflag, l_quantity
+), cum AS (
+  SELECT l_returnflag, l_quantity, wt,
+         SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cw,
+         SUM(wt) OVER (PARTITION BY l_returnflag) AS tw
+  FROM agg
+)
+SELECT l_returnflag, MIN(l_quantity) AS weighted_median
+FROM cum WHERE 2 * cw >= tw
+GROUP BY l_returnflag
+"""
+
+
+@_register("qt3_weighted_median", _QT3_SQL)
+def qt3_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median (lower weighted median: smallest value whose
+    cumulative weight reaches half the total) — price-weighted typical
+    quantity per return flag. Same two-pass shape as m1's exact median:
+    aggregate to the (group, value) frame FIRST — the windows then run
+    over |distinct values| rows, not raw rows, which is the difference
+    between sorting 50 values per group and sorting 100 TB. Weights as
+    integer cents so cumulative sums are exact; the half-total test uses
+    2*cw >= tw in integers — no division, no float threshold."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+                "bigint"
+            )
+        ).alias("wt")
+    )
+    cum = agg.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum("wt")
+        .over(
+            Window.partitionBy("l_returnflag")
+            .orderBy("l_quantity")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cw"),
+        F.sum("wt").over(Window.partitionBy("l_returnflag")).alias("tw"),
+    )
+    return (
+        cum.where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_quantity").alias("weighted_median"))
+    )
+
+
+# =========================================================================
+# cal1: calendar-dimension generation (the date spine)
+# =========================================================================
+
+_CAL1_SQL = """
+SELECT CAST(d AS DATE) AS day,
+       CAST((CAST(d AS DATE) - DATE '2024-01-01') % 7 AS INT) AS dow,
+       CAST((CAST(d AS DATE) - DATE '2024-01-01') % 7 IN (5, 6) AS INT)
+         AS is_weekend,
+       CAST(strftime(d, '%Y-%m') AS VARCHAR) AS month_key
+FROM generate_series(DATE '2024-01-01', DATE '2024-03-31',
+                     INTERVAL '1 day') t(d)
+"""
+
+
+@_register("cal1_calendar_spine", _CAL1_SQL)
+def cal1_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension generated IN the engine (no driver loop, no
+    seed file): a date spine with day-of-week, weekend flag, and month
+    key — the join target for gap-free reporting (ts1's gap-fill builds
+    its spine the same way). Day-of-week by modular arithmetic from an
+    anchored Monday (2024-01-01), NOT dayofweek()/strftime('%a') —
+    engines disagree on week-start conventions and locale names, modulo
+    doesn't. sequence() + explode is one codegen task; a year is 365
+    rows — the spine is always broadcast-side."""
+    start, end = "2024-01-01", "2024-03-31"
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(start).cast("date"),
+                F.lit(end).cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    dow = (F.datediff("day", F.lit(start).cast("date")) % 7).cast("int")
+    return spine.select(
+        "day",
+        dow.alias("dow"),
+        dow.isin(5, 6).cast("int").alias("is_weekend"),
+        F.date_format("day", "yyyy-MM").alias("month_key"),
+    )
