@@ -1160,6 +1160,7 @@ _CHECK_FIRST: list[str] = [
     "u9_broadcast_model_udf",
     "qt3_weighted_median",
     "cal1_calendar_spine",
+    "mm5_audio_frames",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -2460,3 +2460,65 @@ def u9_broadcast_model_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score"
         ),
     )
+
+
+# =========================================================================
+# mm5: audio frame windowing — fixed-size overlapping slices of binary
+# =========================================================================
+
+_MM5_SQL = """
+WITH audio AS (
+  SELECT doc_id, upper(hex(CAST(text AS BLOB))) AS pcm_hex,
+         OCTET_LENGTH(CAST(text AS BLOB)) AS n_bytes
+  FROM documents WHERE doc_id % 20 = 0
+)
+SELECT doc_id, CAST(i AS INT) AS frame_no,
+       md5(substring(pcm_hex, CAST((i - 1) * 256 + 1 AS BIGINT), 512))
+         AS frame_md5,
+       CAST(LENGTH(substring(pcm_hex, CAST((i - 1) * 256 + 1 AS BIGINT),
+                             512)) // 2 AS BIGINT) AS frame_bytes
+FROM audio,
+     UNNEST(generate_series(1, CAST((n_bytes - 129) // 128 AS BIGINT)))
+       AS t(i)
+WHERE n_bytes >= 256
+"""
+
+
+@_register("mm5_audio_frames", _MM5_SQL)
+def mm5_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality plumbing: frame a PCM byte stream into fixed 256-byte
+    windows at 128-byte stride (50% overlap — the STFT/feature-extraction
+    layout) ENTIRELY JVM-side: sequence → posexplode → substring on the
+    binary column, no Python in the slicing path. The per-frame decode
+    (mel/spectrogram) would be the mapInPandas stage that consumes these
+    frames — mm2's decode pattern, stubbed identically. The text column
+    stands in for the byte payload (the harness tables carry no real
+    audio); frames are content-hashed so the oracle verifies the exact
+    byte windows, not just counts. Framing fan-out is bytes/stride per
+    row — linear, partition-local, shuffle-free."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    audio = d.select(
+        "doc_id",
+        F.hex(F.col("text").cast("binary")).alias("pcm_hex"),
+        F.octet_length(F.col("text").cast("binary")).alias("n_bytes"),
+    ).where(F.col("n_bytes") >= 256)
+    framed = audio.select(
+        "doc_id",
+        "pcm_hex",
+        F.posexplode(
+            F.sequence(
+                F.lit(1).cast("bigint"),
+                F.expr("CAST((n_bytes - 129) DIV 128 AS BIGINT)"),
+            )
+        ).alias("pos", "i"),
+    )
+    # window the hex projection (2 chars per byte): 256-byte frames at
+    # 128-byte stride; DuckDB cannot substring BLOBs, hex windows are
+    # byte-exact on both engines
+    frame = F.expr("substring(pcm_hex, CAST((i - 1) * 256 + 1 AS INT), 512)")
+    return framed.select(
+        "doc_id",
+        F.col("i").cast("int").alias("frame_no"),
+        F.md5(frame).alias("frame_md5"),
+        (F.length(frame) / 2).cast("bigint").alias("frame_bytes"),
+    )
