@@ -422,3 +422,159 @@ def test_asof_all_directions_match_pandas_merge_asof(
         for row in merged.itertuples()
     }
     assert got == want
+
+
+@given(
+    a=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(1, 120)),
+        min_size=1,
+        max_size=10,
+    ),
+    b=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(1, 120)),
+        min_size=0,
+        max_size=10,
+    ),
+)
+@settings(**PROP_SETTINGS)
+def test_grid_binned_interval_overlap_equals_naive(spark, a, b):
+    """j8's grid decomposition on arbitrary half-open intervals — lengths
+    chosen to span 1-3 grid cells (cell=100) and to land exactly on cell
+    and interval boundaries, the off-by-one territory: cell assignment
+    uses (e-1) DIV c (end exclusive), overlap is s < e' AND s' < e
+    (touching intervals do NOT overlap)."""
+    from pyspark.sql import functions as F
+
+    cell = 100
+    adf = spark.createDataFrame(
+        [(i, s, s + ln) for i, (s, ln) in enumerate(a)], "ida INT, s INT, e INT"
+    )
+    bdf = spark.createDataFrame(
+        [(j, s, s + ln) for j, (s, ln) in enumerate(b)],
+        "idb INT, xs INT, xe INT",
+    )
+
+    def cells(df, s, e):
+        return df.withColumn(
+            "cell",
+            F.explode(
+                F.sequence(
+                    F.expr(f"{s} DIV {cell}"), F.expr(f"({e} - 1) DIV {cell}")
+                )
+            ),
+        )
+
+    got = sorted(
+        map(
+            tuple,
+            cells(adf, "s", "e")
+            .join(cells(bdf, "xs", "xe"), "cell")
+            .where((F.col("s") < F.col("xe")) & (F.col("xs") < F.col("e")))
+            .select("ida", "idb")
+            .distinct()
+            .collect(),
+        )
+    )
+    want = sorted(
+        (i, j)
+        for i, (s, ln) in enumerate(a)
+        for j, (xs, xln) in enumerate(b)
+        if s < xs + xln and xs < s + ln
+    )
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 8), st.integers(1, 100)),  # (value, weight)
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**PROP_SETTINGS)
+def test_weighted_median_equals_brute_force(spark, rows):
+    """qt3's cumulative-weight rule vs the definition: smallest value v
+    with sum(weight | value <= v) * 2 >= total weight."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    df = spark.createDataFrame(rows, "v INT, wt INT")
+    agg = df.groupBy("v").agg(F.sum("wt").alias("wt"))
+    cum = agg.select(
+        "v",
+        F.sum("wt")
+        .over(W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cw"),
+        F.sum("wt").over(W.partitionBy()).alias("tw"),
+    )
+    got = (
+        cum.where(2 * F.col("cw") >= F.col("tw"))
+        .agg(F.min("v").alias("m"))
+        .collect()[0]["m"]
+    )
+    total = sum(w for _, w in rows)
+    want = min(
+        v
+        for v, _ in rows
+        if 2 * sum(w2 for v2, w2 in rows if v2 <= v) >= total
+    )
+    assert got == want
+
+
+@given(
+    times=st.lists(st.integers(0, 20000), min_size=1, max_size=30),
+    gap=st.integers(100, 2000),
+    cap=st.integers(2000, 8000),
+)
+@settings(**PROP_SETTINGS)
+def test_capped_session_fold_equals_python_reference(spark, times, gap, cap):
+    """seq2's fold vs a straight-line Python implementation of the same
+    rules (new session when idle gap exceeded OR session duration cap
+    exceeded), on one key with arbitrary duplicate timestamps."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, t, i) for i, t in enumerate(times)], "k INT, t LONG, eid INT"
+    )
+    series = df.groupBy("k").agg(
+        F.sort_array(F.collect_list(F.struct("t", "eid"))).alias("s")
+    )
+
+    def merge(acc, v):
+        new_sess = (
+            (acc["last"] < 0)
+            | ((v["t"] - acc["last"]) > gap)
+            | ((v["t"] - acc["start"]) > cap)
+        )
+        idx = (acc["idx"] + F.when(new_sess, 1).otherwise(0)).cast("int")
+        start = F.when(new_sess, v["t"]).otherwise(acc["start"])
+        return F.struct(
+            v["t"].alias("last"),
+            start.alias("start"),
+            idx.alias("idx"),
+            F.concat(
+                acc["out"], F.array(F.struct(v["t"].alias("t"), idx.alias("idx")))
+            ).alias("out"),
+        )
+
+    init = F.expr(
+        "named_struct('last', CAST(-1 AS BIGINT), 'start', CAST(-1 AS BIGINT),"
+        " 'idx', CAST(0 AS INT),"
+        " 'out', CAST(array() AS ARRAY<STRUCT<t: BIGINT, idx: INT>>))"
+    )
+    folded = series.select(
+        F.aggregate("s", init, merge, lambda acc: acc["out"]).alias("out")
+    )
+    got = [
+        (p["t"], p["idx"])
+        for p in folded.collect()[0]["out"]
+    ]
+
+    want, last, start, idx = [], None, None, 0
+    for t in sorted(times):
+        if last is None or t - last > gap or t - start > cap:
+            idx += 1
+            start = t
+        want.append((t, idx))
+        last = t
+    assert got == want
