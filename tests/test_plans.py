@@ -339,3 +339,39 @@ def test_dq2_rules_single_scan_each_side(spark, sf_dir):
     plan = physical_plan(QUERIES["dq2_rule_violations"][0](spark, sf_dir))
     assert plan.count("Scan parquet") == 2, plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
+    """Sweep EVERY registered batch query's physical plan: a
+    BroadcastNestedLoopJoin or CartesianProduct is only acceptable where
+    the nested-loop side is deliberately bounded — a broadcast 1-row
+    scalar aggregate (the scalar-subquery plan: qt1 thresholds, hh1/fn1
+    totals, tc1 edge count, q11/q22 threshold scalars, ts1 bounds, sk1
+    salt spine, sk2 totals, x4/x6 centroid sets, fe1 bounds, tx10/ab1
+    corpus scalars) or a documented bounded demo (x1/x3/x7 probe sets,
+    d5/d6 bounded oracle variants, fz1/er1 probe lists, j5 itself,
+    sm1's fraction spine). Any NEW nested loop is a scale regression
+    and fails here with its plan."""
+    allowed = {
+        "j5_cross_join", "x1_cosine_topk", "x3_embedding_near_dup",
+        "x7_quantized_cosine", "d5_ngram_jaccard", "d6_dup_clusters",
+        "fz1_levenshtein", "er1_blocked_fuzzy_match", "fe1_feature_binning",
+        "tx10_tfidf_keywords", "ab1_experiment_analysis",
+        "sm1_stratified_sample", "fn1_funnel", "qt1_exact_quantiles",
+        "hh1_heavy_hitters", "x6_nearest_centroid", "sk2_skew_profile",
+        "tc1_triangle_count", "x4_ivf_topk", "q11_important_parts",
+        "q22_idle_customers", "ts1_gap_fill", "sk1_salted_join",
+    }
+    streaming_prefixes = {"e3", "e4", "e5", "e6", "e7", "e8", "e9", "e10",
+                          "st1", "px3"}
+    from angelo_bravo_etl_task_spark.queries import all_queries
+
+    offenders = []
+    for name in all_queries():
+        if name.split("_")[0] in streaming_prefixes or name in allowed:
+            continue
+        df = QUERIES[name][0](spark, sf_dir)
+        plan = physical_plan(df)
+        if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == [], offenders
