@@ -1161,6 +1161,7 @@ _CHECK_FIRST: list[str] = [
     "qt3_weighted_median",
     "cal1_calendar_spine",
     "mm5_audio_frames",
+    "cur1_corpus_datasheet",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -1302,3 +1302,89 @@ def e10_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         return run_available_now(agg, sink, timeout=120)
+
+
+# =========================================================================
+# cur1: corpus datasheet — the dataset-card statistics block
+# =========================================================================
+
+_CUR1_SQL = r"""
+WITH base AS (
+  SELECT doc_id, lang, source, n_chars,
+         LEN(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+                         t -> LENGTH(t) > 0)) AS n_words
+  FROM documents
+), q AS (
+  SELECT n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM base
+)
+SELECT
+  (SELECT COUNT(*) FROM base) AS n_docs,
+  (SELECT COUNT(DISTINCT lang) FROM base) AS n_langs,
+  (SELECT COUNT(DISTINCT source) FROM base) AS n_sources,
+  (SELECT CAST(SUM(n_chars) AS BIGINT) FROM base) AS total_chars,
+  (SELECT CAST(SUM(n_words) AS BIGINT) FROM base) AS total_words,
+  (SELECT CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) FROM base)
+    AS mean_chars,
+  (SELECT COUNT(*) FROM base WHERE n_chars < 200) AS n_short,
+  (SELECT MIN(n_chars) FROM q WHERE 2 * rn >= n) AS median_chars
+"""
+
+
+@_register("cur1_corpus_datasheet", _CUR1_SQL)
+def cur1_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card statistics block (datasheets for datasets): corpus
+    size, language/source diversity, exact char/word totals, mean and
+    exact median length, and the short-document count — the numbers every
+    corpus release publishes and every curation iteration re-checks. One
+    scan computes the row-level stats; the median reuses m1's aggregated
+    two-pass shape; distinct counts are partial-aggregated. The oracle
+    spells the same block as scalar subqueries. At 100 TB this is one
+    job, not a notebook of eight — the point of making the datasheet a
+    single registered query."""
+    from .operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_words"),
+    )
+    # median over the AGGREGATED length frame (distinct lengths, not rows)
+    # — the qt3 shape; the only unpartitioned window runs over |distinct
+    # lengths| rows
+    by_len = base.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = by_len.select(
+        "n_chars",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("n_chars").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cw"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    median = (
+        cum.where(2 * F.col("cw") >= F.col("n"))
+        .agg(F.min("n_chars").alias("median_chars"))
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_words").alias("total_words"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+            "mean_chars"
+        ),
+        F.count(F.when(F.col("n_chars") < 200, F.lit(1))).alias("n_short"),
+    )
+    return stats.crossJoin(F.broadcast(median)).select(
+        "n_docs", "n_langs", "n_sources", "total_chars", "total_words",
+        "mean_chars", "n_short", "median_chars",
+    )
