@@ -1162,6 +1162,7 @@ _CHECK_FIRST: list[str] = [
     "cal1_calendar_spine",
     "mm5_audio_frames",
     "cur1_corpus_datasheet",
+    "px4_incremental_refresh",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -1388,3 +1388,88 @@ def cur1_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs", "n_langs", "n_sources", "total_chars", "total_words",
         "mean_chars", "n_short", "median_chars",
     )
+
+
+# =========================================================================
+# px4: the nightly incremental corpus refresh — dedup, gate, cap, account
+# =========================================================================
+
+_PX4_SQL = r"""
+WITH corpus AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0
+), batch AS (
+  SELECT doc_id, source, lang, n_chars, md5(text) AS h,
+         LEN(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+                         t -> LENGTH(t) > 0)) AS n_words
+  FROM documents WHERE doc_id % 10 = 0
+), batch_deduped AS (
+  SELECT * FROM (
+    SELECT b.*, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+    FROM batch b
+  ) WHERE rn = 1
+), novel AS (
+  SELECT b.* FROM batch_deduped b
+  LEFT JOIN corpus c ON b.h = c.h WHERE c.h IS NULL
+), gated AS (
+  SELECT * FROM novel WHERE n_chars >= 200 AND n_words >= 30
+), capped AS (
+  SELECT doc_id, source, lang, n_chars FROM (
+    SELECT g.*, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY n_chars DESC, doc_id) AS cap_rn
+    FROM gated g
+  ) WHERE cap_rn <= 10
+)
+SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars FROM capped
+"""
+
+
+@_register("px4_incremental_refresh", _PX4_SQL)
+def px4_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship #4 — the NIGHTLY corpus refresh, i.e. the pipeline the
+    one-shot px2 becomes once a corpus exists: an arriving batch
+    (doc_id % 10 = 0) is (1) deduped within itself (first-wins per
+    content hash — a crawl re-fetches pages), (2) anti-joined against the
+    standing corpus fingerprint set (dp1's shape: the persistent 16-byte
+    /doc artifact, never corpus text), (3) quality-gated on length and
+    word count, (4) capped per source (dm1's crawl quota, best-first).
+    One lazy plan: the batch flows through a hash-partition window, an
+    anti-join against the bucketed fingerprint layout, a codegen filter,
+    and one more window — every stage keyed on hash/source, nothing
+    corpus-sized shuffles. The oracle mirrors all four stages as CTEs, so
+    the driver hash-compare certifies the COMPOSITION, not just the
+    pieces."""
+    from .operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = (
+        d.where(F.col("doc_id") % 10 != 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    batch = d.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("h"),
+        F.size(tokens(F.col("text"))).alias("n_words"),
+    )
+    wh = Window.partitionBy("h").orderBy("doc_id")
+    batch_deduped = (
+        batch.withColumn("rn", F.row_number().over(wh))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    novel = batch_deduped.join(corpus, "h", "left_anti")
+    gated = novel.where((F.col("n_chars") >= 200) & (F.col("n_words") >= 30))
+    wcap = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        gated.withColumn("cap_rn", F.row_number().over(wcap))
+        .where(F.col("cap_rn") <= 10)
+        .select(
+            "doc_id", "source", "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
