@@ -1163,6 +1163,7 @@ _CHECK_FIRST: list[str] = [
     "mm5_audio_frames",
     "cur1_corpus_datasheet",
     "px4_incremental_refresh",
+    "e11_stream_stream_left_outer",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

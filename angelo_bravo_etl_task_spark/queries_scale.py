@@ -803,3 +803,101 @@ def cp1_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
         ).alias("sum_cents"),
     )
+
+
+_E11_RUN_SEQ = [0]
+
+
+@_register(
+    "e11_stream_stream_left_outer",
+    """
+    WITH c AS (
+      SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, ts AS purchase_ts, value
+      FROM events WHERE event_type = 'purchase'
+    ), wm AS (
+      SELECT LEAST(
+        (SELECT MAX(click_ts) FROM c) - INTERVAL '30 minutes',
+        (SELECT MAX(purchase_ts) FROM p) - INTERVAL '30 minutes'
+      ) AS w
+    ), matched AS (
+      SELECT c.user_id, c.click_ts, p.purchase_ts,
+             CAST(p.value AS DOUBLE) AS purchase_value
+      FROM c JOIN p
+        ON p.user_id = c.user_id
+       AND p.purchase_ts >= c.click_ts
+       AND p.purchase_ts <= c.click_ts + INTERVAL '30 minutes'
+    ), unmatched AS (
+      SELECT c.user_id, c.click_ts,
+             CAST(NULL AS TIMESTAMP) AS purchase_ts,
+             CAST(NULL AS DOUBLE) AS purchase_value
+      FROM c, wm
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = c.user_id
+          AND p.purchase_ts >= c.click_ts
+          AND p.purchase_ts <= c.click_ts + INTERVAL '30 minutes'
+      )
+      AND c.click_ts + INTERVAL '30 minutes' < wm.w
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+)
+def e11_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — e5's attribution join
+    keeping the clicks that DIDN'T convert, which is the half an
+    attribution model actually trains on. The advanced semantics is the
+    NULL-emission rule: an unmatched click can only emit once the
+    watermark proves no in-window purchase can still arrive (click_ts +
+    30min below the global watermark); Spark holds it in state until
+    then. Each branch is watermarked AFTER its filter on a bare stream
+    (stream_events_raw(watermark=None)) so each branch watermark is
+    max(that type's ts) - delay and the global min-policy watermark is
+    exactly LEAST(branch watermarks) — e10's pushdown lesson applied;
+    with the default pre-filter watermark placement the cutoff would be
+    optimizer-dependent and the oracle unwritable. The oracle computes
+    matched pairs plus watermark-provably-unmatched clicks."""
+    from .streaming.windows import (
+        run_available_now,
+        stream_events_raw,
+        stream_partitions,
+    )
+
+    _E11_RUN_SEQ[0] += 1
+    sink = f"e11_louter_sink_{_E11_RUN_SEQ[0]}"
+    with stream_partitions(spark):
+        clicks = (
+            stream_events_raw(spark, sf_dir, watermark=None)
+            .where(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+            )
+            .withWatermark("click_ts", "30 minutes")
+        )
+        purchases = (
+            stream_events_raw(spark, sf_dir, watermark=None)
+            .where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("value"),
+            )
+            .withWatermark("purchase_ts", "30 minutes")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+            "left_outer",
+        ).select(
+            F.col("c_user").alias("user_id"),
+            "click_ts",
+            "purchase_ts",
+            F.col("value").cast("double").alias("purchase_value"),
+        )
+        return run_available_now(joined, sink, timeout=120)
