@@ -361,14 +361,22 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "hh1_heavy_hitters", "x6_nearest_centroid", "sk2_skew_profile",
         "tc1_triangle_count", "x4_ivf_topk", "q11_important_parts",
         "q22_idle_customers", "ts1_gap_fill", "sk1_salted_join",
+        "cur1_corpus_datasheet",
     }
-    streaming_prefixes = {"e3", "e4", "e5", "e6", "e7", "e8", "e9", "e10",
-                          "st1", "px3"}
+    import re
+
     from angelo_bravo_etl_task_spark.queries import all_queries
+
+    def is_streaming(name: str) -> bool:
+        # e-numbered and stateful/streaming-pipeline queries RUN eagerly
+        # (availableNow → memory sink) when called — skip them here; their
+        # semantics are covered by their oracles
+        p = name.split("_")[0]
+        return bool(re.fullmatch(r"e\d+", p)) or p in {"st1", "px3"}
 
     offenders = []
     for name in all_queries():
-        if name.split("_")[0] in streaming_prefixes or name in allowed:
+        if is_streaming(name) or name in allowed:
             continue
         df = QUERIES[name][0](spark, sf_dir)
         plan = physical_plan(df)
