@@ -68,3 +68,20 @@ class Engine:
 
     def explain(self, df: DataFrame) -> str:
         return physical_plan(df)
+
+    # -- registered operator corpus ---------------------------------------
+    def ops(self) -> list[str]:
+        """Names of every registered query/operator (the SURVEY §2 corpus)."""
+        from .queries import all_queries
+
+        return list(all_queries())
+
+    def run(self, name: str, sf_dir: str) -> DataFrame:
+        """Run a registered query by name against a data directory."""
+        from .queries import QUERIES
+
+        if name not in QUERIES:
+            raise KeyError(
+                f"unknown query {name!r}; see Engine.ops() for the corpus"
+            )
+        return QUERIES[name][0](self.spark, sf_dir)

@@ -12,3 +12,16 @@ def test_engine_sql_and_tables(spark, sf_dir):
     rows = {r["l_returnflag"]: r["cnt"] for r in df.collect()}
     assert sum(rows.values()) == eng.table("lineitem").count()
     assert "HashAggregate" in eng.explain(df)
+
+
+def test_engine_runs_registered_ops_by_name(spark, sf_dir):
+    eng = Engine(spark)
+    names = eng.ops()
+    assert len(names) >= 200 and "q1_pricing_summary" in names
+    df = eng.run("q1_pricing_summary", sf_dir)
+    assert df.count() > 0
+    try:
+        eng.run("nope_not_a_query", sf_dir)
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass
