@@ -1164,6 +1164,8 @@ _CHECK_FIRST: list[str] = [
     "cur1_corpus_datasheet",
     "px4_incremental_refresh",
     "e11_stream_stream_left_outer",
+    "sql3_parameterized",
+    "tp1_transpose",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

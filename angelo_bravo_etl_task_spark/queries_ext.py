@@ -2522,3 +2522,94 @@ def mm5_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(frame).alias("frame_md5"),
         (F.length(frame) / 2).cast("bigint").alias("frame_bytes"),
     )
+
+
+# =========================================================================
+# sql3: parameterized SQL (named bind parameters — the injection-safe API)
+# =========================================================================
+
+_SQL3_ORACLE = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_totalprice > 400000 AND o_orderpriority = '1-URGENT'
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+"""
+
+
+@_register("sql3_parameterized", _SQL3_ORACLE)
+def sql3_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL with named bind parameters — the injection-safe
+    templating the SQL frontend needs before any user-supplied value
+    touches a query string (string-concatenated SQL is how a filename or
+    form field becomes a DROP TABLE). Spark binds :threshold/:prio as
+    TYPED literals at parse time, so Catalyst still constant-folds and
+    pushes the predicate into the scan exactly as with inline literals —
+    parameterization costs nothing in the plan. The oracle runs the
+    equivalent query with the values inlined."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_totalprice > :threshold AND o_orderpriority = :prio
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 25
+        """,
+        args={"threshold": 400000, "prio": "1-URGENT"},
+    )
+
+
+# =========================================================================
+# tp1: DataFrame.transpose (Spark 4) — metrics-as-rows reporting layout
+# =========================================================================
+
+_TP1_SQL = """
+WITH agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY event_type
+)
+SELECT 'n_events' AS key,
+       MAX(CASE WHEN event_type = 'click' THEN n_events END) AS click,
+       MAX(CASE WHEN event_type = 'error' THEN n_events END) AS error,
+       MAX(CASE WHEN event_type = 'purchase' THEN n_events END) AS purchase,
+       MAX(CASE WHEN event_type = 'signup' THEN n_events END) AS signup,
+       MAX(CASE WHEN event_type = 'view' THEN n_events END) AS view
+FROM agg
+UNION ALL
+SELECT 'sum_value',
+       MAX(CASE WHEN event_type = 'click' THEN sum_value END),
+       MAX(CASE WHEN event_type = 'error' THEN sum_value END),
+       MAX(CASE WHEN event_type = 'purchase' THEN sum_value END),
+       MAX(CASE WHEN event_type = 'signup' THEN sum_value END),
+       MAX(CASE WHEN event_type = 'view' THEN sum_value END)
+FROM agg
+"""
+
+
+@_register("tp1_transpose", _TP1_SQL)
+def tp1_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (new in Spark 4): the metrics-as-rows report
+    layout (one row per metric, one column per entity) produced by the
+    engine instead of the BI tool. Transpose collects the HEADER column
+    to the driver to name the output columns — fine when the entity
+    dimension is small and bounded (5 event types; a report axis), never
+    for high-cardinality data, which is why p1/p2/p3 pivots stay the
+    data-scale reshaping path and this is the presentation step after
+    aggregation. Input is pre-aggregated and sorted so column order and
+    values are deterministic; metrics pre-cast to a common double type
+    (transpose requires a least common type across value columns)."""
+    ev = _t(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+    return agg.transpose()
