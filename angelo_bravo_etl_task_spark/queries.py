@@ -1166,6 +1166,7 @@ _CHECK_FIRST: list[str] = [
     "e11_stream_stream_left_outer",
     "sql3_parameterized",
     "tp1_transpose",
+    "rec1_recursive_cte",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

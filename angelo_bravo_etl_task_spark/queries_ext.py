@@ -2613,3 +2613,40 @@ def tp1_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type")
     )
     return agg.transpose()
+
+
+# =========================================================================
+# rec1: recursive CTE — SQL-native iteration (Spark 4's WITH RECURSIVE)
+# =========================================================================
+
+_REC1_TEXT = """
+WITH RECURSIVE nodes AS (
+  SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 5000
+), walk(k, root, depth) AS (
+  SELECT k, k, 0 FROM nodes WHERE k < 10
+  UNION ALL
+  SELECT n.k, w.root, w.depth + 1
+  FROM walk w JOIN nodes n ON n.k / 10 = w.k AND n.k >= 10
+)
+SELECT k, root, depth FROM walk
+"""
+
+_REC1_ORACLE = _REC1_TEXT.replace("n.k / 10 = w.k", "n.k // 10 = w.k")
+
+
+@_register("rec1_recursive_cte", _REC1_ORACLE)
+def rec1_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-native iteration: WITH RECURSIVE (new in Spark 4) walking a
+    10-ary key forest (child k hangs under k DIV 10) from the roots down,
+    carrying root and depth — the org-chart/bill-of-materials traversal
+    that previously required the DataFrame loop d6/pr1/tc1 hand-roll
+    (per-iteration join + checkpoint). The engine runs one join per
+    LEVEL, so iteration count is the hierarchy DEPTH (4 here), not the
+    node count — the property that makes recursive SQL viable on wide,
+    shallow hierarchies at scale; deep chains (depth ~ rows) remain the
+    loop-with-checkpoint territory. DuckDB runs the same text modulo its
+    integer-division spelling (// vs Spark's DIV via intdiv in the ON
+    clause — expressed as / on BIGINTs in Spark, which is true division,
+    so the Spark side uses DIV)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_REC1_TEXT.replace("n.k / 10 = w.k", "n.k DIV 10 = w.k"))
