@@ -1167,6 +1167,8 @@ _CHECK_FIRST: list[str] = [
     "sql3_parameterized",
     "tp1_transpose",
     "rec1_recursive_cte",
+    "var1_session_variables",
+    "scr1_sql_scripting",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

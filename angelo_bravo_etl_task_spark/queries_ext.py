@@ -2650,3 +2650,100 @@ def rec1_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the Spark side uses DIV)."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_REC1_TEXT.replace("n.k / 10 = w.k", "n.k DIV 10 = w.k"))
+
+
+# =========================================================================
+# var1: SQL session variables — data-derived scalars between statements
+# =========================================================================
+
+_VAR1_SQL = """
+WITH s AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         / COUNT(*) AS avg_price
+  FROM orders
+)
+SELECT o.o_orderkey, o.o_totalprice
+FROM orders o, s
+WHERE o.o_totalprice > 1.5 * s.avg_price
+"""
+
+
+@_register("var1_session_variables", _VAR1_SQL)
+def var1_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4): a data-derived scalar computed in
+    one statement and consumed in the next — the multi-step-notebook /
+    stored-procedure idiom without driver-side string splicing. The
+    variable holds the exact-decimal average (deterministic: decimal sum
+    ÷ count in double); the consuming query folds it as a typed literal,
+    so the filter still pushes to the scan; the 1.5x multiplier keeps the
+    result nonempty at every SF (a 2x cut returned zero rows at sf0.01 —
+    a vacuous check). The oracle computes the same
+    scalar as a CTE."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE avg_price DOUBLE")
+    spark.sql(
+        """
+        SET VAR avg_price =
+          (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / COUNT(*) FROM orders)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders WHERE o_totalprice > 1.5 * avg_price
+        """
+    )
+
+
+# =========================================================================
+# scr1: SQL scripting — control flow (WHILE) searching a data threshold
+# =========================================================================
+
+_SCR1_SQL = """
+WITH cand AS (
+  SELECT CAST(1000 * (1 << k) AS DOUBLE) AS thr
+  FROM UNNEST(generate_series(0, 20)) t(k)
+), counts AS (
+  SELECT thr,
+         (SELECT COUNT(*) FROM orders WHERE o_totalprice > thr) AS n
+  FROM cand
+)
+SELECT CAST(thr AS DOUBLE) AS threshold, CAST(n AS BIGINT) AS n_above
+FROM counts WHERE n <= 100 ORDER BY thr LIMIT 1
+"""
+
+
+@_register("scr1_sql_scripting", _SCR1_SQL)
+def scr1_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4, BEGIN..END with DECLARE/WHILE): a
+    geometric threshold search — double the price cutoff until at most
+    100 orders exceed it — run as control flow INSIDE the engine, where
+    each loop iteration is a full distributed query and only the scalar
+    crosses statements. This is the procedural idiom (dbt hooks, stored
+    procs, retry-until loops) without a driver program. Thresholds are
+    exact powers of two times 1000, so the float comparisons are
+    identical cross-engine; the oracle replays the search declaratively
+    (first candidate in the same geometric sequence meeting the stop
+    condition)."""
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE thr DOUBLE DEFAULT 1000.0;
+              WHILE (SELECT COUNT(*) FROM orders WHERE o_totalprice > thr)
+                    > 100 DO
+                SET thr = thr * 2;
+              END WHILE;
+              SELECT CAST(thr AS DOUBLE) AS threshold,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                      WHERE o_totalprice > thr) AS n_above;
+            END
+            """
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
