@@ -1169,6 +1169,7 @@ _CHECK_FIRST: list[str] = [
     "rec1_recursive_cte",
     "var1_session_variables",
     "scr1_sql_scripting",
+    "f16_listagg",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

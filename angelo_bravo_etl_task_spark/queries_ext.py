@@ -2747,3 +2747,45 @@ def scr1_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+# =========================================================================
+# f16: ordered string aggregation (LISTAGG ... WITHIN GROUP, Spark 4)
+# =========================================================================
+
+_F16_SQL = """
+SELECT o_orderkey,
+       string_agg(CAST(l_linenumber AS VARCHAR), ','
+                  ORDER BY l_linenumber, l_partkey) AS line_list,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderkey % 100 = 0
+GROUP BY o_orderkey
+"""
+
+
+@_register("f16_listagg", _F16_SQL)
+def f16_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — LISTAGG ... WITHIN GROUP (new in
+    Spark 4), the denormalize-to-text reporting aggregate (line-number
+    manifests, tag lists, audit trails). The WITHIN GROUP ordering (with
+    a full tiebreak) is what makes the concatenated string deterministic
+    across partitionings — an unordered listagg's output depends on
+    merge order, the same class of bug as double summation. DuckDB
+    spells the identical semantics string_agg(... ORDER BY ...)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+    j = li.join(
+        F.broadcast(o.select("o_orderkey")),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    )
+    return (
+        j.groupBy("o_orderkey")
+        .agg(
+            F.expr(
+                "listagg(CAST(l_linenumber AS STRING), ',') "
+                "WITHIN GROUP (ORDER BY l_linenumber, l_partkey)"
+            ).alias("line_list"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
