@@ -2478,7 +2478,7 @@ SELECT doc_id, CAST(i AS INT) AS frame_no,
        CAST(LENGTH(substring(pcm_hex, CAST((i - 1) * 256 + 1 AS BIGINT),
                              512)) // 2 AS BIGINT) AS frame_bytes
 FROM audio,
-     UNNEST(generate_series(1, CAST((n_bytes - 129) // 128 AS BIGINT)))
+     UNNEST(generate_series(1, CAST((n_bytes - 128) // 128 AS BIGINT)))
        AS t(i)
 WHERE n_bytes >= 256
 """
@@ -2505,10 +2505,14 @@ def mm5_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     framed = audio.select(
         "doc_id",
         "pcm_hex",
+        # frame count = (n_bytes - 128) DIV 128 (>= 1 under the n_bytes
+        # >= 256 filter). Spark's sequence(1, 0) would generate a
+        # DESCENDING [1, 0] — not the empty series DuckDB produces — so
+        # the bound must provably stay >= 1
         F.posexplode(
             F.sequence(
                 F.lit(1).cast("bigint"),
-                F.expr("CAST((n_bytes - 129) DIV 128 AS BIGINT)"),
+                F.expr("CAST((n_bytes - 128) DIV 128 AS BIGINT)"),
             )
         ).alias("pos", "i"),
     )
