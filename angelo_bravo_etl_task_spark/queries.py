@@ -1170,6 +1170,7 @@ _CHECK_FIRST: list[str] = [
     "var1_session_variables",
     "scr1_sql_scripting",
     "f16_listagg",
+    "aud1_filter_audit",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -1473,3 +1473,124 @@ def px4_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("bigint").alias("n_chars"),
         )
     )
+
+
+# =========================================================================
+# aud1: filter audit — every rejected document carries its WHY
+# =========================================================================
+
+_AUD1_SQL = r"""
+WITH corpus AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0
+), arrivals AS (
+  SELECT doc_id, source, n_chars, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, source, n_chars, text
+  FROM documents WHERE doc_id % 100 = 1
+  UNION ALL
+  SELECT doc_id + 2000000, source, n_chars, text
+  FROM documents WHERE doc_id % 200 = 0
+), batch AS (
+  SELECT doc_id, source, n_chars, md5(text) AS h,
+         LEN(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+                         t -> LENGTH(t) > 0)) AS n_words
+  FROM arrivals
+), staged AS (
+  SELECT b.doc_id, b.source, b.n_chars, b.n_words,
+         ROW_NUMBER() OVER (PARTITION BY b.h ORDER BY b.doc_id) AS rn,
+         CASE WHEN c.h IS NULL THEN 0 ELSE 1 END AS in_corpus
+  FROM batch b LEFT JOIN corpus c ON b.h = c.h
+), capped AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS cap_rn
+  FROM staged
+  WHERE rn = 1 AND in_corpus = 0 AND n_chars >= 200 AND n_words >= 30
+)
+SELECT s.doc_id,
+       CASE WHEN s.rn > 1 THEN 'dup_in_batch'
+            WHEN s.in_corpus = 1 THEN 'dup_vs_corpus'
+            WHEN s.n_chars < 200 OR s.n_words < 30 THEN 'low_quality'
+            WHEN cp.cap_rn > 10 THEN 'over_source_cap'
+            ELSE 'accepted' END AS fate
+FROM staged s LEFT JOIN capped cp ON cp.doc_id = s.doc_id
+"""
+
+
+@_register("aud1_filter_audit", _AUD1_SQL)
+def aud1_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explainable filtering: px4's refresh re-run in AUDIT mode — every
+    batch document appears exactly once with its fate ('accepted' or the
+    FIRST pipeline stage that rejected it: in-batch duplicate, corpus
+    duplicate, quality gate, source cap). Survivor pipelines discard the
+    why; the audit is what debugging a corpus composition, reporting to
+    data providers, and tuning gates actually needs — and it costs the
+    same plan shape (the stages become flags instead of filters, the cap
+    window runs over the gate's survivors only, one CASE applies the
+    precedence). The oracle mirrors flags and precedence; total row
+    count = arrival count by construction, so nothing is silently
+    dropped. The clean synthetic corpus has no duplicate texts, so
+    arrivals include planted re-fetches of corpus docs and second copies
+    of batch docs (dq2's planted-violation discipline) — every fate
+    fires."""
+    from .operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = (
+        d.where(F.col("doc_id") % 10 != 0)
+        .select(F.md5("text").alias("h"), F.lit(1).alias("in_corpus"))
+        .distinct()
+    )
+    # planted arrivals keep every fate non-vacuous: re-fetches of corpus
+    # docs (doc_id%100=1, +1e6 ids) trigger dup_vs_corpus, second copies
+    # of batch docs (doc_id%200=0, +2e6 ids) trigger dup_in_batch
+    base = d.select("doc_id", "source", "n_chars", "text")
+    arrivals = (
+        base.where(F.col("doc_id") % 10 == 0)
+        .unionByName(
+            base.where(F.col("doc_id") % 100 == 1).withColumn(
+                "doc_id", F.col("doc_id") + 1_000_000
+            )
+        )
+        .unionByName(
+            base.where(F.col("doc_id") % 200 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 2_000_000
+            )
+        )
+    )
+    batch = arrivals.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5("text").alias("h"),
+        F.size(tokens(F.col("text"))).alias("n_words"),
+    )
+    staged = (
+        batch.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
+        )
+        .join(corpus, "h", "left")
+        .withColumn("in_corpus", F.coalesce("in_corpus", F.lit(0)))
+    )
+    gate = (F.col("n_chars") >= 200) & (F.col("n_words") >= 30)
+    capped = (
+        staged.where((F.col("rn") == 1) & (F.col("in_corpus") == 0) & gate)
+        .withColumn(
+            "cap_rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("n_chars").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .select("doc_id", "cap_rn")
+    )
+    return staged.join(capped, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("rn") > 1, "dup_in_batch")
+        .when(F.col("in_corpus") == 1, "dup_vs_corpus")
+        .when(~gate, "low_quality")
+        .when(F.col("cap_rn") > 10, "over_source_cap")
+        .otherwise("accepted")
+        .alias("fate"),
+    )
