@@ -1171,6 +1171,7 @@ _CHECK_FIRST: list[str] = [
     "scr1_sql_scripting",
     "f16_listagg",
     "aud1_filter_audit",
+    "nh1_null_semantics",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -2793,3 +2793,57 @@ def f16_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# =========================================================================
+# nh1: NULL semantics under aggregation — the silent-divergence surface
+# =========================================================================
+
+_NH1_SQL = """
+WITH nulled AS (
+  SELECT CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE o_orderstatus END
+           AS grp,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END
+           AS price
+  FROM orders
+)
+SELECT grp,
+       COUNT(*) AS n_rows,
+       COUNT(price) AS n_priced,
+       CAST(COALESCE(SUM(CAST(price AS DECIMAL(18,2))), 0) AS DOUBLE)
+         AS total,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) / COUNT(price)
+         AS avg_priced,
+       MIN(price) AS lo,
+       MAX(price) AS hi
+FROM nulled GROUP BY grp
+"""
+
+
+@_register("nh1_null_semantics", _NH1_SQL)
+def nh1_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics under aggregation, pinned cross-engine with planted
+    nulls (a quarter of the group keys, a third of the measures): NULL is
+    a GROUP (GROUP BY keeps a null bucket — unlike a join key, which
+    never matches), COUNT(*) counts rows while COUNT(col) skips nulls,
+    SUM/MIN/MAX ignore nulls but return NULL for empty input (COALESCE'd
+    where the report needs 0), and the average divides the null-skipping
+    sum by the null-skipping count. Every one of these is a place two
+    engines can silently disagree; the planted-modulus nulls make each
+    rule observable. Plan: one codegen projection + one partial-agg pair
+    — null handling costs nothing."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    nulled = o.select(
+        F.when(k % 4 == 0, F.lit(None)).otherwise(F.col("o_orderstatus")).alias("grp"),
+        F.when(k % 3 == 0, F.lit(None)).otherwise(F.col("o_totalprice")).alias("price"),
+    )
+    dsum_price = F.sum(F.col("price").cast("decimal(18,2)"))
+    return nulled.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("price").alias("n_priced"),
+        F.coalesce(dsum_price, F.lit(0)).cast("double").alias("total"),
+        (dsum_price.cast("double") / F.count("price")).alias("avg_priced"),
+        F.min("price").alias("lo"),
+        F.max("price").alias("hi"),
+    )
