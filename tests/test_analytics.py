@@ -408,3 +408,39 @@ def test_x7_quantized_recall_vs_exact(spark, sf_dir):
     assert set(qu) == set(ex)
     recall = sum(len(ex[q] & qu[q]) for q in qu) / sum(len(ex[q]) for q in qu)
     assert recall >= 0.8, f"recall@5 {recall}"
+
+
+def test_results_invariant_under_partition_count(spark, sf_dir):
+    """SCALE.md's exactness claim, tested directly: value-bearing queries
+    produce IDENTICAL rows when the shuffle-partition count changes —
+    the property that makes results reproducible across cluster sizes.
+    Double-summing queries would fail this (merge order changes);
+    exact-decimal accumulators and deterministic folds must not."""
+    from angelo_bravo_etl_task_spark.queries import QUERIES
+
+    names = [
+        "q1_pricing_summary",
+        "ewma1_exp_smoothing",
+        "qt3_weighted_median",
+        "ab1_experiment_analysis",
+        "fh2_sparse_cosine_topk",
+        "hist2_equidepth",
+        "x7_quantized_cosine",
+        "nh1_null_semantics",
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for parts in ("3", "7"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for n in names:
+                df = QUERIES[n][0](spark, sf_dir)
+                rows = sorted(
+                    tuple(str(r[c]) for c in sorted(df.columns))
+                    for r in df.collect()
+                )
+                results.setdefault(n, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for n, (a, b) in results.items():
+        assert a == b, f"{n} differs across partition counts"

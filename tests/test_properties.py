@@ -578,3 +578,34 @@ def test_capped_session_fold_equals_python_reference(spark, times, gap, cap):
         want.append((t, idx))
         last = t
     assert got == want
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=2, max_size=6),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**PROP_SETTINGS)
+def test_bpe_pair_counts_match_python_reference(spark, words):
+    """bpe1's vocab-weighted adjacent-pair scan vs a straight-line Python
+    count over the same word list (multiplicities included)."""
+    import collections
+
+    df = spark.createDataFrame([(w,) for w in words], "w STRING")
+    wf = df.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = wf.select(
+        "freq",
+        F.posexplode(F.sequence(F.lit(1), F.length("w") - 1)).alias("pos", "i"),
+        F.col("w"),
+    ).select(F.expr("substring(w, i, 2)").alias("pair"), "freq")
+    got = {
+        r["pair"]: r["n"]
+        for r in pairs.groupBy("pair").agg(F.sum("freq").alias("n")).collect()
+    }
+    want: collections.Counter = collections.Counter()
+    for w in words:
+        for i in range(len(w) - 1):
+            want[w[i : i + 2]] += 1
+    assert got == dict(want)
