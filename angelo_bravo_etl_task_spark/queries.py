@@ -1172,6 +1172,9 @@ _CHECK_FIRST: list[str] = [
     "f16_listagg",
     "aud1_filter_audit",
     "nh1_null_semantics",
+    "f17_bitwise_aggs",
+    "f18_percentile_cont",
+    "f19_mask",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -2847,3 +2847,92 @@ def nh1_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("price").alias("lo"),
         F.max("price").alias("hi"),
     )
+
+
+# =========================================================================
+# f17/f18/f19: bitwise aggregates, interpolated percentile, masking
+# =========================================================================
+
+
+@_register(
+    "f17_bitwise_aggs",
+    """
+    SELECT o_orderpriority,
+           bit_or(CAST(o_orderkey % 256 AS BIGINT)) AS flags_or,
+           bit_and(CAST(o_orderkey % 256 AS BIGINT)) AS flags_and,
+           bit_xor(CAST(o_orderkey % 256 AS BIGINT)) AS flags_xor
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def f17_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate fold (bit_or/bit_and/bit_xor) over a derived
+    8-bit flag word — permission-mask union/intersection and parity
+    folding, the aggregates capability-flag schemas need. All three are
+    associative+commutative integer folds: partition order can never
+    change the result (the same property the decimal sums rely on), and
+    they partial-aggregate map-side like any algebraic aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    flag = (F.col("o_orderkey") % 256).cast("bigint")
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_or(flag).alias("flags_or"),
+        F.bit_and(flag).alias("flags_and"),
+        F.bit_xor(flag).alias("flags_xor"),
+    )
+
+
+@_register(
+    "f18_percentile_cont",
+    """
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.50) AS p50,
+           quantile_cont(o_totalprice, 0.75) AS p75
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def f18_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERPOLATED exact percentile (percentile_cont semantics: linear
+    interpolation at rank (n-1)*q) — the SQL-standard definition, vs
+    qt1's smallest-value-at-cumulative-rank discrete definition. Both
+    engines implement the identical lerp, verified bit-exact at an
+    awkward q before registration. Spark's percentile() buffers each
+    group's values — fine for bounded groups (3 statuses here); the
+    two-pass qt1 shape remains the unbounded-group path, which is why
+    both are in the registry."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+        F.expr("percentile(o_totalprice, 0.50)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
+    )
+
+
+@_register(
+    "f19_mask",
+    r"""
+    SELECT o_orderkey,
+           regexp_replace(regexp_replace(regexp_replace(
+             o_orderpriority || '#' || CAST(o_orderkey AS VARCHAR),
+             '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+             AS masked
+    FROM orders WHERE o_orderkey % 50 = 0
+    """,
+)
+def f19_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in data masking (Spark's mask(): uppercase→X, lowercase→x,
+    digit→n, other preserved) — the display-layer redaction for
+    structured identifiers, complementing tx8's regex PII scrubbing of
+    free text. Codegen-resident single projection; the oracle spells the
+    same character-class policy as regexp_replace chains (DuckDB has no
+    mask())."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 50 == 0)
+    return o.select(
+        "o_orderkey",
+        F.mask(
+            F.concat(
+                F.col("o_orderpriority"),
+                F.lit("#"),
+                F.col("o_orderkey").cast("string"),
+            )
+        ).alias("masked"),
+    )
