@@ -1175,6 +1175,8 @@ _CHECK_FIRST: list[str] = [
     "f17_bitwise_aggs",
     "f18_percentile_cont",
     "f19_mask",
+    "url1_parse",
+    "luhn1_checksum",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

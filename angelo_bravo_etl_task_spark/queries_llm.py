@@ -1594,3 +1594,113 @@ def aud1_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("accepted")
         .alias("fate"),
     )
+
+
+# =========================================================================
+# url1: URL parsing — the crawl pipeline's per-domain accounting key
+# =========================================================================
+
+_URL1_SQL = r"""
+WITH urls AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/'
+           || CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&v=2' AS url
+  FROM documents
+), parsed AS (
+  SELECT doc_id,
+         regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+         regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+  FROM urls
+)
+SELECT host, lang_param, COUNT(*) AS n_docs,
+       MIN(doc_id) AS first_doc
+FROM parsed GROUP BY host, lang_param
+"""
+
+
+@_register("url1_parse", _URL1_SQL)
+def url1_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing with the built-in parse_url (HOST/QUERY-param
+    extraction) — the first operation every crawl pipeline applies,
+    because the HOST is the curation key (dm1's per-source caps, robots
+    policies, domain blocklists all key on it) and query params carry
+    labels. URLs are synthesized deterministically from the catalog
+    columns (the corpus carries no raw URLs); the oracle parses the
+    same strings with explicit regexes, pinning parse_url's component
+    semantics. Codegen projection + one aggregate — scan-speed."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    parsed = d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+    return parsed.groupBy("host", "lang_param").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+# =========================================================================
+# luhn1: checksum validation — cutting PII-detector false positives
+# =========================================================================
+
+_LUHN1_SQL = r"""
+WITH cand AS (
+  SELECT doc_id,
+         lpad(CAST(doc_id * 9973 % 10000000000 AS VARCHAR), 10, '0')
+           AS number
+  FROM documents WHERE doc_id % 10 = 0
+), digits AS (
+  SELECT doc_id, number,
+         list_reverse(list_transform(
+           regexp_extract_all(number, '[0-9]'), d -> CAST(d AS BIGINT)))
+           AS ds
+  FROM cand
+), checked AS (
+  SELECT doc_id, number,
+         list_reduce(
+           list_transform(
+             generate_series(1, len(ds)),
+             i -> CASE WHEN i % 2 = 0
+                       THEN CASE WHEN ds[i] * 2 > 9 THEN ds[i] * 2 - 9
+                                 ELSE ds[i] * 2 END
+                       ELSE ds[i] END),
+           (a, b) -> a + b) % 10 = 0 AS luhn_ok
+  FROM digits
+)
+SELECT doc_id, number, luhn_ok FROM checked
+"""
+
+
+@_register("luhn1_checksum", _LUHN1_SQL)
+def luhn1_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn checksum validation (built-in luhn_check) over deterministic
+    10-digit candidate numbers — the post-filter that keeps a PII
+    detector honest: tx8's regexes FIND card-shaped digit runs, the
+    checksum separates real card numbers from order ids and timestamps
+    (most random digit runs fail Luhn, so this cuts false-positive
+    redactions ~10x). The oracle implements the algorithm itself
+    (reverse digits, double every second, subtract 9 over 9, sum mod
+    10) — exact integer math, so the built-in's semantics are pinned,
+    not assumed."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    number = F.lpad(
+        ((F.col("doc_id") * 9973) % 10_000_000_000).cast("string"), 10, "0"
+    )
+    return d.select(
+        "doc_id",
+        number.alias("number"),
+        F.expr(
+            "luhn_check(lpad(CAST(doc_id * 9973 % 10000000000 AS STRING),"
+            " 10, '0'))"
+        ).alias("luhn_ok"),
+    )
