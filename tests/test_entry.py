@@ -40,3 +40,14 @@ def test_check_first_queries_lead_the_registry():
     names = list(entrymod.queries())
     expected_head = [n for n in _CHECK_FIRST if n in set(names)]
     assert names[: len(expected_head)] == expected_head
+
+
+def test_check_first_names_all_registered():
+    """_ordered_names() silently drops _CHECK_FIRST entries that are not
+    in QUERIES — a typo would silently push a query out of the driver's
+    sweep window. Every queued name must resolve, with no duplicates."""
+    from angelo_bravo_etl_task_spark.queries import _CHECK_FIRST, QUERIES
+
+    missing = [n for n in _CHECK_FIRST if n not in QUERIES]
+    assert missing == [], f"unregistered names in _CHECK_FIRST: {missing}"
+    assert len(_CHECK_FIRST) == len(set(_CHECK_FIRST)), "duplicate names"
