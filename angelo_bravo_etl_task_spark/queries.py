@@ -1177,6 +1177,7 @@ _CHECK_FIRST: list[str] = [
     "f19_mask",
     "url1_parse",
     "luhn1_checksum",
+    "agg2_argmax",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

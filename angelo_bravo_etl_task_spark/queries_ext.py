@@ -2936,3 +2936,47 @@ def f19_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("masked"),
     )
+
+
+# =========================================================================
+# agg2: argmax/argmin (max_by/min_by) with a collision-free ordering key
+# =========================================================================
+
+_AGG2_SQL = """
+WITH keyed AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           * 100000000 + o_orderkey AS ord
+  FROM orders
+)
+SELECT o_orderpriority,
+       arg_max(o_orderkey, ord) AS top_order,
+       arg_min(o_orderkey, ord) AS bottom_order,
+       MAX(o_totalprice) AS top_price
+FROM keyed GROUP BY o_orderpriority
+"""
+
+
+@_register("agg2_argmax", _AGG2_SQL)
+def agg2_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin (max_by/min_by): WHICH order is the most/least
+    valuable per priority — the lookup that otherwise costs a window +
+    filter or a self-join. The ordering key packs (exact integer cents,
+    orderkey) into one collision-free bigint, because ties in the raw
+    measure make max_by nondeterministic on BOTH engines (each picks an
+    arbitrary winner — a silent flakiness source; DuckDB's arg_max has
+    no composite form, so the packing IS the portable tiebreak). One
+    partial-aggregating pass, no window."""
+    o = _t(spark, sf_dir, "orders")
+    ord_ = (
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        * 100_000_000
+        + F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderpriority", "o_orderkey", "o_totalprice", ord_.alias("ord")
+    ).groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", F.col("ord")).alias("top_order"),
+        F.min_by("o_orderkey", F.col("ord")).alias("bottom_order"),
+        F.max("o_totalprice").alias("top_price"),
+    )
