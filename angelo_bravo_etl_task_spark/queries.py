@@ -1178,6 +1178,7 @@ _CHECK_FIRST: list[str] = [
     "url1_parse",
     "luhn1_checksum",
     "agg2_argmax",
+    "div1_simpson_diversity",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -1704,3 +1704,54 @@ def luhn1_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 10, '0'))"
         ).alias("luhn_ok"),
     )
+
+
+# =========================================================================
+# div1: source-diversity index — the curation KPI, in rational arithmetic
+# =========================================================================
+
+_DIV1_SQL = """
+WITH counts AS (
+  SELECT lang, source, COUNT(*) AS n
+  FROM documents GROUP BY lang, source
+), per_lang AS (
+  SELECT lang,
+         CAST(SUM(n) AS BIGINT) AS n_docs,
+         CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM counts GROUP BY lang
+)
+SELECT lang, n_docs, n_sources,
+       1.0 - CAST(sum_sq AS DOUBLE) / (CAST(n_docs AS DOUBLE) * n_docs)
+         AS simpson_diversity
+FROM per_lang
+"""
+
+
+@_register("div1_simpson_diversity", _DIV1_SQL)
+def div1_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-Simpson diversity of sources within each language — the
+    corpus-composition KPI behind 'is this slice dominated by one
+    domain?' (dm1 caps enforce the policy; this measures it). Chosen
+    over Shannon entropy DELIBERATELY: 1 - Σ(n_i/N)² needs only integer
+    sums and one division-and-subtract in doubles — bit-exact
+    cross-engine — where entropy's log() is libm territory the oracle
+    discipline excludes; the two rank distributions near-identically.
+    Two hash aggregates over the tiny (lang, source) frame."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    per_lang = counts.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sum_sq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "n_sources",
+        (
+            F.lit(1.0)
+            - F.col("sum_sq").cast("double")
+            / (F.col("n_docs").cast("double") * F.col("n_docs"))
+        ).alias("simpson_diversity"),
+    )
