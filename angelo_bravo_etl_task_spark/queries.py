@@ -1179,6 +1179,7 @@ _CHECK_FIRST: list[str] = [
     "luhn1_checksum",
     "agg2_argmax",
     "div1_simpson_diversity",
+    "mb1_copurchase_pairs",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

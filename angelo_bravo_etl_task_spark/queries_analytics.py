@@ -2127,3 +2127,57 @@ def cal1_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         dow.isin(5, 6).cast("int").alias("is_weekend"),
         F.date_format("day", "yyyy-MM").alias("month_key"),
     )
+
+
+# =========================================================================
+# mb1: market-basket pair support — the association-mining first pass
+# =========================================================================
+
+_MB1_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, CAST(cnt AS BIGINT) AS support, rnk FROM (
+  SELECT part_a, part_b, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, part_a, part_b) AS rnk
+  FROM pairs GROUP BY part_a, part_b
+) WHERE rnk <= 50
+"""
+
+
+@_register("mb1_copurchase_pairs", _MB1_SQL)
+def mb1_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair support (the Apriori/FP-growth first pass):
+    top-50 part pairs co-occurring in an order. The self-join is keyed
+    on the ORDER — the basket — so fanout is lines-per-basket choose 2
+    (≤ 21 here, bounded by the domain: baskets are small even when the
+    catalog and order count are 100 TB-scale), never a catalog×catalog
+    product; the canonical a < b ordering halves the pairs and
+    deduplicates orientation. Distinct-items first so quantity-split
+    duplicate lines don't inflate support. One equi-join + one
+    aggregate + top-k."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    counted = pairs.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    w = Window.orderBy(F.col("support").desc(), "part_a", "part_b")
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 50)
+        .select("part_a", "part_b", "support", "rnk")
+    )
