@@ -1180,6 +1180,8 @@ _CHECK_FIRST: list[str] = [
     "agg2_argmax",
     "div1_simpson_diversity",
     "mb1_copurchase_pairs",
+    "w12_ratio_to_report",
+    "tb1_token_bucket",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -2181,3 +2181,152 @@ def mb1_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 50)
         .select("part_a", "part_b", "support", "rnk")
     )
+
+
+# =========================================================================
+# w12: ratio-to-report — contribution analysis
+# =========================================================================
+
+_W12_SQL = """
+WITH agg AS (
+  SELECT o_orderpriority, o_orderstatus,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+)
+SELECT o_orderpriority, o_orderstatus,
+       CAST(rev_d AS DOUBLE) AS rev,
+       CAST(rev_d AS DOUBLE)
+         / CAST(SUM(rev_d) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+         AS share_of_pri,
+       CAST(rev_d AS DOUBLE) / CAST(SUM(rev_d) OVER () AS DOUBLE)
+         AS share_of_total
+FROM agg
+"""
+
+
+@_register("w12_ratio_to_report", _W12_SQL)
+def w12_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report (contribution analysis): each cell's share of its
+    priority group and of the grand total — the percent-of-whole column
+    every report carries. The window-sum DENOMINATORS stay in exact
+    decimal and convert to double only for the final division — summing
+    the already-double cell values drifted in the last ulp between
+    engines (window merge order), the exact failure mode this registry's
+    decimal discipline exists to prevent, observed live here;
+    the windows run over the AGGREGATED 15-row frame, not the orders,
+    so the unpartitioned total window is free at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_d")
+    )
+    return agg.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.col("rev_d").cast("double").alias("rev"),
+        (
+            F.col("rev_d").cast("double")
+            / F.sum("rev_d")
+            .over(Window.partitionBy("o_orderpriority"))
+            .cast("double")
+        ).alias("share_of_pri"),
+        (
+            F.col("rev_d").cast("double")
+            / F.sum("rev_d").over(Window.partitionBy()).cast("double")
+        ).alias("share_of_total"),
+    )
+
+
+# =========================================================================
+# tb1: token bucket — clamped running balance (the third sequential fold)
+# =========================================================================
+
+_TB1_SQL = """
+WITH RECURSIVE ev AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'purchase'
+              THEN -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+              ELSE 500 END AS delta,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+  FROM events WHERE event_type IN ('purchase', 'click')
+), r AS (
+  SELECT user_id, i,
+         GREATEST(CAST(0 AS BIGINT),
+                  LEAST(CAST(10000 AS BIGINT), 10000 + delta)) AS bal
+  FROM ev WHERE i = 1
+  UNION ALL
+  SELECT ev.user_id, ev.i,
+         GREATEST(CAST(0 AS BIGINT),
+                  LEAST(CAST(10000 AS BIGINT), r.bal + ev.delta))
+  FROM r JOIN ev ON ev.user_id = r.user_id AND ev.i = r.i + 1
+)
+SELECT user_id,
+       MIN(bal) AS min_balance,
+       CAST(COUNT(*) FILTER (WHERE bal = 0) AS BIGINT) AS n_exhausted,
+       MAX(CASE WHEN i = (SELECT MAX(i) FROM r r2
+                          WHERE r2.user_id = r.user_id)
+                THEN bal END) AS final_balance
+FROM r GROUP BY user_id
+"""
+
+
+@_register("tb1_token_bucket", _TB1_SQL)
+def tb1_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token bucket / clamped running balance: purchases drain a per-user
+    budget (integer cents), clicks refill it, and the balance CLAMPS at
+    [0, cap] — rate limiters, credit lines, and inventory floors all
+    have this shape, and the clamp is what makes it the third genuinely
+    sequential operator (with ewma1 and seq2): max(0, min(cap, prev+Δ))
+    has no prefix-sum decomposition, because the clamp erases history.
+    Same scale decomposition as its siblings: one sorted fold per user,
+    bounded by per-user activity; exact integer arithmetic end to end.
+    Emits per-user min balance, exhaustion count, and final balance; the
+    oracle replays the recurrence as a recursive CTE."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    cap = 10_000
+    delta = F.when(
+        F.col("event_type") == "purchase",
+        -(F.col("value").cast("decimal(18,2)") * 100).cast("bigint"),
+    ).otherwise(F.lit(500).cast("bigint"))
+    series = (
+        ev.select(
+            "user_id",
+            F.unix_micros("ts").alias("t"),
+            "event_id",
+            delta.alias("delta"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("t", "event_id", "delta"))
+            ).alias("s")
+        )
+    )
+
+    def merge(acc, v):
+        bal = F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(F.lit(cap).cast("bigint"), acc["bal"] + v["delta"]),
+        )
+        return F.struct(
+            bal.alias("bal"),
+            F.concat(acc["out"], F.array(bal)).alias("out"),
+        )
+
+    init = F.expr(
+        "named_struct('bal', CAST(10000 AS BIGINT),"
+        " 'out', CAST(array() AS ARRAY<BIGINT>))"
+    )
+    folded = series.select(
+        "user_id",
+        F.aggregate("s", init, merge, lambda acc: acc["out"]).alias("bals"),
+    )
+    return folded.select(
+        "user_id",
+        F.array_min("bals").alias("min_balance"),
+        F.size(F.filter("bals", lambda b: b == 0))
+        .cast("bigint")
+        .alias("n_exhausted"),
+        F.element_at("bals", -1).alias("final_balance"),
+    )
