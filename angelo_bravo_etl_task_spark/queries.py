@@ -1182,6 +1182,7 @@ _CHECK_FIRST: list[str] = [
     "mb1_copurchase_pairs",
     "w12_ratio_to_report",
     "tb1_token_bucket",
+    "iu1_interval_union",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -2330,3 +2330,98 @@ def tb1_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_exhausted"),
         F.element_at("bals", -1).alias("final_balance"),
     )
+
+
+# =========================================================================
+# iu1: interval union — merged coverage duration (the sweep-line fold)
+# =========================================================================
+
+_IU1_SQL = """
+WITH RECURSIVE iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i
+  FROM events WHERE event_type = 'view'
+), r AS (
+  SELECT user_id, i, e AS cur_end, CAST(0 AS BIGINT) AS closed
+  FROM iv WHERE i = 1
+  UNION ALL
+  SELECT iv.user_id, iv.i,
+         GREATEST(r.cur_end, iv.e),
+         r.closed + CASE WHEN iv.s > r.cur_end
+                         THEN iv.s - r.cur_end ELSE 0 END
+  FROM r JOIN iv ON iv.user_id = r.user_id AND iv.i = r.i + 1
+), last AS (
+  SELECT user_id, closed,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY i DESC) AS rn,
+         cur_end
+  FROM r
+), span AS (
+  SELECT l.user_id,
+         (SELECT MIN(s) FROM iv WHERE iv.user_id = l.user_id) AS first_s,
+         l.cur_end, l.closed
+  FROM last l WHERE l.rn = 1
+)
+SELECT user_id,
+       CAST((cur_end - first_s - closed) // 1000000 AS BIGINT)
+         AS covered_seconds
+FROM span
+"""
+
+
+@_register("iu1_interval_union", _IU1_SQL)
+def iu1_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION length — total seconds each user was 'active' under
+    overlapping 30-minute exposure windows, i.e. merged coverage, the
+    SLA-uptime/sensor-coverage computation. The sweep-line merge is
+    sequential (whether an interval extends or starts a segment depends
+    on the running furthest-end), so it joins ewma1/seq2/tb1 in the
+    sorted-fold family: per key, track the max end seen and accumulate
+    the GAPS; union length = (last_end - first_start) - gaps. Integer
+    microseconds end to end; the per-key fold state is two longs. The
+    oracle replays the identical recurrence."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    us = F.unix_micros(F.col("ts"))
+    series = (
+        ev.select(
+            "user_id",
+            us.alias("s"),
+            (us + F.lit(1_800_000_000)).alias("e"),
+            "event_id",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("s", "event_id", "e"))).alias(
+                "iv"
+            )
+        )
+    )
+
+    def merge(acc, v):
+        gap = F.when(v["s"] > acc["cur_end"], v["s"] - acc["cur_end"]).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        return F.struct(
+            F.greatest(acc["cur_end"], v["e"]).alias("cur_end"),
+            (acc["closed"] + gap).alias("closed"),
+            F.least(acc["first_s"], v["s"]).alias("first_s"),
+        )
+
+    # seed from the first interval (groups are non-empty by construction)
+    # instead of long-extreme sentinels, which trip ANSI overflow checks
+    # inside the fold arithmetic
+    init = F.expr(
+        "named_struct('cur_end', iv[0].e, 'closed', CAST(0 AS BIGINT),"
+        " 'first_s', iv[0].s)"
+    )
+    rest = F.slice("iv", 2, F.greatest(F.size("iv") - 1, F.lit(0)))
+    folded = series.select(
+        "user_id",
+        F.aggregate(rest, init, merge).alias("st"),
+    )
+    return folded.select(
+        "user_id",
+        F.expr("(st.cur_end - st.first_s - st.closed) DIV 1000000").alias(
+            "covered_seconds"
+        ),
+    )

@@ -609,3 +609,84 @@ def test_bpe_pair_counts_match_python_reference(spark, words):
         for i in range(len(w) - 1):
             want[w[i : i + 2]] += 1
     assert got == dict(want)
+
+
+@given(
+    deltas=st.lists(st.integers(-800, 800), min_size=1, max_size=25),
+    cap=st.integers(100, 2000),
+)
+@settings(**PROP_SETTINGS)
+def test_clamped_balance_fold_equals_python_reference(spark, deltas, cap):
+    """tb1's recurrence bal = max(0, min(cap, prev + delta)) vs a
+    straight-line reference, arbitrary deltas and cap, start = cap."""
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(deltas)], "i LONG, delta LONG"
+    )
+    series = df.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("i", "delta"))).alias("s")
+    )
+
+    def merge(acc, v):
+        bal = F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(F.lit(cap).cast("bigint"), acc["bal"] + v["delta"]),
+        )
+        return F.struct(bal.alias("bal"), F.concat(acc["out"], F.array(bal)).alias("out"))
+
+    init = F.expr(
+        f"named_struct('bal', CAST({cap} AS BIGINT),"
+        " 'out', CAST(array() AS ARRAY<BIGINT>))"
+    )
+    got = series.select(
+        F.aggregate("s", init, merge, lambda a: a["out"]).alias("out")
+    ).collect()[0]["out"]
+    want, bal = [], cap
+    for d in deltas:
+        bal = max(0, min(cap, bal + d))
+        want.append(bal)
+    assert got == want
+
+
+@given(
+    ivs=st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(1, 300)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**PROP_SETTINGS)
+def test_interval_union_fold_equals_python_sweep(spark, ivs):
+    """iu1's gap-accumulating fold vs a reference sweep-line merge over
+    arbitrary (possibly nested/duplicate) intervals on one key."""
+    rows = [(i, s, s + ln) for i, (s, ln) in enumerate(ivs)]
+    df = spark.createDataFrame(rows, "eid LONG, s LONG, e LONG")
+    series = df.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("s", "eid", "e"))).alias("iv")
+    )
+
+    def merge(acc, v):
+        gap = F.when(v["s"] > acc["cur_end"], v["s"] - acc["cur_end"]).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        return F.struct(
+            F.greatest(acc["cur_end"], v["e"]).alias("cur_end"),
+            (acc["closed"] + gap).alias("closed"),
+            F.least(acc["first_s"], v["s"]).alias("first_s"),
+        )
+
+    init = F.expr(
+        "named_struct('cur_end', iv[0].e, 'closed', CAST(0 AS BIGINT),"
+        " 'first_s', iv[0].s)"
+    )
+    rest = F.slice("iv", 2, F.greatest(F.size("iv") - 1, F.lit(0)))
+    st_ = series.select(F.aggregate(rest, init, merge).alias("st")).collect()[0]["st"]
+    got = st_["cur_end"] - st_["first_s"] - st_["closed"]
+
+    merged, want = [], 0
+    for s, e in sorted((s, s + ln) for s, ln in ivs):
+        if merged and s <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+        else:
+            merged.append((s, e))
+    want = sum(e - s for s, e in merged)
+    assert got == want
