@@ -1043,7 +1043,8 @@ from . import queries_px  # noqa: E402,F401  (extends QUERIES)
 from . import queries_tpch2  # noqa: E402,F401  (extends QUERIES)
 from . import queries_analytics  # noqa: E402,F401  (extends QUERIES)
 from . import queries_scale  # noqa: E402,F401  (extends QUERIES)
-from . import queries_llm  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_llm  # noqa: E402,F401  (extends QUERIES)
+from . import queries_wave6  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded prefix of the registry (r1 checked
@@ -1183,6 +1184,13 @@ _CHECK_FIRST: list[str] = [
     "w12_ratio_to_report",
     "tb1_token_bucket",
     "iu1_interval_union",
+    # new round-3 wave 6:
+    "geo1_grid_knn",
+    "ip1_cidr_enrich",
+    "ks1_two_sample",
+    "mad1_robust_outliers",
+    "gini1_split_impurity",
+    "regr1_linear_fit",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

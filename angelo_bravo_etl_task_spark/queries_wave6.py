@@ -1,0 +1,540 @@
+"""Round-3 wave 6: spatial/grid analytics, network enrichment, robust and
+exact statistics, ML feature prep, and the remaining SQL-surface items.
+
+Every query keeps the registry's exactness discipline (queries.py module
+docstring): integer/decimal arithmetic wherever an aggregation reorders
+values, IEEE double only for per-row ops (deterministic) and final casts
+from exact decimals (correctly rounded in both engines).
+
+Scale themes this wave:
+- geo1/ip1: bounded candidate generation (grid-cell / top-octet equi-join
+  keys) turns what looks like a cross join into a broadcast hash join;
+- ks1: the order statistic runs over the AGGREGATED (distinct-value)
+  frame, not the raw rows — the m1 two-pass trick applied to ECDFs;
+- mad1: two cascaded median passes, each over a (group, value) count
+  frame, never a low-cardinality raw-row window;
+- regr1: closed-form OLS from six exact partial sums — one map-side
+  combinable aggregate, the shape a 100 TB regression actually uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .operators.agg import dec
+from .queries import _register, _t
+
+# =========================================================================
+# geo1: grid-bucketed spatial nearest neighbor (radius-bounded kNN)
+# =========================================================================
+
+_GEO1_SQL = """
+WITH pts AS (
+  SELECT event_id,
+         (event_id * 48271) % 1000 AS px,
+         (event_id * 16807) % 1000 AS py
+  FROM events
+), probes AS (
+  SELECT s_suppkey AS probe_id,
+         (s_suppkey * 7919) % 1000 AS qx,
+         (s_suppkey * 104729) % 1000 AS qy
+  FROM supplier WHERE s_suppkey <= 20
+), offs(dx, dy) AS (
+  VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+), cand AS (
+  SELECT p.probe_id, p.qx, p.qy, t.event_id,
+         (t.px - p.qx) * (t.px - p.qx)
+           + (t.py - p.qy) * (t.py - p.qy) AS d2
+  FROM probes p
+  JOIN offs o ON TRUE
+  JOIN pts t ON t.px // 100 = p.qx // 100 + o.dx
+            AND t.py // 100 = p.qy // 100 + o.dy
+)
+SELECT probe_id, qx, qy, event_id AS nn_event_id, d2 AS nn_d2
+FROM (
+  SELECT probe_id, qx, qy, event_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY d2, event_id) AS rn
+  FROM cand
+) WHERE rn = 1
+"""
+
+
+@_register("geo1_grid_knn", _GEO1_SQL)
+def geo1_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial nearest neighbor by grid bucketing — the 2-D version of the
+    j8 interval-grid trick. Points and probes get synthetic integer
+    coordinates on a 1000x1000 plane; each probe searches only the 3x3
+    block of 100-unit grid cells around its own cell, so the candidate
+    join is a pure EQUI-join on (cell_x, cell_y) — a broadcast hash join
+    against 9 exploded probe cells, never a distance cross join. Distances
+    are exact integer squares (no sqrt, no doubles). Semantics are
+    radius-bounded NN (nearest point within the 3x3 neighborhood), which
+    is the production formulation — a global NN without a radius bound
+    cannot prune. At 100 TB the point side stays partitioned by cell and
+    only probe cells are replicated; candidate volume is points-per-cell x
+    probes, independent of total data size."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        (F.col("event_id") * 48271 % 1000).alias("px"),
+        (F.col("event_id") * 16807 % 1000).alias("py"),
+    ).withColumns(
+        {
+            "cx": F.expr("px DIV 100"),
+            "cy": F.expr("py DIV 100"),
+        }
+    )
+    probes = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") <= 20)
+        .select(
+            F.col("s_suppkey").alias("probe_id"),
+            (F.col("s_suppkey") * 7919 % 1000).alias("qx"),
+            (F.col("s_suppkey") * 104729 % 1000).alias("qy"),
+        )
+    )
+    offs = F.expr(
+        "explode(array(-1, 0, 1))"
+    )
+    probe_cells = (
+        probes.select("*", offs.alias("dx"))
+        .select("*", F.expr("explode(array(-1, 0, 1))").alias("dy"))
+        .select(
+            "probe_id",
+            "qx",
+            "qy",
+            (F.expr("qx DIV 100") + F.col("dx")).alias("cx"),
+            (F.expr("qy DIV 100") + F.col("dy")).alias("cy"),
+        )
+    )
+    cand = pts.join(F.broadcast(probe_cells), on=["cx", "cy"]).select(
+        "probe_id",
+        "qx",
+        "qy",
+        "event_id",
+        (
+            (F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx"))
+            + (F.col("py") - F.col("qy")) * (F.col("py") - F.col("qy"))
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("probe_id").orderBy("d2", "event_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "probe_id",
+            "qx",
+            "qy",
+            F.col("event_id").alias("nn_event_id"),
+            F.col("d2").alias("nn_d2"),
+        )
+    )
+
+
+# =========================================================================
+# ip1: CIDR-block enrichment join (IP -> owner) via top-octet bucketing
+# =========================================================================
+
+_IP1_SQL = """
+WITH ips AS (
+  SELECT event_id, (event_id * 2654435761) % 4294967296 AS ip
+  FROM events
+), blocks AS (
+  SELECT n_name,
+         (CAST(n_nationkey AS BIGINT) * 11) % 256 AS octet,
+         ((CAST(n_nationkey AS BIGINT) * 11) % 256) * 16777216
+           + n_nationkey * 1000 AS lo,
+         ((CAST(n_nationkey AS BIGINT) * 11) % 256) * 16777216 + 16777215
+           - n_nationkey * 777 AS hi
+  FROM nation
+)
+SELECT b.n_name, COUNT(*) AS hits,
+       MIN(i.ip) AS min_ip, MAX(i.ip) AS max_ip
+FROM ips i
+JOIN blocks b ON i.ip // 16777216 = b.octet
+             AND i.ip BETWEEN b.lo AND b.hi
+GROUP BY b.n_name
+"""
+
+
+@_register("ip1_cidr_enrich", _IP1_SQL)
+def ip1_cidr_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP-to-owner enrichment (the geo-IP / CIDR-allowlist join every
+    clickstream pipeline runs): synthetic 32-bit IPs derived from event
+    ids, matched against nation-derived address blocks that each live
+    inside one /8. The range predicate alone would force a nested-loop
+    join; bucketing by TOP OCTET makes it an equi-join (BroadcastHashJoin
+    on ``octet``) with the BETWEEN as a residual filter — the standard
+    prefix-bucket decomposition for CIDR tables (blocks wider than /8
+    would be exploded into their covering /8s, same trick as geo1's
+    neighborhood cells). Pure integer arithmetic end to end."""
+    ips = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") * F.lit(2654435761).cast("bigint") % F.lit(4294967296).cast("bigint")).alias("ip"),
+    )
+    n = _t(spark, sf_dir, "nation")
+    # n_nationkey reads as INT; the block math exceeds int32 — widen first
+    # (ANSI mode makes silent wraparound a hard error, which is what we want)
+    nk = F.col("n_nationkey").cast("bigint")
+    octet = (nk * 11) % 256
+    blocks = n.select(
+        "n_name",
+        octet.alias("octet"),
+        (octet * 16777216 + nk * 1000).alias("lo"),
+        (octet * 16777216 + 16777215 - nk * 777).alias("hi"),
+    )
+    joined = ips.withColumn("octet", F.expr("ip DIV 16777216")).join(
+        F.broadcast(blocks), on="octet"
+    )
+    return (
+        joined.where(F.col("ip").between(F.col("lo"), F.col("hi")))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("hits"),
+            F.min("ip").alias("min_ip"),
+            F.max("ip").alias("max_ip"),
+        )
+    )
+
+
+# =========================================================================
+# ks1: exact two-sample Kolmogorov-Smirnov statistic (integer ECDF)
+# =========================================================================
+
+_KS1_SQL = """
+WITH s AS (
+  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_b
+  FROM events WHERE event_type IN ('click', 'error')
+), counts AS (
+  SELECT v, SUM(is_a) AS ca, SUM(is_b) AS cb
+  FROM s GROUP BY v
+), cum AS (
+  SELECT SUM(ca) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_a,
+         SUM(cb) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_b,
+         SUM(ca) OVER () AS n,
+         SUM(cb) OVER () AS m
+  FROM counts
+)
+SELECT CAST(MIN(n) AS BIGINT) AS n_click,
+       CAST(MIN(m) AS BIGINT) AS n_error,
+       CAST(MAX(ABS(cum_a * m - cum_b * n)) AS BIGINT) AS d_num,
+       CAST(MAX(ABS(cum_a * m - cum_b * n)) AS BIGINT)
+         / (CAST(MIN(n) AS BIGINT) * CAST(MIN(m) AS BIGINT)) AS ks_stat
+FROM cum
+"""
+
+
+@_register("ks1_two_sample", _KS1_SQL)
+def ks1_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the 'click'
+    and 'error' value distributions — the drift detector run between
+    yesterday's and today's feature snapshots. D = max |F1(v) - F2(v)| is
+    computed in INTEGERS: with cumulative counts (ca, cb) and sample
+    sizes (n, m), D's numerator is max|ca*m - cb*n| over the n*m common
+    denominator — no floating-point ECDFs, so both engines agree exactly;
+    the reported ks_stat is one IEEE division of exact integers
+    (bit-identical cross-engine). The running sums live on the AGGREGATED
+    distinct-value frame (m1's two-pass trick): the raw rows reduce via a
+    map-side-combinable group-by first, and only (distinct values) rows
+    pass through the single ordered window — at 100 TB that frame is
+    bounded by value cardinality, and the window itself would
+    range-partition over v with a distributed prefix sum."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "error")
+    )
+    s = ev.select(
+        dec("value").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_b"),
+    )
+    counts = s.groupBy("v").agg(
+        F.sum("is_a").alias("ca"), F.sum("is_b").alias("cb")
+    )
+    w_cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = counts.select(
+        F.sum("ca").over(w_cum).alias("cum_a"),
+        F.sum("cb").over(w_cum).alias("cum_b"),
+        F.sum("ca").over(w_all).alias("n"),
+        F.sum("cb").over(w_all).alias("m"),
+    )
+    return cum.agg(
+        F.min("n").cast("bigint").alias("n_click"),
+        F.min("m").cast("bigint").alias("n_error"),
+        F.max(F.abs(F.col("cum_a") * F.col("m") - F.col("cum_b") * F.col("n")))
+        .cast("bigint")
+        .alias("d_num"),
+        (
+            F.max(
+                F.abs(F.col("cum_a") * F.col("m") - F.col("cum_b") * F.col("n"))
+            ).cast("bigint")
+            / (F.min("n").cast("bigint") * F.min("m").cast("bigint"))
+        ).alias("ks_stat"),
+    )
+
+
+# =========================================================================
+# mad1: robust outliers via median absolute deviation (two median passes)
+# =========================================================================
+
+_MAD1_SQL = """
+WITH s AS (
+  SELECT event_type AS t, value AS v, event_id FROM events
+), r1 AS (
+  SELECT t, v,
+         ROW_NUMBER() OVER (PARTITION BY t ORDER BY v, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY t) AS n
+  FROM s
+), med AS (
+  SELECT t, AVG(v) AS med, MIN(n) AS n
+  FROM r1
+  WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+     OR rn = CAST(FLOOR((n + 2) / 2.0) AS BIGINT)
+  GROUP BY t
+), d AS (
+  SELECT s.t, ABS(s.v - med.med) AS dv, s.event_id, med.med, med.n
+  FROM s JOIN med ON s.t = med.t
+), r2 AS (
+  SELECT t, dv,
+         ROW_NUMBER() OVER (PARTITION BY t ORDER BY dv, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY t) AS n
+  FROM d
+), mad AS (
+  SELECT t, AVG(dv) AS mad
+  FROM r2
+  WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+     OR rn = CAST(FLOOR((n + 2) / 2.0) AS BIGINT)
+  GROUP BY t
+)
+SELECT d.t AS event_type,
+       CAST(MIN(d.n) AS BIGINT) AS n,
+       MIN(d.med) AS median_value,
+       MIN(mad.mad) AS mad,
+       CAST(SUM(CASE WHEN d.dv > mad.mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM d JOIN mad ON d.t = mad.t
+GROUP BY d.t
+"""
+
+
+@_register("mad1_robust_outliers", _MAD1_SQL)
+def mad1_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: |x - median| > 3 * MAD — the
+    mean/std-free variant of an1's 3-sigma rule, immune to the outliers
+    polluting their own threshold. Two cascaded exact-median passes, each
+    using m1's scale shape: aggregate to (group, value) counts first (a
+    map-side-combinable high-cardinality shuffle), run the cumulative
+    window over that small frame, and average the at-most-two middle
+    values. Per-row double ops (subtract, abs, compare, *3) are
+    deterministic IEEE on both engines; no double is ever re-aggregated.
+    The oracle uses the direct row_number formulation — equal results
+    prove the two-pass plan computes the same statistic."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"), F.col("value").alias("v"), "event_id"
+    )
+
+    def exact_median(df: DataFrame, val: str) -> DataFrame:
+        counts = df.groupBy("t", val).agg(F.count(F.lit(1)).alias("_cnt"))
+        w_cum = (
+            Window.partitionBy("t")
+            .orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_tot = Window.partitionBy("t")
+        cum = counts.select(
+            "t",
+            val,
+            "_cnt",
+            F.sum("_cnt").over(w_cum).alias("_cum"),
+            F.sum("_cnt").over(w_tot).alias("_n"),
+        )
+        mid1 = F.floor((F.col("_n") + 1) / 2.0).cast("bigint")
+        mid2 = F.floor((F.col("_n") + 2) / 2.0).cast("bigint")
+        lo = F.col("_cum") - F.col("_cnt")
+        picked = cum.select(
+            "t",
+            val,
+            "_n",
+            F.when((mid1 > lo) & (mid1 <= F.col("_cum")), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("_h1"),
+            F.when((mid2 > lo) & (mid2 <= F.col("_cum")), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("_h2"),
+        ).where((F.col("_h1") == 1) | (F.col("_h2") == 1))
+        # a single value bucket can hold both middles; weight accordingly
+        return picked.groupBy("t").agg(
+            (
+                F.sum(F.col(val) * (F.col("_h1") + F.col("_h2")))
+                / F.sum(F.col("_h1") + F.col("_h2"))
+            ).alias("_median"),
+            F.min("_n").alias("_n_rows"),
+        )
+
+    med = exact_median(ev, "v").withColumnsRenamed(
+        {"_median": "med", "_n_rows": "n"}
+    )
+    d = ev.join(F.broadcast(med), on="t").select(
+        "t", "event_id", "med", "n", F.abs(F.col("v") - F.col("med")).alias("dv")
+    )
+    mad = (
+        exact_median(d.select("t", F.col("dv").alias("v"), "event_id"), "v")
+        .select("t", F.col("_median").alias("mad"))
+    )
+    dm = d.join(F.broadcast(mad), on="t")
+    return dm.groupBy(F.col("t").alias("event_type")).agg(
+        F.min("n").cast("bigint").alias("n"),
+        F.min("med").alias("median_value"),
+        F.min("mad").alias("mad"),
+        F.sum(
+            F.when(F.col("dv") > F.col("mad") * 3, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+    )
+
+
+# =========================================================================
+# gini1: split-impurity scan (exact rational Gini, the tree-builder prep)
+# =========================================================================
+
+_GINI1_SQL = """
+WITH cls AS (
+  SELECT source, lang, COUNT(*) AS c
+  FROM documents GROUP BY source, lang
+), per_split AS (
+  SELECT source, SUM(c) AS n_docs, COUNT(*) AS n_langs,
+         SUM(c * c) AS ssq
+  FROM cls GROUP BY source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       CAST(n_docs * n_docs - ssq AS BIGINT) AS impurity_num,
+       CAST(n_docs * n_docs AS BIGINT) AS impurity_den,
+       CAST(n_docs * n_docs - ssq AS BIGINT)
+         / CAST(n_docs * n_docs AS BIGINT) AS gini
+FROM per_split
+"""
+
+
+@_register("gini1_split_impurity", _GINI1_SQL)
+def gini1_split_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split Gini impurity of the label distribution (lang) inside
+    each candidate partition (source) — the inner statistic of a decision
+    -tree split scan and of any 'how pure is this shard' curation check.
+    Gini = 1 - sum_c (n_c/n)^2 is carried as the exact rational
+    (n^2 - sum n_c^2) / n^2 in INTEGERS; only the final convenience ratio
+    is one IEEE division of exact ints (bit-identical cross-engine, same
+    rule as div1's Gini-Simpson). Two cascaded map-side-combinable
+    group-bys — (source, lang) then source — both shuffle on keys whose
+    cardinality is the dimension product, never the row count."""
+    d = _t(spark, sf_dir, "documents")
+    cls = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    per = cls.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum(F.col("c") * F.col("c")).alias("ssq"),
+    )
+    num = (F.col("n_docs") * F.col("n_docs") - F.col("ssq")).cast("bigint")
+    den = (F.col("n_docs") * F.col("n_docs")).cast("bigint")
+    return per.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+        num.alias("impurity_num"),
+        den.alias("impurity_den"),
+        (num / den).alias("gini"),
+    )
+
+
+# =========================================================================
+# regr1: closed-form OLS from exact partial sums (regression aggregates)
+# =========================================================================
+
+_REGR1_SQL = """
+WITH s AS (
+  SELECT event_type,
+         CAST(hour(ts) AS BIGINT) AS x,
+         CAST(value AS DECIMAL(18,2)) AS y
+  FROM events
+), sums AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(x) AS sx,
+         SUM(x * x) AS sxx,
+         CAST(SUM(y) AS DECIMAL(24,2)) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(4,0)) * y) AS DECIMAL(24,2)) AS sxy
+  FROM s GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(CAST(n AS DECIMAL(8,0)) * sxy
+            - CAST(sx AS DECIMAL(12,0)) * sy AS DOUBLE) AS slope_num,
+       CAST(sy * CAST(sxx AS DECIMAL(12,0))
+            - CAST(sx AS DECIMAL(12,0)) * sxy AS DOUBLE) AS intercept_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS den,
+       CAST(CAST(n AS DECIMAL(8,0)) * sxy
+            - CAST(sx AS DECIMAL(12,0)) * sy AS DOUBLE)
+         / CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE) AS slope,
+       CAST(sy * CAST(sxx AS DECIMAL(12,0))
+            - CAST(sx AS DECIMAL(12,0)) * sxy AS DOUBLE)
+         / CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE) AS intercept
+FROM sums
+"""
+
+
+@_register("regr1_linear_fit", _REGR1_SQL)
+def regr1_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares (value ~ hour-of-day) via the
+    closed-form normal equations — the REGR_SLOPE / REGR_INTERCEPT
+    aggregate family, computed from six partial sums (n, Sx, Sxx, Sy,
+    Sxy) in ONE map-side-combinable aggregate: the only shape that
+    regresses 100 TB, since every partition contributes constant-size
+    partials and no covariance matrix or second pass exists. Built-in
+    regr_* aggregates accumulate doubles (aggregation-order drift), so
+    the sums here are exact bigint/DECIMAL and the slope/intercept are
+    IEEE divisions of exactly-rounded decimal casts — bit-identical
+    cross-engine. slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2); intercept
+    shares the same denominator."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("x"),
+        dec("value").alias("y"),
+    )
+    sums = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").cast("decimal(24,2)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(4,0)") * F.col("y"))
+        .cast("decimal(24,2)")
+        .alias("sxy"),
+    )
+    n_d = F.col("n").cast("decimal(8,0)")
+    sx_d = F.col("sx").cast("decimal(12,0)")
+    sxx_d = F.col("sxx").cast("decimal(12,0)")
+    slope_num = (n_d * F.col("sxy") - sx_d * F.col("sy")).cast("double")
+    icpt_num = (F.col("sy") * sxx_d - sx_d * F.col("sxy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "bigint"
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        slope_num.alias("slope_num"),
+        icpt_num.alias("intercept_num"),
+        den.alias("den"),
+        (slope_num / den.cast("double")).alias("slope"),
+        (icpt_num / den.cast("double")).alias("intercept"),
+    )
