@@ -1191,6 +1191,12 @@ _CHECK_FIRST: list[str] = [
     "mad1_robust_outliers",
     "gini1_split_impurity",
     "regr1_linear_fit",
+    "bloom1_bloom_prefilter",
+    "mm6_image_patches",
+    "sql4_group_by_all",
+    "sql5_qualify",
+    "mk1_markov_transitions",
+    "dp2_private_counts",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -538,3 +538,434 @@ def regr1_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (slope_num / den.cast("double")).alias("slope"),
         (icpt_num / den.cast("double")).alias("intercept"),
     )
+
+
+# =========================================================================
+# bloom1: SQL-native Bloom-filter prefilter (the runtime-filter sketch)
+# =========================================================================
+
+_BLOOM1_SQL = """
+WITH build AS (
+  SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS k
+  FROM part WHERE p_partkey % 5 = 0
+), sz AS (
+  SELECT COUNT(*) AS n,
+         ((4 * COUNT(*) + 31) // 32) * 32 AS m_bits
+  FROM build
+), build_bits AS (
+  SELECT (h % sz.m_bits) // 32 AS w,
+         CAST(1 AS BIGINT) << CAST((h % sz.m_bits) % 32 AS INT) AS mask
+  FROM sz, (
+    SELECT CAST('0x' || substr(md5(k), 1, 8) AS BIGINT) AS h FROM build
+    UNION ALL
+    SELECT CAST('0x' || substr(md5(k), 9, 8) AS BIGINT) AS h FROM build
+  )
+), words AS (
+  SELECT w, BIT_OR(mask) AS word FROM build_bits GROUP BY w
+), probe AS (
+  SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+), lookups AS (
+  SELECT p.k,
+         CASE WHEN i = 1
+              THEN CAST('0x' || substr(md5(p.k), 1, 8) AS BIGINT) % sz.m_bits
+              ELSE CAST('0x' || substr(md5(p.k), 9, 8) AS BIGINT) % sz.m_bits
+         END AS h
+  FROM probe p, sz, (SELECT UNNEST([1, 2]) AS i)
+), tested AS (
+  SELECT l.k,
+         BOOL_AND(wd.word IS NOT NULL
+                  AND (wd.word
+                       & (CAST(1 AS BIGINT) << CAST(l.h % 32 AS INT))) <> 0)
+           AS bloom_hit
+  FROM lookups l LEFT JOIN words wd ON l.h // 32 = wd.w
+  GROUP BY l.k
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(CASE WHEN b.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_members,
+       CAST(SUM(CASE WHEN t.bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_hits,
+       CAST(SUM(CASE WHEN t.bloom_hit AND b.k IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives,
+       CAST(SUM(CASE WHEN NOT t.bloom_hit AND b.k IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negatives
+FROM tested t LEFT JOIN build b ON t.k = b.k
+"""
+
+
+@_register("bloom1_bloom_prefilter", _BLOOM1_SQL)
+def bloom1_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A Bloom filter built, broadcast, and probed ENTIRELY in relational
+    operators — the explicit version of the runtime row-level filter an
+    engine injects on the probe side of a selective join. Build side
+    (20% of parts, a key-modulus slice so membership is deterministic):
+    the filter is SIZED TO THE BUILD CARDINALITY (4 bits/key, k=2 — the
+    m/n ratio is the design parameter, deliberately tight so false
+    positives measurably occur at every SF; ~13% observed), each key sets
+    2 md5-derived bits via one map-side-combinable BIT_OR over 32-bit
+    words. Probe side (every distinct lineitem partkey): each key's two
+    lookups LEFT-join the word table — a broadcast hash join, i.e. the
+    filter ships to executors exactly like a runtime filter — and
+    BOOL_AND the bit tests. The query reports measured false positives
+    against exact membership and asserts the sketch's one-sided-error
+    contract structurally: n_false_negatives is a computed column the
+    oracle must agree is ZERO. At 100 TB the words table is
+    bits-per-key * |build| / 8 bytes regardless of probe volume, and the
+    probe side never shuffles. 32-bit words keep every mask positive in
+    BIGINT on both engines (no signed-shift edge at bit 63)."""
+    part = _t(spark, sf_dir, "part")
+    build = (
+        part.where(F.col("p_partkey") % 5 == 0)
+        .select(F.col("p_partkey").cast("string").alias("k"))
+        .distinct()
+    )
+    sz = build.agg(
+        (((4 * F.count(F.lit(1)) + 31) / F.lit(32)).cast("bigint") * 32).alias(
+            "m_bits"
+        )
+    )
+
+    def h(start):
+        return F.conv(F.substring(F.md5(F.col("k")), start, 8), 16, 10).cast(
+            "bigint"
+        )
+
+    hashed = build.select("k", h(1).alias("h")).unionAll(
+        build.select("k", h(9).alias("h"))
+    )
+    bits = hashed.crossJoin(F.broadcast(sz)).select(
+        F.expr("(h % m_bits) DIV 32").alias("w"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST((h % m_bits) % 32 AS INT))"
+        ).alias("mask"),
+    )
+    words = bits.groupBy("w").agg(F.expr("bit_or(mask)").alias("word"))
+    probe = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").cast("string").alias("k"))
+        .distinct()
+    )
+    lookups = (
+        probe.select("k", F.explode(F.array(h(1), h(9))).alias("hraw"))
+        .crossJoin(F.broadcast(sz))
+        .select("k", (F.col("hraw") % F.col("m_bits")).alias("hp"))
+    )
+    tested = (
+        lookups.join(
+            F.broadcast(words), on=F.expr("hp DIV 32") == F.col("w"), how="left"
+        )
+        .select(
+            "k",
+            (
+                F.col("word").isNotNull()
+                & (
+                    F.col("word").bitwiseAND(
+                        F.expr(
+                            "shiftleft(CAST(1 AS BIGINT),"
+                            " CAST(hp % 32 AS INT))"
+                        )
+                    )
+                    != 0
+                )
+            ).alias("hit"),
+        )
+        .groupBy("k")
+        .agg(F.expr("bool_and(hit)").alias("bloom_hit"))
+    )
+    joined = tested.join(
+        build.withColumnRenamed("k", "member_k"),
+        tested["k"] == F.col("member_k"),
+        "left",
+    )
+    is_member = F.col("member_k").isNotNull()
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum(F.when(is_member, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_members"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_hits"),
+        F.sum(F.when(F.col("bloom_hit") & ~is_member, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_positives"),
+        F.sum(F.when(~F.col("bloom_hit") & is_member, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_negatives"),
+    )
+
+
+# =========================================================================
+# mm6: image patch extraction (the ViT tiling layout) — byte-exact slices
+# =========================================================================
+
+def _mm6_slices(engine: str) -> str:
+    # one 8x8 patch = 8 row-slices of 16 hex chars each; identical offset
+    # arithmetic in both engines, generated from one formula
+    parts = [
+        f"substring(hx, ((pj * 8 + {r}) * 16 + pi * 8) * 2 + 1, 16)"
+        for r in range(8)
+    ]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+_MM6_SQL = f"""
+WITH img AS (
+  SELECT doc_id, upper(hex(CAST(text AS BLOB))) AS hx,
+         OCTET_LENGTH(CAST(text AS BLOB)) AS n_bytes
+  FROM documents WHERE doc_id % 25 = 3
+), dims AS (
+  SELECT doc_id, hx, n_bytes // 16 AS n_rows
+  FROM img WHERE n_bytes >= 128
+), tiles AS (
+  SELECT doc_id, hx, CAST(j - 1 AS BIGINT) AS pj, CAST(pi AS BIGINT) AS pi
+  FROM dims,
+       UNNEST(generate_series(1, CAST(n_rows // 8 AS BIGINT))) AS tj(j),
+       (SELECT UNNEST([0, 1]) AS pi)
+)
+SELECT doc_id, pi, pj,
+       md5({_mm6_slices('duckdb')}) AS patch_md5,
+       CAST(LENGTH({_mm6_slices('duckdb')}) // 2 AS BIGINT) AS patch_bytes
+FROM tiles
+"""
+
+
+@_register("mm6_image_patches", _MM6_SQL)
+def mm6_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-modality plumbing: tile a W x H byte image into non-
+    overlapping 8x8 patches — the exact data layout a ViT-style encoder
+    consumes (patch embedding is mm2's stubbed decode stage downstream).
+    The byte payload (text standing in for pixels, 16-byte row stride) is
+    sliced JVM-side: sequence -> explode for the tile grid, then 8 static
+    substring slices concatenated per patch — a 2-D gather written as
+    pure codegen string ops, no Python in the path. Patches are content-
+    hashed so the oracle verifies the exact gathered bytes of every tile
+    (offset arithmetic shared between engines by construction). Fan-out
+    is (rows/8) x 2 tiles per image — linear, partition-local, shuffle-
+    free; at 100 TB this runs as a mapPartitions-shaped projection right
+    after the image fetch, and the patch stream feeds the Arrow decode
+    UDF. The n_rows//8 lower-bound guard keeps Spark's sequence() away
+    from its descending-range edge (mm5's sf0.1 lesson)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 3)
+    img = d.select(
+        "doc_id",
+        F.hex(F.col("text").cast("binary")).alias("hx"),
+        F.octet_length(F.col("text").cast("binary")).alias("n_bytes"),
+    ).where(F.col("n_bytes") >= 128)
+    tiles = (
+        img.select(
+            "doc_id",
+            "hx",
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("bigint"),
+                    F.expr("CAST((n_bytes DIV 16) DIV 8 AS BIGINT)"),
+                )
+            ).alias("j"),
+        )
+        .select(
+            "doc_id",
+            "hx",
+            (F.col("j") - 1).alias("pj"),
+            F.explode(
+                F.array(F.lit(0).cast("bigint"), F.lit(1).cast("bigint"))
+            ).alias("pi"),
+        )
+    )
+    patch = F.expr(_mm6_slices("spark"))
+    return tiles.select(
+        "doc_id",
+        "pi",
+        "pj",
+        F.md5(patch).alias("patch_md5"),
+        (F.length(patch) / 2).cast("bigint").alias("patch_bytes"),
+    )
+
+
+# =========================================================================
+# sql4: GROUP BY ALL / ORDER BY ALL (one SQL text, both engines)
+# =========================================================================
+
+_SQL4_TEXT = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@_register("sql4_group_by_all", _SQL4_TEXT)
+def sql4_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL — the analyst-SQL dialect items that
+    make ad-hoc aggregation robust to projection edits (every non-
+    aggregate output column groups implicitly; ordering follows the
+    select list). The SAME SQL text runs on Spark and on the oracle —
+    this query's check is literally 'one dialect, two engines'. Catalyst
+    expands ALL at analysis time, so the plan is the ordinary partial/
+    final hash aggregate with sort — zero surface cost."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SQL4_TEXT)
+
+
+# =========================================================================
+# sql5: QUALIFY semantics (window filter without a subquery)
+# =========================================================================
+
+_SQL5_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+FROM orders
+QUALIFY rnk <= 3
+"""
+
+
+@_register("sql5_qualify", _SQL5_SQL)
+def sql5_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY — the post-window filter clause (top-3 orders per priority
+    here). Spark has no QUALIFY keyword, so the engine exposes the same
+    semantics as the canonical rewrite every QUALIFY implementation
+    performs internally: compute the window, then filter on its result
+    (exactly what w1's top-k helper does); the oracle runs DuckDB's
+    native QUALIFY to pin the semantics equivalence. Deterministic
+    tiebreak (orderkey) keeps membership stable. Scale shape: the window
+    partitions on a real key (priority) over the aggregated frame; a
+    100 TB top-k would pre-prune per partition with a partial top-k
+    before the global window (t1's TakeOrderedAndProject pattern)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+    )
+
+
+# =========================================================================
+# mk1: Markov transition counts (the session-behavior model build)
+# =========================================================================
+
+_MK1_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, CAST(cnt AS BIGINT) AS cnt,
+       CAST(SUM(cnt) OVER (PARTITION BY prev_type) AS BIGINT) AS prev_total,
+       CAST(cnt AS BIGINT)
+         / CAST(SUM(cnt) OVER (PARTITION BY prev_type) AS BIGINT)
+         AS transition_p
+FROM pairs
+"""
+
+
+@_register("mk1_markov_transitions", _MK1_SQL)
+def mk1_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams —
+    the behavioral model behind next-action prediction and anomalous-
+    session scoring. One LAG window partitioned by user (a high-
+    cardinality key at scale — the partition-per-user sort is the same
+    shape sessionization uses and co-partitions with it), then a map-
+    side-combinable pair count; the normalizing row totals run over the
+    TINY (states x states) aggregated frame, and each probability is one
+    IEEE division of exact integer counts — bit-identical cross-engine."""
+    ev = _t(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w_seq).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_tot = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.sum("cnt").over(w_tot).cast("bigint").alias("prev_total"),
+        (
+            F.col("cnt").cast("bigint")
+            / F.sum("cnt").over(w_tot).cast("bigint")
+        ).alias("transition_p"),
+    )
+
+
+# =========================================================================
+# dp2: private release — deterministic noise + relative-threshold
+# suppression (the k-suppression release pipeline, seedable end to end)
+# =========================================================================
+
+_DP2_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), keyed AS (
+  SELECT event_type, day, c,
+         (instr('0123456789abcdef',
+                substr(md5(event_type || '|' || CAST(day AS VARCHAR)), 1, 1))
+          - 1) % 7 - 3 AS noise,
+         SUM(c) OVER () AS total
+  FROM cells
+)
+SELECT event_type, day, CAST(c + noise AS BIGINT) AS noisy_count
+FROM keyed
+WHERE (c + noise) * 150 >= total
+"""
+
+
+@_register("dp2_private_counts", _DP2_SQL)
+def dp2_private_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-release pipeline shape: per-cell counts + additive noise +
+    small-cell suppression — the mechanism behind DP histogram releases.
+    Real DP draws Laplace noise from a seeded RNG; a distributed release
+    must make that noise a DETERMINISTIC function of the cell key (else
+    retries/speculative tasks release different values — a real
+    correctness bug in naive implementations), so the noise here is
+    md5-derived per cell, exactly as a keyed PRF would be, in [-3, 3].
+    Suppression is RELATIVE (cell below the 150-cell mean) so the release policy
+    scales with data volume instead of hard-coding a count; both branches
+    fire at every test SF. Pure integer comparison (noisy * 150 >=
+    total) — no division. One aggregate + one scalar window over the
+    150-cell frame."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    key = F.concat_ws("|", F.col("event_type"), F.col("day").cast("string"))
+    noise = (
+        F.expr(
+            "instr('0123456789abcdef', substr(md5(concat_ws('|', event_type,"
+            " CAST(day AS STRING))), 1, 1))"
+        )
+        - 1
+    ) % 7 - 3
+    w_all = Window.partitionBy()
+    keyed = cells.select(
+        "event_type",
+        "day",
+        "c",
+        noise.alias("noise"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+    return keyed.where(
+        (F.col("c") + F.col("noise")) * 150 >= F.col("total")
+    ).select(
+        "event_type",
+        "day",
+        (F.col("c") + F.col("noise")).cast("bigint").alias("noisy_count"),
+    )
