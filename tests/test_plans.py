@@ -362,6 +362,9 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "tc1_triangle_count", "x4_ivf_topk", "q11_important_parts",
         "q22_idle_customers", "ts1_gap_fill", "sk1_salted_join",
         "cur1_corpus_datasheet",
+        # bloom1's two cross joins broadcast the 1-row filter-size scalar
+        # (m_bits) — same scalar-subquery shape as qt1/hh1 totals
+        "bloom1_bloom_prefilter",
     }
     import re
 
