@@ -1197,6 +1197,12 @@ _CHECK_FIRST: list[str] = [
     "sql5_qualify",
     "mk1_markov_transitions",
     "dp2_private_counts",
+    "dpp1_dynamic_pruning",
+    "agg3_mode_tiebreak",
+    "benford1_first_digit",
+    "cht1_chi_square_cells",
+    "geo2_trajectory",
+    "smm1_sparse_matmul",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -969,3 +969,354 @@ def dp2_private_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         (F.col("c") + F.col("noise")).cast("bigint").alias("noisy_count"),
     )
+
+
+# =========================================================================
+# dpp1: dynamic partition pruning — runtime partition filter from a
+# filtered dim (the partitioned-lake join accelerator)
+# =========================================================================
+
+_DPP1_SQL = """
+WITH dim AS (
+  SELECT DISTINCT event_type,
+         (instr('0123456789abcdef', substr(md5(event_type), 1, 1)) - 1) % 2
+           AS flag
+  FROM events
+)
+SELECT e.event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events e JOIN dim d ON e.event_type = d.event_type
+WHERE d.flag = 0
+GROUP BY e.event_type
+"""
+
+
+@_register("dpp1_dynamic_pruning", _DPP1_SQL)
+def dpp1_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out partitioned
+    by the join key (pp1's layout), but the selective predicate lives on
+    a DIM attribute (an md5-derived flag the optimizer cannot evaluate
+    statically), so static pruning is impossible — the classic star-join
+    trap. Catalyst inserts a runtime `dynamicpruning` subquery into the
+    fact scan's PartitionFilters (plan-asserted): the dim side runs
+    first, the surviving join keys become a partition filter, and the
+    fact scan reads ONLY matching directories. On a 100 TB
+    date/tenant-partitioned lake this is the difference between scanning
+    everything and scanning the two partitions the dim selects. The
+    oracle computes the same join on the unpartitioned original, so
+    layout round-trip fidelity is checked too."""
+    import os as _os
+
+    from .queries_scale import _SCRATCH
+
+    sink = _os.path.join(
+        _SCRATCH, "dpp1_events_" + _os.path.basename(sf_dir.rstrip("/"))
+    )
+    ev = _t(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(sink)
+    fact = spark.read.parquet(sink)
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            (
+                (
+                    F.expr(
+                        "instr('0123456789abcdef', substr(md5(event_type), 1, 1))"
+                    )
+                    - 1
+                )
+                % 2
+            ).alias("flag"),
+        )
+    )
+    joined = fact.join(F.broadcast(dim.where(F.col("flag") == 0)), "event_type")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value", 18, 6)).cast("double").alias("sum_value"),
+    )
+
+
+# =========================================================================
+# agg3: deterministic MODE (most frequent value, portable tiebreak)
+# =========================================================================
+
+_AGG3_SQL = """
+WITH counts AS (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS c
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+)
+SELECT l_returnflag, l_quantity AS mode_qty, CAST(c AS BIGINT) AS mode_count
+FROM (
+  SELECT l_returnflag, l_quantity, c,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY c DESC, l_quantity) AS rn
+  FROM counts
+) WHERE rn = 1
+"""
+
+
+@_register("agg3_mode_tiebreak", _AGG3_SQL)
+def agg3_mode_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE with a deterministic tiebreak — both engines ship a `mode()`
+    aggregate, but neither defines which value wins a frequency tie, so
+    the built-in is unusable where reproducibility matters (and across
+    engines it WILL disagree). The portable formulation: count per
+    (group, value) — map-side combinable — then pick (count DESC, value
+    ASC) over the aggregated frame, argmax with a total order (agg2's
+    rule applied to frequencies). The window partitions by group over
+    distinct values only, never raw rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("c").desc(), "l_quantity"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("c").cast("bigint").alias("mode_count"),
+        )
+    )
+
+
+# =========================================================================
+# benford1: first-digit (Benford) scan — the fraud/data-quality screen
+# =========================================================================
+
+_BENFORD1_SQL = """
+WITH digits AS (
+  SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+           AS digit
+  FROM orders
+), counts AS (
+  SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
+)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       CAST(n AS BIGINT) / CAST(SUM(n) OVER () AS BIGINT) AS share
+FROM counts
+"""
+
+
+@_register("benford1_first_digit", _BENFORD1_SQL)
+def benford1_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution of order totals — the Benford's-law
+    screen auditors run over financial columns (fabricated values skew
+    the first-digit histogram away from log10(1+1/d)). The digit is
+    extracted from the DECIMAL's canonical string form — both engines
+    render DECIMAL(18,2) identically, where double formatting would not
+    be portable — and shares are IEEE divisions of exact counts. One
+    map-side-combinable aggregate over 9 digit groups plus a scalar
+    window over the 9-row frame; the comparison against the theoretical
+    curve happens downstream (log10 is not engine-portable at the ULP),
+    so the released artifact is the exact histogram."""
+    o = _t(spark, sf_dir, "orders")
+    digits = o.select(
+        F.substring(dec("o_totalprice").cast("string"), 1, 1).alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    w_all = Window.partitionBy()
+    return counts.select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        (
+            F.col("n").cast("bigint")
+            / F.sum("n").over(w_all).cast("bigint")
+        ).alias("share"),
+    )
+
+
+# =========================================================================
+# cht1: chi-squared contingency cells in exact rational arithmetic
+# =========================================================================
+
+_CHT1_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(FLOOR(value / 100.0) AS BIGINT) AS bucket,
+         COUNT(*) AS o
+  FROM events GROUP BY event_type, CAST(FLOOR(value / 100.0) AS BIGINT)
+), margins AS (
+  SELECT event_type, bucket, o,
+         SUM(o) OVER (PARTITION BY event_type) AS row_t,
+         SUM(o) OVER (PARTITION BY bucket) AS col_t,
+         SUM(o) OVER () AS n
+  FROM cells
+)
+SELECT event_type, bucket, CAST(o AS BIGINT) AS o,
+       CAST(CAST(CAST(o * n - row_t * col_t AS BIGINT) AS DECIMAL(19,0))
+            * CAST(CAST(o * n - row_t * col_t AS BIGINT) AS DECIMAL(19,0))
+            AS DOUBLE) AS contrib_num,
+       CAST(CAST(CAST(row_t AS BIGINT) AS DECIMAL(12,0))
+            * CAST(CAST(col_t AS BIGINT) AS DECIMAL(12,0))
+            * CAST(CAST(n AS BIGINT) AS DECIMAL(12,0)) AS DOUBLE)
+         AS contrib_den,
+       CAST(CAST(CAST(o * n - row_t * col_t AS BIGINT) AS DECIMAL(19,0))
+            * CAST(CAST(o * n - row_t * col_t AS BIGINT) AS DECIMAL(19,0))
+            AS DOUBLE)
+         / CAST(CAST(CAST(row_t AS BIGINT) AS DECIMAL(12,0))
+                * CAST(CAST(col_t AS BIGINT) AS DECIMAL(12,0))
+                * CAST(CAST(n AS BIGINT) AS DECIMAL(12,0)) AS DOUBLE)
+         AS contrib
+FROM margins
+"""
+
+
+@_register("cht1_chi_square_cells", _CHT1_SQL)
+def cht1_chi_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence-test cells for the (event_type x value-
+    bucket) contingency table — the feature/label dependence screen run
+    before adding a categorical feature. Each cell's (O-E)^2/E is carried
+    as the exact rational (O*N - rowT*colT)^2 / (rowT*colT*N): integer
+    margins from windows over the TINY aggregated cell frame, the square
+    in DECIMAL(38,0) (bigint-safe only to ~sf0.1; the decimal square is
+    the sf-proof form), and one IEEE division of exactly-rounded casts.
+    The bucketing floor(value/100) is per-row IEEE — deterministic. The
+    chi-squared statistic is the SUM of `contrib` downstream; cells are
+    released individually because the per-cell residuals are what an
+    analyst actually inspects."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 100.0).cast("bigint").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("bucket")
+    w_all = Window.partitionBy()
+    m = cells.select(
+        "event_type",
+        "bucket",
+        "o",
+        F.sum("o").over(w_row).alias("row_t"),
+        F.sum("o").over(w_col).alias("col_t"),
+        F.sum("o").over(w_all).alias("n"),
+    )
+    diff = (
+        (F.col("o") * F.col("n") - F.col("row_t") * F.col("col_t"))
+        .cast("bigint")
+        .cast("decimal(19,0)")
+    )
+    num = (diff * diff).cast("double")
+    den = (
+        F.col("row_t").cast("bigint").cast("decimal(12,0)")
+        * F.col("col_t").cast("bigint").cast("decimal(12,0)")
+        * F.col("n").cast("bigint").cast("decimal(12,0)")
+    ).cast("double")
+    return m.select(
+        "event_type",
+        "bucket",
+        F.col("o").cast("bigint").alias("o"),
+        num.alias("contrib_num"),
+        den.alias("contrib_den"),
+        (num / den).alias("contrib"),
+    )
+
+
+# =========================================================================
+# geo2: trajectory length — ordered per-key path fold on grid coordinates
+# =========================================================================
+
+_GEO2_SQL = """
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 48271) % 1000 AS px,
+         (event_id * 16807) % 1000 AS py
+  FROM events
+), legs AS (
+  SELECT user_id,
+         ABS(px - LAG(px) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id))
+           + ABS(py - LAG(py) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)) AS leg
+  FROM pts
+)
+SELECT user_id, CAST(COUNT(leg) AS BIGINT) AS n_legs,
+       CAST(SUM(leg) AS BIGINT) AS path_length,
+       CAST(MAX(leg) AS BIGINT) AS longest_leg
+FROM legs GROUP BY user_id
+"""
+
+
+@_register("geo2_trajectory", _GEO2_SQL)
+def geo2_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity trajectory statistics: Manhattan path length over the
+    time-ordered sequence of grid positions (geo1's synthetic integer
+    plane) — the movement-analytics fold (fleet distance, cursor-travel,
+    sensor drift) in its scalable shape: ONE lag window partitioned by
+    entity (high-cardinality key — distributes), then a map-side-
+    combinable aggregate. Exact integer geometry throughout; Euclidean
+    legs would add a per-row sqrt whose cross-engine determinism is fine
+    but whose SUM is order-sensitive — Manhattan keeps the whole fold in
+    bigint."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_id") * 48271 % 1000).alias("px"),
+        (F.col("event_id") * 16807 % 1000).alias("py"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    legs = pts.select(
+        "user_id",
+        (
+            F.abs(F.col("px") - F.lag("px").over(w))
+            + F.abs(F.col("py") - F.lag("py").over(w))
+        ).alias("leg"),
+    )
+    return legs.groupBy("user_id").agg(
+        F.count("leg").cast("bigint").alias("n_legs"),
+        F.sum("leg").cast("bigint").alias("path_length"),
+        F.max("leg").cast("bigint").alias("longest_leg"),
+    )
+
+
+# =========================================================================
+# smm1: sparse matrix multiply as join-aggregate (the SpMM primitive)
+# =========================================================================
+
+_SMM1_SQL = """
+WITH a AS (
+  SELECT user_id AS i, event_type AS k, COUNT(*) AS v
+  FROM events GROUP BY user_id, event_type
+), b AS (
+  SELECT event_type AS k, hour(ts) AS j, COUNT(*) AS w
+  FROM events GROUP BY event_type, hour(ts)
+)
+SELECT a.i AS user_id, CAST(b.j AS BIGINT) AS hour,
+       CAST(SUM(a.v * b.w) AS BIGINT) AS c
+FROM a JOIN b ON a.k = b.k
+GROUP BY a.i, b.j
+"""
+
+
+@_register("smm1_sparse_matmul", _SMM1_SQL)
+def smm1_sparse_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse matrix multiplication as a relational join-aggregate —
+    C[i,j] = sum_k A[i,k]*B[k,j] — THE distributed linear-algebra
+    primitive under GNN message passing, co-occurrence/gram matrices,
+    and pr1's power iteration. The COO-form operands here are (user x
+    type) and (type x hour) count matrices (so C is each user's
+    type-mediated expected hourly profile); the multiply is one
+    equi-join on the shared dimension k followed by one
+    map-side-combinable group-by on (i, j). At 100 TB the join
+    partitions on k (block-partitioning k is the standard SpMM
+    decomposition; a skewed k would be salted like sk1) and the (i, j)
+    aggregate is the only other shuffle. Integer values keep it
+    exact."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.groupBy(
+        F.col("user_id").alias("i"), F.col("event_type").alias("k")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    b = ev.groupBy(
+        F.col("event_type").alias("k"), F.hour("ts").alias("j")
+    ).agg(F.count(F.lit(1)).alias("w"))
+    return (
+        a.join(b, "k")
+        .groupBy(F.col("i").alias("user_id"), F.col("j").cast("bigint").alias("hour"))
+        .agg(F.sum(F.col("v") * F.col("w")).cast("bigint").alias("c"))
+    )

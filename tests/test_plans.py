@@ -87,6 +87,19 @@ def test_pp1_scan_is_partition_pruned(spark, sf_dir):
     assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200]
 
 
+def test_dpp1_scan_has_dynamic_pruning_filter(spark, sf_dir):
+    """The partitioned fact scan must carry a RUNTIME partition filter
+    sourced from the filtered dim (dynamicpruning subquery in
+    PartitionFilters) — static pruning cannot evaluate the md5-derived
+    dim flag, so its presence proves DPP engaged."""
+    df = QUERIES["dpp1_dynamic_pruning"][0](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and it must sit in the fact scan's PartitionFilters, not a post-filter
+    after_pf = plan.split("PartitionFilters", 1)[1][:400]
+    assert "dynamicpruning" in after_pf.lower()
+
+
 def test_sk1_join_is_shuffled_hash_with_salt(spark, sf_dir):
     """The salted join must take the shuffled-hash path (broadcast would
     bypass the skew the query demonstrates mitigating)."""
