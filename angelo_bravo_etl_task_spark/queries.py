@@ -1203,6 +1203,11 @@ _CHECK_FIRST: list[str] = [
     "cht1_chi_square_cells",
     "geo2_trajectory",
     "smm1_sparse_matmul",
+    "geo3_point_in_polygon",
+    "gr1_bfs_reachability",
+    "fc1_seasonal_baseline",
+    "tx11_boilerplate",
+    "f21_string_surface",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -1320,3 +1320,395 @@ def smm1_sparse_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("i").alias("user_id"), F.col("j").cast("bigint").alias("hour"))
         .agg(F.sum(F.col("v") * F.col("w")).cast("bigint").alias("c"))
     )
+
+
+# =========================================================================
+# geo3: point-in-polygon spatial join (integer half-plane tests, grid-
+# bucketed candidates)
+# =========================================================================
+
+_GEO3_SQL = """
+WITH tri AS (
+  SELECT r_name,
+         (CAST(r_regionkey AS BIGINT) * 131) % 700 AS ax,
+         (CAST(r_regionkey AS BIGINT) * 211) % 700 AS ay,
+         (CAST(r_regionkey AS BIGINT) * 131) % 700 + 150
+           + 17 * r_regionkey AS bx,
+         (CAST(r_regionkey AS BIGINT) * 211) % 700 + 30
+           + 13 * r_regionkey AS by,
+         (CAST(r_regionkey AS BIGINT) * 131) % 700 + 40
+           + 11 * r_regionkey AS cx,
+         (CAST(r_regionkey AS BIGINT) * 211) % 700 + 180
+           + 19 * r_regionkey AS cy
+  FROM region
+), cells AS (
+  SELECT t.*, gx.x AS cell_x, gy.y AS cell_y
+  FROM tri t,
+       UNNEST(generate_series(ax // 100,
+                              GREATEST(bx, cx) // 100)) AS gx(x),
+       UNNEST(generate_series(ay // 100,
+                              GREATEST(by, cy) // 100)) AS gy(y)
+), pts AS (
+  SELECT event_id,
+         (event_id * 48271) % 1000 AS px,
+         (event_id * 16807) % 1000 AS py
+  FROM events
+), cand AS (
+  SELECT c.r_name, c.ax, c.ay, c.bx, c.by, c.cx, c.cy,
+         p.event_id, p.px, p.py
+  FROM cells c JOIN pts p
+    ON p.px // 100 = c.cell_x AND p.py // 100 = c.cell_y
+)
+SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_inside,
+       MIN(event_id) AS first_event, MAX(event_id) AS last_event
+FROM cand
+WHERE (bx - ax) * (py - ay) - (by - ay) * (px - ax) >= 0
+  AND (cx - bx) * (py - by) - (cy - by) * (px - bx) >= 0
+  AND (ax - cx) * (py - cy) - (ay - cy) * (px - cx) >= 0
+GROUP BY r_name
+"""
+
+
+@_register("geo3_point_in_polygon", _GEO3_SQL)
+def geo3_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment — the geofencing/zone-assignment
+    spatial join — in EXACT INTEGER geometry: each region gets a CCW
+    triangle, and containment is three half-plane cross-product sign
+    tests (no floats, no epsilon). The join is grid-bucketed like geo1:
+    each triangle explodes into the 100-unit cells covering its bounding
+    box, candidates arrive via a pure EQUI-join on (cell_x, cell_y), and
+    the half-plane test is the residual filter — the standard PIP join
+    decomposition (coarse grid index, then exact test) that scales
+    because candidates are bounded by polygon area, not point count.
+    Polygons broadcast; points never shuffle. Real polygons would be
+    triangulated upstream into exactly this layout."""
+    tri = _t(spark, sf_dir, "region").select(
+        "r_name",
+        (F.col("r_regionkey").cast("bigint") * 131 % 700).alias("ax"),
+        (F.col("r_regionkey").cast("bigint") * 211 % 700).alias("ay"),
+        (
+            F.col("r_regionkey").cast("bigint") * 131 % 700
+            + 150
+            + 17 * F.col("r_regionkey")
+        ).alias("bx"),
+        (
+            F.col("r_regionkey").cast("bigint") * 211 % 700
+            + 30
+            + 13 * F.col("r_regionkey")
+        ).alias("by"),
+        (
+            F.col("r_regionkey").cast("bigint") * 131 % 700
+            + 40
+            + 11 * F.col("r_regionkey")
+        ).alias("cx"),
+        (
+            F.col("r_regionkey").cast("bigint") * 211 % 700
+            + 180
+            + 19 * F.col("r_regionkey")
+        ).alias("cy"),
+    )
+    cells = tri.select(
+        "*",
+        F.explode(
+            F.sequence(F.expr("ax DIV 100"), F.expr("greatest(bx, cx) DIV 100"))
+        ).alias("cell_x"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(F.expr("ay DIV 100"), F.expr("greatest(by, cy) DIV 100"))
+        ).alias("cell_y"),
+    )
+    pts = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") * 48271 % 1000).alias("px"),
+        (F.col("event_id") * 16807 % 1000).alias("py"),
+    )
+    cand = pts.join(
+        F.broadcast(cells),
+        on=(F.expr("px DIV 100") == F.col("cell_x"))
+        & (F.expr("py DIV 100") == F.col("cell_y")),
+    )
+    inside = (
+        (
+            (F.col("bx") - F.col("ax")) * (F.col("py") - F.col("ay"))
+            - (F.col("by") - F.col("ay")) * (F.col("px") - F.col("ax"))
+            >= 0
+        )
+        & (
+            (F.col("cx") - F.col("bx")) * (F.col("py") - F.col("by"))
+            - (F.col("cy") - F.col("by")) * (F.col("px") - F.col("bx"))
+            >= 0
+        )
+        & (
+            (F.col("ax") - F.col("cx")) * (F.col("py") - F.col("cy"))
+            - (F.col("ay") - F.col("cy")) * (F.col("px") - F.col("cx"))
+            >= 0
+        )
+    )
+    return (
+        cand.where(inside)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_inside"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+    )
+
+
+# =========================================================================
+# gr1: bounded BFS reachability (frontier dedup per level)
+# =========================================================================
+
+_GR1_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT CAST('0x' || substr(md5('e' || CAST(event_id AS VARCHAR)), 1, 4)
+              AS BIGINT) % 5000 AS u,
+         CAST('0x' || substr(md5('v' || CAST(event_id AS VARCHAR)), 1, 4)
+              AS BIGINT) % 5000 AS v
+  FROM events
+), ed AS (
+  SELECT u, v FROM edges WHERE u <> v
+  UNION
+  SELECT v, u FROM edges WHERE u <> v
+), seeds AS (
+  SELECT UNNEST(generate_series(0, 4500, 500)) AS vertex
+), walk AS (
+  SELECT vertex, 0 AS hop FROM seeds
+  UNION
+  SELECT ed.v AS vertex, w.hop + 1 AS hop
+  FROM walk w JOIN ed ON ed.u = w.vertex
+  WHERE w.hop < 3
+)
+SELECT CAST(vertex AS BIGINT) AS vertex, CAST(MIN(hop) AS BIGINT) AS min_hops
+FROM walk GROUP BY vertex
+"""
+
+
+@_register("gr1_bfs_reachability", _GR1_SQL)
+def gr1_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded breadth-first search: minimum hop count from 10 seed
+    vertices within 3 hops over an md5-derived undirected graph (linear
+    key mixing makes degenerate permutation graphs — tc1's lesson). Each
+    round is ONE equi-join (frontier x edges) plus a DISTINCT — the
+    frontier dedup is the difference between BFS and path enumeration
+    (without it a dense graph explodes combinatorially: at sf0.1 this
+    graph has ~150k edges over 5k vertices and 600^3 paths but only
+    <= 5k x 4 deduped frontier rows; the oracle's recursive UNION dedups
+    identically). Spark side: 3 statically-unrolled rounds (short
+    lineage); an unbounded BFS would checkpoint per round exactly like
+    d6's connected components. Final labels: min-agg over the level
+    union."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("eid")
+    )
+
+    def hx(prefix):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), F.col("eid"))), 1, 4),
+            16,
+            10,
+        ).cast("bigint") % 5000
+
+    raw = ev.select(hx("e").alias("u"), hx("v").alias("v")).where(
+        F.col("u") != F.col("v")
+    )
+    edges = raw.unionAll(
+        raw.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    # cache: three BFS rounds re-scan the edge list; at real scale the
+    # edge frame would be a bucketed table instead
+    edges = edges.persist()
+    seeds = spark.range(0, 10).select((F.col("id") * 500).alias("vertex"))
+    levels = [seeds.select("vertex", F.lit(0).alias("hop"))]
+    frontier = levels[0]
+    for _ in range(3):
+        nxt = (
+            frontier.join(edges, frontier["vertex"] == edges["u"])
+            .select(F.col("v").alias("vertex"), (F.col("hop") + 1).alias("hop"))
+            .distinct()
+        )
+        levels.append(nxt)
+        frontier = nxt
+    allv = levels[0]
+    for lv in levels[1:]:
+        allv = allv.unionAll(lv)
+    return allv.groupBy(F.col("vertex").cast("bigint").alias("vertex")).agg(
+        F.min("hop").cast("bigint").alias("min_hops")
+    )
+
+
+# =========================================================================
+# fc1: seasonal-naive baseline forecast + exact backtest error
+# =========================================================================
+
+_FC1_SQL = """
+WITH cells AS (
+  SELECT CAST(ts AS DATE) AS day, hour(ts) AS h, COUNT(*) AS cnt
+  FROM events GROUP BY CAST(ts AS DATE), hour(ts)
+), scal AS (
+  SELECT MAX(day) AS last_day, COUNT(DISTINCT day) - 1 AS n_train
+  FROM cells
+)
+SELECT CAST(h AS BIGINT) AS hour,
+       CAST(SUM(CASE WHEN day < last_day THEN cnt ELSE 0 END) AS BIGINT) AS s,
+       CAST(MIN(n_train) AS BIGINT) AS c,
+       CAST(SUM(CASE WHEN day < last_day THEN cnt ELSE 0 END) AS BIGINT)
+         / CAST(MIN(n_train) AS BIGINT) AS forecast,
+       CAST(SUM(CASE WHEN day = last_day THEN cnt ELSE 0 END) AS BIGINT)
+         AS actual,
+       CAST(ABS(SUM(CASE WHEN day = last_day THEN cnt ELSE 0 END)
+                * MIN(n_train)
+                - SUM(CASE WHEN day < last_day THEN cnt ELSE 0 END))
+            AS BIGINT) AS abs_err_num
+FROM cells, scal
+GROUP BY h
+"""
+
+
+@_register("fc1_seasonal_baseline", _FC1_SQL)
+def fc1_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecasting with an in-query backtest: predict the
+    last day's hourly event volume as the mean of the same hour over all
+    training days, and report the absolute error — the baseline every
+    real forecast must beat, and the shape capacity planning runs daily.
+    Exactness: the forecast is the rational s/c (training sum over
+    training-day count); the error numerator |actual*c - s| stays in
+    integers, and the released `forecast` is one IEEE division of exact
+    ints. Scale: raw events reduce to a (day, hour) cell frame first
+    (map-side combinable), the 1-row scalar frame (last_day, n_train)
+    broadcasts — the qt1/hh1 scalar-subquery shape — and everything
+    downstream runs on ~720 cells regardless of input volume."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.to_date("ts").alias("day"), F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    scal = cells.agg(
+        F.max("day").alias("last_day"),
+        (F.countDistinct("day") - 1).alias("n_train"),
+    )
+    j = cells.crossJoin(F.broadcast(scal))
+    s = F.sum(
+        F.when(F.col("day") < F.col("last_day"), F.col("cnt")).otherwise(0)
+    ).cast("bigint")
+    a = F.sum(
+        F.when(F.col("day") == F.col("last_day"), F.col("cnt")).otherwise(0)
+    ).cast("bigint")
+    c = F.min("n_train").cast("bigint")
+    return j.groupBy(F.col("h").cast("bigint").alias("hour")).agg(
+        s.alias("s"),
+        c.alias("c"),
+        (s / c).alias("forecast"),
+        a.alias("actual"),
+        F.abs(a * c - s).cast("bigint").alias("abs_err_num"),
+    )
+
+
+# =========================================================================
+# tx11: boilerplate sentence detection (cross-document repetition)
+# =========================================================================
+
+_TX11_SQL = """
+WITH sentences AS (
+  SELECT doc_id, trim(s) AS sent
+  FROM (
+    SELECT doc_id, UNNEST(regexp_split_to_array(text, '[.!?]')) AS s
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           'shared boilerplate footer variant '
+             || CAST(doc_id % 4 AS VARCHAR) AS s
+    FROM documents
+  ) WHERE LENGTH(trim(s)) >= 20
+)
+SELECT sent, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       MIN(doc_id) AS first_doc
+FROM sentences
+GROUP BY sent
+HAVING COUNT(DISTINCT doc_id) >= 3
+"""
+
+
+@_register("tx11_boilerplate", _TX11_SQL)
+def tx11_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: sentences appearing in >= 3
+    distinct documents — the curation pass that strips nav bars, cookie
+    banners, and license footers before LLM training (boilerplate
+    dominates naive dedup-survivor corpora). Sentence split -> per-
+    sentence distinct-doc count: one explode + one combinable aggregate;
+    at 100 TB the group key would be the sentence HASH (ct1's gram-hash
+    note) and survivors join back for the text. The synthetic corpus has
+    no naturally repeated sentences (verified — the clean-data
+    vacuousness trap), so each doc also contributes a deterministic
+    planted footer (doc_id % 4 variants), making the detector's positive
+    path fire identically in both engines; real sentences still flow
+    through the whole pipeline as negatives."""
+    d = _t(spark, sf_dir, "documents")
+    real = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"[.!?]")).alias("s")
+    )
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("shared boilerplate footer variant "),
+            (F.col("doc_id") % 4).cast("string"),
+        ).alias("s"),
+    )
+    sentences = (
+        real.unionAll(planted)
+        .select("doc_id", F.trim(F.col("s")).alias("sent"))
+        .where(F.length("sent") >= 20)
+    )
+    return (
+        sentences.groupBy("sent")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= 3)
+    )
+
+
+# =========================================================================
+# f21: string-function surface sweep (portable subset, one projection)
+# =========================================================================
+
+_F21_SQL = """
+SELECT o_orderkey,
+       lpad(o_orderpriority, 16, '*') AS padded_l,
+       rpad(o_orderpriority, 20, '-') AS padded_r,
+       reverse(o_orderpriority) AS reversed,
+       repeat(left(o_orderpriority, 4), 3) AS repeated,
+       translate(o_orderpriority, 'aeiou', 'AEIOU') AS translated,
+       replace(o_orderpriority, '-', '_') AS underscored,
+       split_part(o_orderpriority, '-', 2) AS second_word,
+       right(o_orderpriority, 5) AS tail5
+FROM orders WHERE o_orderkey % 50 = 0
+"""
+
+
+@_register("f21_string_surface", _F21_SQL)
+def f21_string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining portable string-function surface in one narrow
+    projection: lpad/rpad (both engines TRUNCATE beyond the target
+    length — part of the contract being pinned), reverse, repeat,
+    left/right, translate, replace, and split_part (out-of-range index
+    yields '' on both engines). Pure codegen row ops — no shuffle, no
+    aggregation, nothing engine-ambiguous; the oracle pins byte-for-byte
+    agreement so these can anchor downstream cleaning logic."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 50 == 0)
+    return o.select(
+        "o_orderkey",
+        F.lpad("o_orderpriority", 16, "*").alias("padded_l"),
+        F.rpad("o_orderpriority", 20, "-").alias("padded_r"),
+        F.reverse("o_orderpriority").alias("reversed"),
+        F.repeat(F.expr("left(o_orderpriority, 4)"), 3).alias("repeated"),
+        F.translate("o_orderpriority", "aeiou", "AEIOU").alias("translated"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias(
+            "underscored"
+        ),
+        F.expr("split_part(o_orderpriority, '-', 2)").alias("second_word"),
+        F.expr("right(o_orderpriority, 5)").alias("tail5"),
+    )
