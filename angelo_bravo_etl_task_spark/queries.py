@@ -1208,6 +1208,12 @@ _CHECK_FIRST: list[str] = [
     "fc1_seasonal_baseline",
     "tx11_boilerplate",
     "f21_string_surface",
+    "geo4_tile_pyramid",
+    "fe3_impute_scale",
+    "ar1_conversion_latency",
+    "ts3_ohlc_downsample",
+    "seq3_pattern_match",
+    "ng1_continuation_counts",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

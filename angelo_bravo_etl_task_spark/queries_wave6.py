@@ -1712,3 +1712,379 @@ def f21_string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("split_part(o_orderpriority, '-', 2)").alias("second_word"),
         F.expr("right(o_orderpriority, 5)").alias("tail5"),
     )
+
+
+# =========================================================================
+# geo4: tile-pyramid rollup — finest-first cascade vs grouping-sets oracle
+# =========================================================================
+
+_GEO4_SQL = """
+WITH pts AS (
+  SELECT (event_id * 48271) % 1000 AS px,
+         (event_id * 16807) % 1000 AS py
+  FROM events
+), z2 AS (
+  SELECT px // 20 AS cx, py // 20 AS cy, COUNT(*) AS n
+  FROM pts GROUP BY px // 20, py // 20
+)
+SELECT CAST(2 AS BIGINT) AS zoom, CAST(cx AS BIGINT) AS cx,
+       CAST(cy AS BIGINT) AS cy, CAST(n AS BIGINT) AS n
+FROM z2
+UNION ALL
+SELECT 1, cx // 5, cy // 5, SUM(n) FROM z2 GROUP BY cx // 5, cy // 5
+UNION ALL
+SELECT 0, cx // 25, cy // 25, SUM(n) FROM z2 GROUP BY cx // 25, cy // 25
+"""
+
+
+@_register("geo4_tile_pyramid", _GEO4_SQL)
+def geo4_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution tile pyramid (the map-tile / heat-map build):
+    per-cell point counts at zoom 2/1/0 (20/100/500-unit cells) — built
+    as a FINEST-FIRST CASCADE: raw points aggregate once to the finest
+    grid, and each coarser level aggregates the previous LEVEL's cells
+    (25x then 625x smaller than the input), the ts2 rollup-cascade rule
+    applied to space. The naive alternative — GROUPING SETS over raw
+    points — re-reads the full input once per level; the oracle's
+    three-way union over the z2 CTE states the identical algebra. Counts
+    roll up exactly because the cell hierarchy nests (20 | 100 | 500).
+    One input shuffle total; everything coarser is cell-frame-sized."""
+    pts = _t(spark, sf_dir, "events").select(
+        ((F.col("event_id") * 48271) % 1000).alias("px"),
+        ((F.col("event_id") * 16807) % 1000).alias("py"),
+    )
+    z2 = pts.groupBy(
+        F.expr("px DIV 20").alias("cx"), F.expr("py DIV 20").alias("cy")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    z2 = z2.persist()  # three consumers: itself + two rollups
+    lvl2 = z2.select(
+        F.lit(2).cast("bigint").alias("zoom"),
+        F.col("cx").cast("bigint").alias("cx"),
+        F.col("cy").cast("bigint").alias("cy"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    lvl1 = (
+        z2.groupBy(F.expr("cx DIV 5").alias("cx"), F.expr("cy DIV 5").alias("cy"))
+        .agg(F.sum("n").alias("n"))
+        .select(
+            F.lit(1).cast("bigint").alias("zoom"),
+            F.col("cx").cast("bigint"),
+            F.col("cy").cast("bigint"),
+            F.col("n").cast("bigint"),
+        )
+    )
+    lvl0 = (
+        z2.groupBy(
+            F.expr("cx DIV 25").alias("cx"), F.expr("cy DIV 25").alias("cy")
+        )
+        .agg(F.sum("n").alias("n"))
+        .select(
+            F.lit(0).cast("bigint").alias("zoom"),
+            F.col("cx").cast("bigint"),
+            F.col("cy").cast("bigint"),
+            F.col("n").cast("bigint"),
+        )
+    )
+    return lvl2.unionAll(lvl1).unionAll(lvl0)
+
+
+# =========================================================================
+# fe3: imputation + min-max scaling in one aggregate pass (ML feature prep)
+# =========================================================================
+
+_FE3_SQL = """
+WITH raw AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 17 = 0 THEN NULL ELSE value END AS v
+  FROM events
+), stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / COUNT(v) AS mean_v,
+         MIN(v) AS min_v, MAX(v) AS max_v, COUNT(*) - COUNT(v) AS n_missing
+  FROM raw GROUP BY event_type
+), bounds AS (
+  SELECT event_type, mean_v, n_missing,
+         LEAST(min_v, mean_v) AS lo, GREATEST(max_v, mean_v) AS hi
+  FROM stats
+)
+SELECT r.event_id, r.event_type,
+       CASE WHEN r.v IS NULL THEN 1 ELSE 0 END AS was_imputed,
+       (COALESCE(r.v, b.mean_v) - b.lo) / (b.hi - b.lo) AS scaled
+FROM raw r JOIN bounds b ON r.event_type = b.event_type
+"""
+
+
+@_register("fe3_impute_scale", _FE3_SQL)
+def fe3_impute_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature prep: group-mean imputation of planted missing values
+    (event_id % 17 — the key-modulus planting rule) followed by min-max
+    scaling to [0,1], fused into ONE statistics pass: a single aggregate
+    computes (exact-decimal mean, min, max), and the post-imputation
+    bounds are DERIVED algebraically (lo = least(min, mean)) instead of
+    re-scanning the imputed column — the two-pass-to-one-pass trick that
+    matters when the input is 100 TB. The 5-row stats frame broadcasts;
+    the imputation and scaling are deterministic per-row IEEE ops on an
+    exactly-rounded mean. Every ML table prep (fill + normalize) is this
+    shape."""
+    raw = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 17 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    stats = raw.groupBy("event_type").agg(
+        (F.sum(dec("v")).cast("double") / F.count("v")).alias("mean_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    bounds = stats.select(
+        "event_type",
+        "mean_v",
+        F.least("min_v", "mean_v").alias("lo"),
+        F.greatest("max_v", "mean_v").alias("hi"),
+    )
+    return raw.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("was_imputed"),
+        (
+            (F.coalesce(F.col("v"), F.col("mean_v")) - F.col("lo"))
+            / (F.col("hi") - F.col("lo"))
+        ).alias("scaled"),
+    )
+
+
+# =========================================================================
+# ar1: conversion-latency histogram (first view -> first subsequent signup)
+# =========================================================================
+
+_AR1_SQL = """
+WITH fv AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), conv AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS first_signup, MIN(f.first_view)
+           AS first_view
+  FROM events e JOIN fv f ON e.user_id = f.user_id
+  WHERE e.event_type = 'signup' AND epoch_us(e.ts) > f.first_view
+  GROUP BY e.user_id
+)
+SELECT (first_signup - first_view) // 3600000000 AS latency_hours,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MIN(user_id) AS BIGINT) AS sample_user
+FROM conv GROUP BY (first_signup - first_view) // 3600000000
+"""
+
+
+@_register("ar1_conversion_latency", _AR1_SQL)
+def ar1_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency histogram: hours between each user's FIRST view
+    and their first signup strictly after it — the attribution-window
+    statistic behind funnel-latency dashboards (fn1 measures whether
+    steps complete; this measures how fast). Two map-side-combinable
+    aggregates joined on the user key (co-partitioned — one shuffle
+    each, same key), then an integer-microsecond difference bucketed by
+    integer division into hour bins. No window over raw events, no
+    timestamps in doubles."""
+    ev = _t(spark, sf_dir, "events")
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("first_view"))
+    )
+    conv = (
+        ev.where(F.col("event_type") == "signup")
+        .join(fv, "user_id")
+        .where(F.unix_micros("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("first_signup"),
+            F.min("first_view").alias("first_view"),
+        )
+    )
+    bucket = F.expr("(first_signup - first_view) DIV 3600000000")
+    return conv.groupBy(bucket.alias("latency_hours")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.min("user_id").cast("bigint").alias("sample_user"),
+    )
+
+
+# =========================================================================
+# ts3: OHLC downsampling (argmin/argmax by packed time key)
+# =========================================================================
+
+_TS3_SQL = """
+WITH keyed AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 AS bucket,
+         value,
+         (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) // 1000
+           * 10000000 + event_id AS ord
+  FROM events
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       arg_min(value, ord) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, ord) AS close,
+       CAST(COUNT(*) AS BIGINT) AS volume
+FROM keyed GROUP BY event_type, bucket
+"""
+
+
+@_register("ts3_ohlc_downsample", _TS3_SQL)
+def ts3_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (open/high/low/close) downsampling to hourly bars — the
+    canonical time-series compaction (tick data, metrics, sensor feeds),
+    in ONE partial-aggregating pass with no window and no sort: open and
+    close are argmin/argmax over agg2's collision-free packed ordering
+    key (milliseconds since a fixed epoch x 1e7 + event_id — unique, so
+    first/last are deterministic where a raw-timestamp min_by would be
+    tie-flaky on both engines and overflow-prone in microseconds). Time
+    bucketing is integer division of epoch microseconds. This replaces
+    the naive first_value/last_value window, which would sort every
+    (type, hour) partition."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    epoch0 = F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    keyed = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 3600000000").alias("bucket"),
+        "value",
+        (((us - epoch0) / 1000).cast("bigint") * 10_000_000 + F.col("event_id")).alias(
+            "ord"
+        ),
+    )
+    return keyed.groupBy(
+        "event_type", F.col("bucket").cast("bigint").alias("bucket")
+    ).agg(
+        F.min_by("value", "ord").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ord").alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("volume"),
+    )
+
+
+# =========================================================================
+# seq3: sequence pattern mining (MATCH_RECOGNIZE-lite over event strings)
+# =========================================================================
+
+_SEQ3_SQL = """
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(LENGTH(seq) AS BIGINT) AS n_events,
+       CAST(LENGTH(seq) - LENGTH(replace(seq, 's', '')) AS BIGINT)
+         AS n_signups,
+       CAST(len(regexp_extract_all(seq, 'v[ce]*s')) AS BIGINT)
+         AS n_conversions
+FROM seqs
+"""
+
+
+@_register("seq3_pattern_match", _SEQ3_SQL)
+def seq3_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence pattern mining — MATCH_RECOGNIZE semantics without the
+    clause: each user's event stream collapses to an ordered initials
+    string (listagg WITHIN GROUP with full tiebreak — f16's determinism
+    rule), and the behavioral pattern 'view, any clicks/errors, signup'
+    becomes the regex v[ce]*s counted per user. Non-overlapping left-to-
+    right regex matching is identical in Java regex and RE2 for this
+    pattern class. Scale: one combinable string aggregate per user key
+    (per-user sequences are session-bounded in practice; an unbounded
+    stream would window first), then pure codegen string ops — the whole
+    pattern scan is shuffle-free after the one group-by."""
+    ev = _t(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.expr(
+            "listagg(substring(event_type, 1, 1), '') "
+            "WITHIN GROUP (ORDER BY ts, event_id)"
+        ).alias("seq")
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        (F.length("seq") - F.length(F.replace(F.col("seq"), F.lit("s"), F.lit(""))))
+        .cast("bigint")
+        .alias("n_signups"),
+        F.size(F.expr("regexp_extract_all(seq, 'v[ce]*s', 0)"))
+        .cast("bigint")
+        .alias("n_conversions"),
+    )
+
+
+# =========================================================================
+# ng1: continuation counts (the Kneser-Ney statistic) over corpus bigrams
+# =========================================================================
+
+_NG1_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, t.w, t.pos
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                       x -> LENGTH(x) > 0) AS arr
+    FROM documents
+  ), LATERAL (
+    SELECT UNNEST(arr) AS w, generate_subscripts(arr, 1) AS pos
+  ) AS t
+), bigrams AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), stats AS (
+  SELECT w2, COUNT(DISTINCT w1) AS continuation, COUNT(*) AS n_bigrams
+  FROM bigrams GROUP BY w2
+)
+SELECT w2, CAST(continuation AS BIGINT) AS continuation,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT w2, continuation, n_bigrams,
+         ROW_NUMBER() OVER (ORDER BY continuation DESC, w2) AS rnk
+  FROM stats
+) WHERE rnk <= 25
+"""
+
+
+@_register("ng1_continuation_counts", _NG1_SQL)
+def ng1_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuation counts — how many DISTINCT left contexts each word
+    follows — the statistic Kneser-Ney smoothing is built on (a word
+    that appears often but only after one context, like 'Francisco',
+    gets a low continuation count), and a language-model-quality signal
+    tx9's raw bigram novelty cannot give. Bigrams come from a lag window
+    over per-document token positions (partitioned by doc — high-
+    cardinality, distributes; the oracle states the same adjacency as a
+    positional self-join); the distinct-context count is a two-level
+    combinable aggregate. Top-25 with deterministic tiebreak."""
+    from .operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "w"),
+    )
+    w_seq = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.select(
+        F.lag("w").over(w_seq).alias("w1"), F.col("w").alias("w2")
+    ).where(F.col("w1").isNotNull())
+    stats = bigrams.groupBy("w2").agg(
+        F.countDistinct("w1").alias("continuation"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+    w_rank = Window.orderBy(F.col("continuation").desc(), "w2")
+    return (
+        stats.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= 25)
+        .select(
+            "w2",
+            F.col("continuation").cast("bigint").alias("continuation"),
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
