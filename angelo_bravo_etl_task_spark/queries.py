@@ -1214,6 +1214,10 @@ _CHECK_FIRST: list[str] = [
     "ts3_ohlc_downsample",
     "seq3_pattern_match",
     "ng1_continuation_counts",
+    "kmv1_distinct_sketch",
+    "sky1_skyline",
+    "d9_containment_dedup",
+    "km1_kmeans_iteration",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -2088,3 +2088,324 @@ def ng1_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+# =========================================================================
+# kmv1: K-minimum-values distinct sketch — an ORACLE-CHECKABLE estimator
+# =========================================================================
+
+_KMV1_SQL = """
+WITH keys AS (
+  SELECT DISTINCT event_type,
+         CAST(user_id AS VARCHAR) || '|'
+           || CAST(CAST(ts AS DATE) AS VARCHAR) AS k
+  FROM events
+), hashed AS (
+  SELECT event_type, k,
+         CAST('0x' || substr(md5(k), 1, 8) AS BIGINT) AS h
+  FROM keys
+), ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, k) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+  FROM hashed
+)
+SELECT event_type,
+       CAST(n_exact AS BIGINT) AS exact_distinct,
+       CAST(h AS BIGINT) AS kth_min_hash,
+       CAST(63 AS BIGINT) * 4294967296 / CAST(h AS BIGINT) AS kmv_estimate
+FROM ranked WHERE rn = 64
+"""
+
+
+@_register("kmv1_distinct_sketch", _KMV1_SQL)
+def kmv1_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values cardinality sketch (Bar-Yossef et al. 2002):
+    estimate distinct user-days per event type from only the k=64
+    smallest hash values — unlike HLL (a2/a4, rows-only: register
+    internals are engine-private), KMV over an md5-derived 32-bit hash
+    is FULLY engine-portable, making this the registry's one oracle-
+    checkable cardinality estimator: estimate = (k-1) * 2^32 / h_(k),
+    one IEEE division of exact integers. The exact distinct count rides
+    along in the same result so the estimate's error is visible in the
+    released row. Scale shape: the k smallest hashes per group are a
+    combinable bounded-state aggregate (each partition keeps its own
+    top-k, merges keep k — the same property HLL exploits); here the
+    rank runs over the deduped key frame. Groups below 64 keys drop out
+    structurally (rn = 64 unreachable) on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    keys = ev.select(
+        "event_type",
+        F.concat_ws(
+            "|",
+            F.col("user_id").cast("string"),
+            F.to_date("ts").cast("string"),
+        ).alias("k"),
+    ).distinct()
+    hashed = keys.select(
+        "event_type",
+        "k",
+        F.conv(F.substring(F.md5("k"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("h", "k")
+    w_all = Window.partitionBy("event_type")
+    ranked = hashed.select(
+        "event_type",
+        "h",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_exact"),
+    )
+    return ranked.where(F.col("rn") == 64).select(
+        "event_type",
+        F.col("n_exact").cast("bigint").alias("exact_distinct"),
+        F.col("h").cast("bigint").alias("kth_min_hash"),
+        (
+            F.lit(63).cast("bigint")
+            * F.lit(4294967296).cast("bigint")
+            / F.col("h").cast("bigint")
+        ).alias("kmv_estimate"),
+    )
+
+
+# =========================================================================
+# sky1: skyline (Pareto frontier) via sorted running minimum
+# =========================================================================
+
+_SKY1_SQL = """
+WITH pts AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS price_cents,
+         o_orderdate, MIN(o_orderkey) AS sample_order
+  FROM orders
+  GROUP BY 1, 2
+), flagged AS (
+  SELECT price_cents, o_orderdate, sample_order,
+         MIN(o_orderdate) OVER (
+           ORDER BY price_cents, o_orderdate
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
+  FROM pts
+)
+SELECT price_cents, o_orderdate, sample_order
+FROM flagged
+WHERE best_prev IS NULL OR o_orderdate < best_prev
+"""
+
+
+@_register("sky1_skyline", _SKY1_SQL)
+def sky1_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query — the classic multi-criteria
+    shortlist (cheapest-AND-earliest orders here; hotels-near-beach-and-
+    cheap in the textbook): a point survives iff nothing else is <= on
+    both dimensions with one strict. After deduping to distinct (price,
+    date) points, one lexicographic sort gives the linear-scan
+    formulation: every earlier row is no-worse on price, so a point
+    survives iff its date beats the running MIN date of the strict
+    prefix (frame ... AND 1 PRECEDING; the same-(price,date) duplicate
+    case is gone by construction). Prices in exact cents. The sort runs
+    on the DISTINCT-point frame, not raw rows; at 100 TB the frontier
+    scan would range-partition on price and stitch boundary minima —
+    the ord1 global-order decomposition."""
+    o = _t(spark, sf_dir, "orders")
+    pts = o.groupBy(
+        (dec("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+        "o_orderdate",
+    ).agg(F.min("o_orderkey").alias("sample_order"))
+    w = Window.orderBy("price_cents", "o_orderdate").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flagged = pts.select(
+        "price_cents",
+        "o_orderdate",
+        "sample_order",
+        F.min("o_orderdate").over(w).alias("best_prev"),
+    )
+    return flagged.where(
+        F.col("best_prev").isNull() | (F.col("o_orderdate") < F.col("best_prev"))
+    ).select("price_cents", "o_orderdate", "sample_order")
+
+
+# =========================================================================
+# d9: containment (asymmetric) near-dup — catches subset duplication
+# =========================================================================
+
+_D9_SQL = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           list_transform(
+             range(1, greatest(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) - 3, 0) + 2),
+             i -> array_to_string(list_slice(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '),
+                                             i, i + 2), ' ')),
+           s -> length(s) > 0)) AS grams
+  FROM documents WHERE doc_id < 300
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_common,
+       CAST(len(a.grams) AS BIGINT) AS n_a,
+       CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT)
+         / CAST(len(a.grams) AS BIGINT) AS containment
+FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+WHERE len(a.grams) > 0
+  AND CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT)
+        / CAST(len(a.grams) AS BIGINT) >= 0.5
+"""
+
+
+@_register("d9_containment_dedup", _D9_SQL)
+def d9_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment near-dup: |A∩B| / |A| — the statistic that
+    catches a document fully QUOTED inside a longer one, which Jaccard
+    (d5) misses because the union is dominated by the longer side
+    (CCNet/RefinedWeb-style pipelines run both). Directed pairs (a
+    contained-in b is not b contained-in a) over the same bounded id
+    window as d5 so the oracle can brute-force it; the unbounded path is
+    d3's LSH candidates with this confirm formula instead of Jaccard.
+    Ratio = IEEE division of exact set-size integers."""
+    from .operators.dedup import shingles
+    from .operators.partitioning import spread
+
+    d = spread(
+        _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    )
+    sh = d.select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("grams")
+    ).persist()
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b")
+    )
+    pairs = a.join(F.broadcast(b), F.col("id_a") != F.col("id_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("bigint")
+    na = F.size("grams_a").cast("bigint")
+    return (
+        pairs.where(F.size("grams_a") > 0)
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("n_common"),
+            na.alias("n_a"),
+            (inter / na).alias("containment"),
+        )
+        .where(F.col("containment") >= 0.5)
+    )
+
+
+# =========================================================================
+# km1: one full k-means iteration from seed centroids, with movement
+# =========================================================================
+
+_KM1_SQL = """
+WITH seeds AS (
+  SELECT vec_id AS cluster, ord - 1 AS pos,
+         CAST(FLOOR(e * 1073741824.0) AS BIGINT) AS cq
+  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS e,
+               generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS ord
+        FROM embeddings WHERE vec_id < 8)
+), seedv AS (
+  SELECT cluster,
+         list(CAST(cq AS DOUBLE) / 1073741824.0 ORDER BY pos) AS cv
+  FROM seeds GROUP BY cluster
+), scored AS (
+  SELECT e.vec_id, s.cluster,
+         list_reduce(list_transform(
+             list_zip(CAST(e.embedding AS DOUBLE[]), s.cv),
+             x -> (x[1] - x[2]) * (x[1] - x[2])),
+           (acc, v) -> acc + v) AS dist2
+  FROM embeddings e CROSS JOIN seedv s
+), assigned AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist2, cluster) AS rnk
+    FROM scored
+  ) WHERE rnk = 1
+), upd AS (
+  SELECT a.cluster, t.ord - 1 AS pos,
+         SUM(CAST(FLOOR(t.e * 1073741824.0) AS BIGINT)) AS q_sum,
+         COUNT(*) AS n
+  FROM assigned a JOIN (
+    SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS e,
+           generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS ord
+    FROM embeddings
+  ) t ON t.vec_id = a.vec_id
+  GROUP BY a.cluster, t.ord
+)
+SELECT u.cluster, CAST(MIN(u.n) AS BIGINT) AS n_assigned,
+       CAST(SUM(ABS(u.q_sum - s.cq * u.n)) AS BIGINT) AS movement_num,
+       CAST(MIN(u.n) AS BIGINT) * 1073741824 AS movement_den,
+       CAST(SUM(ABS(u.q_sum - s.cq * u.n)) AS BIGINT)
+         / (CAST(MIN(u.n) AS BIGINT) * 1073741824) AS movement_l1
+FROM upd u JOIN seeds s ON u.cluster = s.cluster AND u.pos = s.pos
+GROUP BY u.cluster
+"""
+
+
+@_register("km1_kmeans_iteration", _KM1_SQL)
+def km1_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One COMPLETE k-means iteration — seed centroids (first 8 vectors,
+    Q30-quantized so both engines hold bit-identical seeds), E-step
+    assignment by squared L2 (fixed left-fold, x6's rule), M-step
+    centroid update (x5's Q30 exact sums), and the CONVERGENCE METRIC:
+    per-cluster L1 centroid movement as the exact rational
+    sum|q_sum - seed_q*n| / (n * 2^30) — the quantity the training loop
+    thresholds to stop. x5/x6 exercise the steps in isolation; this
+    composes them in one lazy plan the way the real loop runs them
+    (assign joins broadcast centroids, update is one combinable
+    aggregate, movement joins the 8x64 seed frame). Iterating would
+    localCheckpoint per round like d6's CC. The 8-row centroid cross
+    join is the bounded-broadcast shape the plan audit allows for
+    x4/x6."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "e"),
+    )
+    seeds = exploded.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"),
+        "pos",
+        F.floor(F.col("e") * F.lit(1073741824.0)).cast("long").alias("cq"),
+    )
+    seeds = seeds.persist()
+    seedv = seeds.groupBy("cluster").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("pos", (F.col("cq").cast("double") / 1073741824.0).alias("c"))
+            )
+        ).alias("pairs")
+    ).select("cluster", F.expr("transform(pairs, p -> p.c)").alias("cv"))
+    scored = emb.crossJoin(F.broadcast(seedv)).select(
+        "vec_id",
+        "cluster",
+        F.expr(
+            "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), cv,"
+            " (a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + v)"
+        ).alias("dist2"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("dist2", "cluster")
+    assigned = (
+        scored.withColumn("rnk", F.row_number().over(w_assign))
+        .where(F.col("rnk") == 1)
+        .select("vec_id", "cluster")
+    )
+    upd = (
+        assigned.join(exploded, "vec_id")
+        .groupBy("cluster", "pos")
+        .agg(
+            F.sum(
+                F.floor(F.col("e") * F.lit(1073741824.0)).cast("long")
+            ).alias("q_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    j = upd.join(F.broadcast(seeds), ["cluster", "pos"])
+    num = F.sum(F.abs(F.col("q_sum") - F.col("cq") * F.col("n"))).cast("bigint")
+    den = F.min("n").cast("bigint") * F.lit(1073741824).cast("bigint")
+    return j.groupBy("cluster").agg(
+        F.min("n").cast("bigint").alias("n_assigned"),
+        num.alias("movement_num"),
+        den.alias("movement_den"),
+        (num / den).alias("movement_l1"),
+    )

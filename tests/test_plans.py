@@ -378,6 +378,12 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # bloom1's two cross joins broadcast the 1-row filter-size scalar
         # (m_bits) — same scalar-subquery shape as qt1/hh1 totals
         "bloom1_bloom_prefilter",
+        # fc1 broadcasts the 1-row (last_day, n_train) scalar frame
+        "fc1_seasonal_baseline",
+        # d9: bounded-window brute-force pairs, same oracle-demo shape as d5
+        "d9_containment_dedup",
+        # km1: 8-row seed-centroid broadcast, same shape as x4/x6
+        "km1_kmeans_iteration",
     }
     import re
 
