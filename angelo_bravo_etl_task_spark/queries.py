@@ -1218,6 +1218,10 @@ _CHECK_FIRST: list[str] = [
     "sky1_skyline",
     "d9_containment_dedup",
     "km1_kmeans_iteration",
+    "gr2_clustering_coeff",
+    "dq3_freshness",
+    "mw1_mann_whitney",
+    "fe5_target_encode_loo",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -2409,3 +2409,354 @@ def km1_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.alias("movement_den"),
         (num / den).alias("movement_l1"),
     )
+
+
+# =========================================================================
+# gr2: local clustering coefficient (per-vertex triangle density)
+# =========================================================================
+
+_GR2_SQL = """
+WITH edges AS (
+  SELECT DISTINCT LEAST(u0, v0) AS u, GREATEST(u0, v0) AS v
+  FROM (
+    SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '-u'), 1, 4)
+                AS INT) % 499 AS u0,
+           CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '-v'), 1, 4)
+                AS INT) % 499 AS v0
+    FROM orders WHERE o_orderkey < 20000
+  ) WHERE u0 <> v0
+), tri AS (
+  SELECT w.a, w.b, w.c
+  FROM (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1 JOIN edges e2 ON e1.v = e2.u) w
+  JOIN edges e3 ON w.a = e3.u AND w.c = e3.v
+), tv AS (
+  SELECT vertex, COUNT(*) AS t
+  FROM (SELECT a AS vertex FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY vertex
+), deg AS (
+  SELECT vertex, COUNT(*) AS d
+  FROM (SELECT u AS vertex FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY vertex
+)
+SELECT CAST(deg.vertex AS BIGINT) AS vertex, CAST(d AS BIGINT) AS degree,
+       CAST(COALESCE(t, 0) AS BIGINT) AS n_triangles,
+       CAST(2 * COALESCE(t, 0) AS BIGINT)
+         / CAST(d * (d - 1) AS BIGINT) AS clustering_coeff
+FROM deg LEFT JOIN tv ON deg.vertex = tv.vertex
+WHERE d >= 2
+"""
+
+
+@_register("gr2_clustering_coeff", _GR2_SQL)
+def gr2_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL clustering coefficient — 2T(v) / d(v)(d(v)-1), the per-vertex
+    triangle density behind community detection and bot/fraud scoring
+    (real users' neighborhoods interconnect; fake ones are stars).
+    Extends tc1's global count over the SAME md5-mixed bounded graph:
+    triangles from the wedge-close equi-join chain credit all three
+    corners (a 3-row explode per triangle), degrees come from one
+    combinable aggregate over both edge endpoints, and the coefficient
+    is an IEEE division of exact integers over the LEFT join (vertices
+    in no triangle keep coefficient 0 — COALESCE, not dropped). Every
+    join is an equi-join on vertex ids."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 20000)
+
+    def hx(suffix):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(suffix))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 499
+        )
+
+    raw = o.select(hx("-u").alias("u0"), hx("-v").alias("v0")).where(
+        F.col("u0") != F.col("v0")
+    )
+    edges = raw.select(
+        F.least("u0", "v0").alias("u"), F.greatest("u0", "v0").alias("v")
+    ).distinct()
+    edges = edges.persist()  # three consumers (two wedge sides + closer)
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "b")
+    tri = wedges.join(
+        edges.select(F.col("u").alias("a"), F.col("v").alias("c")), ["a", "c"]
+    )
+    tv = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("vertex"))
+        .unionAll(edges.select(F.col("v").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    j = deg.join(tv, "vertex", "left").where(F.col("d") >= 2)
+    t0 = F.coalesce(F.col("t"), F.lit(0)).cast("bigint")
+    return j.select(
+        F.col("vertex").cast("bigint").alias("vertex"),
+        F.col("d").cast("bigint").alias("degree"),
+        t0.alias("n_triangles"),
+        (
+            (t0 * 2)
+            / (F.col("d").cast("bigint") * (F.col("d").cast("bigint") - 1))
+        ).alias("clustering_coeff"),
+    )
+
+
+# =========================================================================
+# dq3: pipeline freshness / cadence SLA report
+# =========================================================================
+
+_DQ3_SQL = """
+WITH ordered AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, epoch_us(ts) AS us, event_id
+  FROM events
+), gaps AS (
+  SELECT event_type,
+         us - LAG(us) OVER (PARTITION BY event_type, day
+                            ORDER BY us, event_id) AS gap
+  FROM ordered
+), gcounts AS (
+  SELECT event_type, gap, COUNT(*) AS c
+  FROM gaps WHERE gap IS NOT NULL GROUP BY event_type, gap
+), ranked AS (
+  SELECT event_type, gap, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY gap
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM gcounts
+), med AS (
+  SELECT event_type,
+         SUM(gap * hits) / SUM(hits) AS median_gap_us
+  FROM (
+    SELECT event_type, gap,
+           (CASE WHEN CAST(FLOOR((n + 1) / 2.0) AS BIGINT) > cum - c
+                  AND CAST(FLOOR((n + 1) / 2.0) AS BIGINT) <= cum
+                 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(FLOOR((n + 2) / 2.0) AS BIGINT) > cum - c
+                    AND CAST(FLOOR((n + 2) / 2.0) AS BIGINT) <= cum
+                   THEN 1 ELSE 0 END) AS hits
+    FROM ranked
+  ) WHERE hits > 0
+  GROUP BY event_type
+), last_seen AS (
+  SELECT event_type, MAX(epoch_us(ts)) AS last_us,
+         (SELECT MAX(epoch_us(ts)) FROM events) AS global_us
+  FROM events GROUP BY event_type
+)
+SELECT l.event_type,
+       CAST(l.global_us - l.last_us AS BIGINT) AS staleness_us,
+       m.median_gap_us,
+       CASE WHEN CAST(l.global_us - l.last_us AS DOUBLE)
+                 > m.median_gap_us * 3 THEN 1 ELSE 0 END AS is_stale
+FROM last_seen l JOIN med m ON l.event_type = m.event_type
+"""
+
+
+@_register("dq3_freshness", _DQ3_SQL)
+def dq3_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline freshness SLA: per stream, how long since the last event
+    versus the stream's OWN typical cadence (exact median intra-day
+    inter-arrival gap) — the self-calibrating staleness monitor that
+    replaces hand-set per-source thresholds. The LAG window partitions by
+    (type, day), not type alone — m1's low-cardinality-window rule: at
+    100 TB a per-type partition would sort the world in 5 tasks, while
+    (type, day) scales with the calendar. The gap median uses the exact
+    two-pass count-frame trick; staleness is integer microseconds; the
+    3x-median comparison is deterministic per-row IEEE. Median of two
+    middle gaps averages same-magnitude integers — order-insensitive."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w_seq = Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+        us, "event_id"
+    )
+    gaps = ev.select(
+        "event_type", (us - F.lag(us).over(w_seq)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    gcounts = gaps.groupBy("event_type", "gap").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("event_type")
+    ranked = gcounts.select(
+        "event_type",
+        "gap",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_tot).alias("n"),
+    )
+    mid1 = F.floor((F.col("n") + 1) / 2.0).cast("bigint")
+    mid2 = F.floor((F.col("n") + 2) / 2.0).cast("bigint")
+    lo = F.col("cum") - F.col("c")
+    hits = (
+        F.when((mid1 > lo) & (mid1 <= F.col("cum")), 1).otherwise(0)
+        + F.when((mid2 > lo) & (mid2 <= F.col("cum")), 1).otherwise(0)
+    )
+    med = (
+        ranked.select("event_type", "gap", hits.alias("hits"))
+        .where(F.col("hits") > 0)
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.col("gap") * F.col("hits")) / F.sum("hits")
+            ).alias("median_gap_us")
+        )
+    )
+    per_type = ev.groupBy("event_type").agg(F.max(us).alias("last_us"))
+    glob = ev.agg(F.max(us).alias("global_us"))
+    last_seen = per_type.crossJoin(F.broadcast(glob))
+    j = last_seen.join(F.broadcast(med), "event_type")
+    stale_us = (F.col("global_us") - F.col("last_us")).cast("bigint")
+    return j.select(
+        "event_type",
+        stale_us.alias("staleness_us"),
+        "median_gap_us",
+        F.when(
+            stale_us.cast("double") > F.col("median_gap_us") * 3, 1
+        )
+        .otherwise(0)
+        .alias("is_stale"),
+    )
+
+
+# =========================================================================
+# mw1: Mann-Whitney U / rank-sum AUC (exact integer tie-averaged ranks)
+# =========================================================================
+
+_MW1_SQL = """
+WITH s AS (
+  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type IN ('click', 'error')
+), counts AS (
+  SELECT v, SUM(is_a) AS ca, COUNT(*) AS ct
+  FROM s GROUP BY v
+), ranked AS (
+  SELECT ca, ct,
+         SUM(ct) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS before_all,
+         SUM(ca) OVER () AS n1,
+         SUM(ct - ca) OVER () AS n2
+  FROM counts
+)
+SELECT CAST(MIN(n1) AS BIGINT) AS n1,
+       CAST(MIN(n2) AS BIGINT) AS n2,
+       CAST(SUM(ca * (2 * COALESCE(before_all, 0) + ct + 1)) AS BIGINT)
+         AS r1_x2,
+       CAST(2 * MIN(n1) * MIN(n2) + MIN(n1) * (MIN(n1) + 1)
+            - SUM(ca * (2 * COALESCE(before_all, 0) + ct + 1)) AS BIGINT)
+         AS u1_x2,
+       CAST(2 * MIN(n1) * MIN(n2) + MIN(n1) * (MIN(n1) + 1)
+            - SUM(ca * (2 * COALESCE(before_all, 0) + ct + 1)) AS BIGINT)
+         / CAST(2 * MIN(n1) * MIN(n2) AS BIGINT) AS auc
+FROM ranked
+"""
+
+
+@_register("mw1_mann_whitney", _MW1_SQL)
+def mw1_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U — the rank-based two-sample test (ks1's sibling for
+    location shift), whose normalized form U/(n1*n2) IS the AUC of
+    'value' as a classifier between the two groups — one query, two
+    famous statistics. Tie-averaged ranks stay integer by carrying 2x
+    everything: rank_x2 of a tied run = 2*(count before) + run + 1.
+    R1_x2 accumulates per distinct value (ks1's aggregated-frame shape:
+    the ordered window runs over value cardinality, not rows), U1_x2 =
+    2*n1*n2 + n1(n1+1) - R1_x2 exactly, and AUC is one IEEE division of
+    exact integers."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "error")
+    )
+    s = ev.select(
+        dec("value").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+    )
+    counts = s.groupBy("v").agg(
+        F.sum("is_a").alias("ca"), F.count(F.lit(1)).alias("ct")
+    )
+    w_before = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    ranked = counts.select(
+        "ca",
+        "ct",
+        F.sum("ct").over(w_before).alias("before_all"),
+        F.sum("ca").over(w_all).alias("n1"),
+        F.sum(F.col("ct") - F.col("ca")).over(w_all).alias("n2"),
+    )
+    r1x2 = F.sum(
+        F.col("ca")
+        * (2 * F.coalesce(F.col("before_all"), F.lit(0)) + F.col("ct") + 1)
+    ).cast("bigint")
+    n1 = F.min("n1").cast("bigint")
+    n2 = F.min("n2").cast("bigint")
+    u1x2 = (2 * n1 * n2 + n1 * (n1 + 1) - r1x2).cast("bigint")
+    return ranked.agg(
+        n1.alias("n1"),
+        n2.alias("n2"),
+        r1x2.alias("r1_x2"),
+        u1x2.alias("u1_x2"),
+        (u1x2 / (2 * n1 * n2).cast("bigint")).alias("auc"),
+    )
+
+
+# =========================================================================
+# fe5: leave-one-out target encoding (leakage-free categorical features)
+# =========================================================================
+
+_FE5_SQL = """
+WITH stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS s,
+         COUNT(*) AS n
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       CAST(st.s - CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) / (st.n - 1)
+         AS loo_encoding
+FROM events e JOIN stats st ON e.event_type = st.event_type
+"""
+
+
+@_register("fe5_target_encode_loo", _FE5_SQL)
+def fe5_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — replace a categorical with the
+    mean target of its OTHER members, (S_g - x_i)/(n_g - 1) — the
+    leakage-free form (plain group-mean encoding leaks each row's own
+    label into its feature, inflating validation scores; LOO is how
+    CatBoost-style encoders avoid it). One combinable aggregate for
+    (exact-decimal S, n) per category, broadcast back, then a per-row
+    exact-decimal subtraction cast to double and divided by an exact
+    integer — deterministic IEEE on both engines, no re-aggregation of
+    doubles. At 100 TB this is the canonical two-step: tiny stats frame
+    joins the fact scan without shuffling it."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.sum(dec("value")).cast("decimal(24,2)").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        (
+            (F.col("s") - dec("value")).cast("double")
+            / (F.col("n") - 1)
+        ).alias("loo_encoding"),
+    )

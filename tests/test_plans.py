@@ -384,6 +384,8 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "d9_containment_dedup",
         # km1: 8-row seed-centroid broadcast, same shape as x4/x6
         "km1_kmeans_iteration",
+        # dq3 broadcasts the 1-row global-max-timestamp scalar
+        "dq3_freshness",
     }
     import re
 
