@@ -1222,6 +1222,8 @@ _CHECK_FIRST: list[str] = [
     "dq3_freshness",
     "mw1_mann_whitney",
     "fe5_target_encode_loo",
+    "hll1_portable_hyperloglog",
+    "seg1_rfm_segments",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

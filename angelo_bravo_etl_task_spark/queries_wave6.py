@@ -2760,3 +2760,166 @@ def fe5_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") - 1)
         ).alias("loo_encoding"),
     )
+
+
+# =========================================================================
+# hll1: PORTABLE HyperLogLog — the oracle-checkable HLL (a2/a4 cannot be)
+# =========================================================================
+
+_HLL1_SQL = """
+WITH keys AS (
+  SELECT DISTINCT event_type,
+         CAST(user_id AS VARCHAR) || '|'
+           || CAST(CAST(ts AS DATE) AS VARCHAR) AS k
+  FROM events
+), hashed AS (
+  SELECT event_type, k,
+         CAST('0x' || substr(md5(k), 1, 8) AS BIGINT) AS h
+  FROM keys
+), regs AS (
+  SELECT event_type, h // 67108864 AS bucket,
+         MAX(CASE WHEN h % 67108864 = 0 THEN 27
+                  ELSE 27 - LENGTH(LTRIM(bin(h % 67108864), '0')) END) AS m
+  FROM hashed GROUP BY event_type, h // 67108864
+), sums AS (
+  SELECT event_type,
+         COUNT(*) AS n_hit,
+         SUM(1.0 / CAST((CAST(1 AS BIGINT) << CAST(m AS INT)) AS DOUBLE))
+           AS s_hit
+  FROM regs GROUP BY event_type
+), exact AS (
+  SELECT event_type, COUNT(*) AS n_exact FROM keys GROUP BY event_type
+)
+SELECT s.event_type, CAST(s.n_hit AS BIGINT) AS n_registers_hit,
+       CAST(e.n_exact AS BIGINT) AS exact_distinct,
+       0.709 * 4096 / (s.s_hit + (64 - s.n_hit)) AS hll_estimate
+FROM sums s JOIN exact e ON s.event_type = e.event_type
+"""
+
+
+@_register("hll1_portable_hyperloglog", _HLL1_SQL)
+def hll1_portable_hyperloglog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog implemented IN RELATIONAL OPERATORS with a portable
+    hash — the registry's HLL that CAN be oracle-checked (a2/a4 use the
+    engines' built-in sketches, whose register layouts are private and
+    engine-specific, so they are rows-only by necessity; this one is
+    hash-compared). m=64 registers: bucket = top 6 bits of a 32-bit md5
+    hash, rho = leading-zero count of the remaining 26 bits + 1 computed
+    EXACTLY via binary-string length (bin + LTRIM — no libm log2, whose
+    ULP behavior is not cross-engine portable). The harmonic sum stays
+    bit-exact despite being floating point because every term 2^-M is a
+    dyadic rational and the running sum needs < 53 mantissa bits — the
+    one situation where a float SUM is provably order-insensitive. The
+    raw estimator alpha*m^2/S is released next to the exact count so the
+    error is visible. Register build is one combinable MAX aggregate —
+    the same merge HLL unions use, which is why this runs on 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    keys = ev.select(
+        "event_type",
+        F.concat_ws(
+            "|",
+            F.col("user_id").cast("string"),
+            F.to_date("ts").cast("string"),
+        ).alias("k"),
+    ).distinct()
+    keys = keys.persist()  # two consumers: registers + exact count
+    hashed = keys.select(
+        "event_type",
+        F.conv(F.substring(F.md5("k"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    )
+    rem = F.col("h") % 67108864
+    rho = F.when(rem == 0, F.lit(27)).otherwise(
+        27 - F.length(F.expr("LTRIM('0', bin(h % 67108864))"))
+    )
+    regs = hashed.select(
+        "event_type", F.expr("h DIV 67108864").alias("bucket"), rho.alias("rho")
+    ).groupBy("event_type", "bucket").agg(F.max("rho").alias("m"))
+    sums = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.sum(
+            1.0
+            / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(m AS INT)) AS DOUBLE)")
+        ).alias("s_hit"),
+    )
+    exact = keys.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    j = sums.join(exact, "event_type")
+    return j.select(
+        "event_type",
+        F.col("n_hit").cast("bigint").alias("n_registers_hit"),
+        F.col("n_exact").cast("bigint").alias("exact_distinct"),
+        (
+            F.lit(0.709) * 4096 / (F.col("s_hit") + (64 - F.col("n_hit")))
+        ).alias("hll_estimate"),
+    )
+
+
+# =========================================================================
+# seg1: RFM segmentation (recency/frequency/monetary quintiles)
+# =========================================================================
+
+_SEG1_SQL = """
+WITH metrics AS (
+  SELECT user_id,
+         (SELECT MAX(epoch_us(ts)) FROM events) - MAX(epoch_us(ts))
+           AS recency_us,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS monetary_cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+), scored AS (
+  SELECT user_id, recency_us, frequency, monetary_cents,
+         NTILE(5) OVER (ORDER BY recency_us, user_id) AS r,
+         NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS f,
+         NTILE(5) OVER (ORDER BY monetary_cents DESC, user_id) AS m
+  FROM metrics
+)
+SELECT user_id, CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+       CAST(m AS BIGINT) AS m,
+       CAST(r * 100 + f * 10 + m AS BIGINT) AS segment
+FROM scored
+"""
+
+
+@_register("seg1_rfm_segments", _SEG1_SQL)
+def seg1_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the marketing-analytics workhorse: quintile
+    each purchaser on Recency (time since last purchase), Frequency, and
+    Monetary value, concatenated into a 3-digit segment code (111 = best,
+    555 = churned). NTILE is deterministic ONLY under a total order, so
+    every quintile ranks with a user_id tiebreak (the same rule as every
+    top-k in this registry); monetary stays in exact cents. The metrics
+    frame is one combinable aggregate per user (plus the 1-row global-max
+    scalar broadcast); the three NTILEs sort the aggregated USER frame,
+    not raw events — at 100 TB they'd range-partition like ord1."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    us = F.unix_micros(F.col("ts"))
+    per_user = ev.groupBy("user_id").agg(
+        F.max(us).alias("last_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        (F.sum(dec("value") * 100)).cast("bigint").alias("monetary_cents"),
+    )
+    glob = ev.agg(F.max(us).alias("global_us"))
+    metrics = per_user.crossJoin(F.broadcast(glob)).select(
+        "user_id",
+        (F.col("global_us") - F.col("last_us")).alias("recency_us"),
+        "frequency",
+        "monetary_cents",
+    )
+    r = F.ntile(5).over(Window.orderBy("recency_us", "user_id"))
+    f_ = F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "user_id"))
+    m = F.ntile(5).over(
+        Window.orderBy(F.col("monetary_cents").desc(), "user_id")
+    )
+    scored = metrics.select(
+        "user_id", r.alias("r"), f_.alias("f"), m.alias("m")
+    )
+    return scored.select(
+        "user_id",
+        F.col("r").cast("bigint").alias("r"),
+        F.col("f").cast("bigint").alias("f"),
+        F.col("m").cast("bigint").alias("m"),
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+        .cast("bigint")
+        .alias("segment"),
+    )

@@ -386,6 +386,8 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "km1_kmeans_iteration",
         # dq3 broadcasts the 1-row global-max-timestamp scalar
         "dq3_freshness",
+        # seg1 broadcasts the 1-row global-max-timestamp scalar (recency)
+        "seg1_rfm_segments",
     }
     import re
 

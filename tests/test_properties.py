@@ -690,3 +690,187 @@ def test_interval_union_fold_equals_python_sweep(spark, ivs):
             merged.append((s, e))
     want = sum(e - s for s, e in merged)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# wave 10-12 algorithmic properties: skyline, BFS, KMV, portable HLL
+# ---------------------------------------------------------------------------
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**PROP_SETTINGS)
+def test_skyline_window_matches_brute_force_pareto(spark, pts):
+    """sky1's sorted running-min formulation == the O(n^2) dominance
+    definition: p survives iff no q has q.x <= p.x and q.y <= p.y with
+    one strict."""
+    from pyspark.sql.window import Window as W
+
+    distinct = sorted(set(pts))
+    df = spark.createDataFrame(distinct, "x BIGINT, y BIGINT")
+    w = W.orderBy("x", "y").rowsBetween(W.unboundedPreceding, -1)
+    flagged = df.select("x", "y", F.min("y").over(w).alias("best_prev"))
+    got = {
+        (r["x"], r["y"])
+        for r in flagged.where(
+            F.col("best_prev").isNull() | (F.col("y") < F.col("best_prev"))
+        ).collect()
+    }
+    expect = {
+        p
+        for p in distinct
+        if not any(
+            q != p and q[0] <= p[0] and q[1] <= p[1] for q in distinct
+        )
+    }
+    assert got == expect
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(**PROP_SETTINGS)
+def test_bfs_rounds_match_python_reference(spark, edges):
+    """gr1's statically-unrolled frontier expansion == textbook BFS
+    min-hops bounded at 3, on arbitrary small undirected graphs."""
+    edges = [(u, v) for u, v in edges if u != v]
+    seeds = [0, 5, 10]
+    # python reference
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for hop in (1, 2, 3):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = hop
+                    nxt.add(v)
+        frontier = nxt
+    # spark: same rounds as gr1 (distinct per level, min over union)
+    if edges:
+        e = spark.createDataFrame(edges, "u BIGINT, v BIGINT")
+        und = e.unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+    else:
+        und = spark.createDataFrame([], "u BIGINT, v BIGINT")
+    levels = [
+        spark.createDataFrame(
+            [(s, 0) for s in seeds], "vertex BIGINT, hop BIGINT"
+        )
+    ]
+    frontier_df = levels[0]
+    for _ in range(3):
+        nxt_df = (
+            frontier_df.join(und, frontier_df["vertex"] == und["u"])
+            .select(F.col("v").alias("vertex"), (F.col("hop") + 1).alias("hop"))
+            .distinct()
+        )
+        levels.append(nxt_df)
+        frontier_df = nxt_df
+    allv = levels[0]
+    for lv in levels[1:]:
+        allv = allv.unionAll(lv)
+    got = {
+        r["vertex"]: r["mh"]
+        for r in allv.groupBy("vertex")
+        .agg(F.min("hop").alias("mh"))
+        .collect()
+    }
+    assert got == dist
+
+
+@given(n=st.integers(80, 400))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kmv_estimate_matches_python_reference(spark, n):
+    """kmv1's in-engine estimate == a hashlib.md5 reference computing the
+    same (k-1)*2^32/h_(k) definition, bit for bit (deterministic hash,
+    exact-int division)."""
+    import hashlib
+
+    k = 64
+    keys = [f"key-{i}" for i in range(n)]
+    hashes = sorted(
+        (int(hashlib.md5(s.encode()).hexdigest()[:8], 16), s) for s in keys
+    )
+    kth = hashes[k - 1][0]
+    expect = (k - 1) * 4294967296 / kth
+
+    df = spark.createDataFrame([(s,) for s in keys], "k STRING")
+    hashed = df.select(
+        F.conv(F.substring(F.md5("k"), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+        "k",
+    )
+    from pyspark.sql.window import Window as W
+
+    ranked = hashed.select(
+        "h", F.row_number().over(W.orderBy("h", "k")).alias("rn")
+    )
+    got = ranked.where(F.col("rn") == k).select(
+        (F.lit(k - 1).cast("bigint") * F.lit(4294967296).cast("bigint") / F.col("h")).alias("est")
+    ).collect()[0]["est"]
+    assert got == expect
+
+
+@given(n=st.integers(50, 300))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_portable_hll_matches_python_reference(spark, n):
+    """hll1's register pipeline == a pure-Python HLL over the same md5
+    hashes — EXACT float equality, because every 2^-M term is dyadic and
+    the harmonic sum stays under 53 mantissa bits (the property the
+    query's docstring claims; this test is that claim, executed)."""
+    import hashlib
+
+    keys = [f"u-{i}" for i in range(n)]
+    regs = {}
+    for s in keys:
+        h = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+        bucket, rem = h // 67108864, h % 67108864
+        rho = 27 if rem == 0 else 27 - len(bin(rem)[2:])
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    s_val = sum(1.0 / (1 << m) for m in regs.values()) + (64 - len(regs))
+    expect = 0.709 * 4096 / s_val
+
+    df = spark.createDataFrame([(s,) for s in keys], "k STRING")
+    hashed = df.select(
+        F.conv(F.substring(F.md5("k"), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    rem = F.col("h") % 67108864
+    rho = F.when(rem == 0, F.lit(27)).otherwise(
+        27 - F.length(F.expr("LTRIM('0', bin(h % 67108864))"))
+    )
+    reg_df = (
+        hashed.select(F.expr("h DIV 67108864").alias("b"), rho.alias("rho"))
+        .groupBy("b")
+        .agg(F.max("rho").alias("m"))
+    )
+    row = reg_df.agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.sum(
+            1.0
+            / F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), CAST(m AS INT)) AS DOUBLE)"
+            )
+        ).alias("s_hit"),
+    ).collect()[0]
+    got = 0.709 * 4096 / (row["s_hit"] + (64 - row["n_hit"]))
+    assert got == expect
