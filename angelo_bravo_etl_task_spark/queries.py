@@ -1224,6 +1224,9 @@ _CHECK_FIRST: list[str] = [
     "fe5_target_encode_loo",
     "hll1_portable_hyperloglog",
     "seg1_rfm_segments",
+    "mb2_association_rules",
+    "ir1_inverted_index_search",
+    "sql6_bag_setops",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -2923,3 +2923,254 @@ def seg1_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("segment"),
     )
+
+
+# =========================================================================
+# mb2: association rules — confidence and lift (Apriori second pass)
+# =========================================================================
+
+_MB2_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), nb AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM items
+), item_supp AS (
+  SELECT l_partkey, COUNT(*) AS supp FROM items GROUP BY l_partkey
+), pair_supp AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS supp_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= 2
+)
+SELECT p.part_a, p.part_b, CAST(p.supp_ab AS BIGINT) AS supp_ab,
+       CAST(sa.supp AS BIGINT) AS supp_a, CAST(sb.supp AS BIGINT) AS supp_b,
+       CAST(nb.n_baskets AS BIGINT) AS n_baskets,
+       CAST(p.supp_ab AS BIGINT) / CAST(sa.supp AS BIGINT) AS confidence,
+       CAST(p.supp_ab * nb.n_baskets AS BIGINT)
+         / CAST(sa.supp * sb.supp AS BIGINT) AS lift
+FROM pair_supp p
+JOIN item_supp sa ON p.part_a = sa.l_partkey
+JOIN item_supp sb ON p.part_b = sb.l_partkey
+CROSS JOIN nb
+"""
+
+
+@_register("mb2_association_rules", _MB2_SQL)
+def mb2_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules — the Apriori SECOND pass mb1's pair supports
+    feed: confidence(a→b) = supp(ab)/supp(a) and lift =
+    N·supp(ab)/(supp(a)·supp(b)), the two numbers that separate 'bought
+    together often' from 'bought together more than chance' (lift > 1).
+    All counts exact integers; both ratios are single IEEE divisions of
+    exact-int products. The pair generation is mb1's basket-keyed
+    self-join (fanout = per-basket lines choose 2), item supports
+    broadcast back onto the (already tiny) pair frame, and the 1-row
+    basket-count scalar broadcasts — min-support pruning (HAVING >= 2)
+    is exactly where Apriori's anti-monotonicity cuts the space."""
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    items = items.persist()  # basket self-join + item supports + N
+    nb = items.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    item_supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
+    a = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    pair_supp = (
+        a.join(b, "k")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("supp_ab"))
+        .where(F.col("supp_ab") >= 2)
+    )
+    j = (
+        pair_supp.join(
+            F.broadcast(
+                item_supp.select(
+                    F.col("l_partkey").alias("part_a"),
+                    F.col("supp").alias("supp_a"),
+                )
+            ),
+            "part_a",
+        )
+        .join(
+            F.broadcast(
+                item_supp.select(
+                    F.col("l_partkey").alias("part_b"),
+                    F.col("supp").alias("supp_b"),
+                )
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(nb))
+    )
+    return j.select(
+        "part_a",
+        "part_b",
+        F.col("supp_ab").cast("bigint").alias("supp_ab"),
+        F.col("supp_a").cast("bigint").alias("supp_a"),
+        F.col("supp_b").cast("bigint").alias("supp_b"),
+        F.col("n_baskets").cast("bigint").alias("n_baskets"),
+        (
+            F.col("supp_ab").cast("bigint") / F.col("supp_a").cast("bigint")
+        ).alias("confidence"),
+        (
+            (F.col("supp_ab") * F.col("n_baskets")).cast("bigint")
+            / (F.col("supp_a") * F.col("supp_b")).cast("bigint")
+        ).alias("lift"),
+    )
+
+
+# =========================================================================
+# ir1: inverted-index search — postings build + query scoring + top-k
+# =========================================================================
+
+_IR1_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(list_filter(regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                            t -> LENGTH(t) > 0)) AS term
+  FROM documents
+), postings AS (
+  SELECT term, doc_id, COUNT(*) AS tf
+  FROM toks GROUP BY term, doc_id
+), df AS (
+  SELECT term, COUNT(*) AS df FROM postings GROUP BY term
+), nd AS (
+  SELECT COUNT(DISTINCT doc_id) AS n FROM toks
+), query AS (
+  SELECT term, df FROM (
+    SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rnk
+    FROM df
+  ) WHERE rnk BETWEEN 10 AND 12
+), scored AS (
+  SELECT p.doc_id,
+         SUM(p.tf * ((nd.n * 1000) // q.df)) AS score,
+         COUNT(*) AS n_terms_hit
+  FROM query q JOIN postings p ON p.term = q.term CROSS JOIN nd
+  GROUP BY p.doc_id
+)
+SELECT doc_id, CAST(score AS BIGINT) AS score,
+       CAST(n_terms_hit AS BIGINT) AS n_terms_hit, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT doc_id, score, n_terms_hit,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+) WHERE rnk <= 10
+"""
+
+
+@_register("ir1_inverted_index_search", _IR1_SQL)
+def ir1_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text retrieval as relational operators: build the inverted
+    index (postings = (term, doc, tf) — one combinable aggregate over
+    exploded tokens), pick a deterministic 3-term query (df-ranked 10-12:
+    mid-frequency terms, where retrieval is actually interesting), score
+    docs by tf-weighted scaled inverse document frequency, and return
+    top-10. The idf weight (N*1000) DIV df stays in INTEGERS — BM25's
+    log-idf is libm and not ULP-portable, and tx10 already carries exact
+    rational idf; integer-scaled idf keeps the additive score exact. The
+    serving shape is the real one: the query (3 rows) broadcasts onto
+    the postings index via a term equi-join, per-doc scores are one
+    group-by, top-k has a total-order tiebreak. At 100 TB the postings
+    table is bucketed by term and this query touches only 3 buckets."""
+    from .operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    toks = toks.persist()  # postings + doc count
+    postings = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    postings = postings.persist()  # df + scoring join
+    df_ = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = toks.agg(F.countDistinct("doc_id").alias("n"))
+    w_df = Window.orderBy(F.col("df").desc(), "term")
+    query = (
+        df_.withColumn("rnk", F.row_number().over(w_df))
+        .where(F.col("rnk").between(10, 12))
+        .select("term", "df")
+    )
+    scored = (
+        postings.join(F.broadcast(query), "term")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("tf") * F.expr("(n * 1000) DIV df")
+            ).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    w_rank = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= 10)
+        .select(
+            "doc_id",
+            F.col("score").cast("bigint").alias("score"),
+            F.col("n_terms_hit").cast("bigint").alias("n_terms_hit"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+# =========================================================================
+# sql6: bag-semantics set operations (EXCEPT ALL / INTERSECT ALL)
+# =========================================================================
+
+_SQL6_SQL = """
+WITH a AS (
+  SELECT l_partkey FROM lineitem WHERE l_orderkey % 3 = 0
+), b AS (
+  SELECT l_partkey FROM lineitem WHERE l_orderkey % 2 = 0
+), ex AS (
+  SELECT l_partkey FROM a EXCEPT ALL SELECT l_partkey FROM b
+), ix AS (
+  SELECT l_partkey FROM a INTERSECT ALL SELECT l_partkey FROM b
+)
+SELECT 'except_all' AS op, l_partkey, CAST(COUNT(*) AS BIGINT) AS multiplicity
+FROM ex GROUP BY l_partkey
+UNION ALL
+SELECT 'intersect_all', l_partkey, CAST(COUNT(*) AS BIGINT)
+FROM ix GROUP BY l_partkey
+"""
+
+
+@_register("sql6_bag_setops", _SQL6_SQL)
+def sql6_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set operations — EXCEPT ALL / INTERSECT ALL retain
+    MULTIPLICITY (max(m-n, 0) and min(m, n) copies respectively), the
+    reconciliation primitive for 'what changed between loads, counting
+    duplicates' that s1's DISTINCT-semantics setops silently collapse.
+    Pinning the multiplicity algebra cross-engine is the point: the
+    output groups each surviving key with its copy count, so a
+    disagreement in either engine's bag arithmetic fails the hash. Spark
+    plans these as aggregate + generate (no sort), both sides shuffled
+    once on the compare key."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_orderkey") % 3 == 0).select("l_partkey")
+    b = li.where(F.col("l_orderkey") % 2 == 0).select("l_partkey")
+    ex = (
+        a.exceptAll(b)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("multiplicity"))
+        .select(F.lit("except_all").alias("op"), "l_partkey", "multiplicity")
+    )
+    ix = (
+        a.intersectAll(b)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("multiplicity"))
+        .select(
+            F.lit("intersect_all").alias("op"), "l_partkey", "multiplicity"
+        )
+    )
+    return ex.unionAll(ix)

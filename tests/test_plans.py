@@ -388,6 +388,9 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "dq3_freshness",
         # seg1 broadcasts the 1-row global-max-timestamp scalar (recency)
         "seg1_rfm_segments",
+        # mb2/ir1 broadcast 1-row corpus scalars (basket count / doc count)
+        "mb2_association_rules",
+        "ir1_inverted_index_search",
     }
     import re
 
