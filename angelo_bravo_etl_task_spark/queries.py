@@ -1227,6 +1227,9 @@ _CHECK_FIRST: list[str] = [
     "mb2_association_rules",
     "ir1_inverted_index_search",
     "sql6_bag_setops",
+    "nb1_naive_bayes",
+    "dt1_decision_stump",
+    "src8_binaryfile_source",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -3174,3 +3174,308 @@ def sql6_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ex.unionAll(ix)
+
+
+# =========================================================================
+# nb1: naive Bayes train + classify, exact-fraction scores (ML in SQL)
+# =========================================================================
+
+_NB1_SQL = """
+WITH feat AS (
+  SELECT event_id, event_type AS label,
+         hour(ts) // 6 AS f1,
+         CAST(FLOOR(value / 250.0) AS BIGINT) AS f2,
+         user_id % 2 AS f3,
+         CASE WHEN event_id % 10 < 8 THEN 1 ELSE 0 END AS is_train
+  FROM events
+), classes AS (
+  SELECT label, COUNT(*) AS n_c FROM feat WHERE is_train = 1 GROUP BY label
+), totals AS (
+  SELECT SUM(n_c) AS n,
+         (SELECT COUNT(DISTINCT f1) FROM feat WHERE is_train = 1) AS v1,
+         (SELECT COUNT(DISTINCT f2) FROM feat WHERE is_train = 1) AS v2,
+         (SELECT COUNT(DISTINCT f3) FROM feat WHERE is_train = 1) AS v3
+  FROM classes
+), l1 AS (
+  SELECT label, f1, COUNT(*) AS c FROM feat WHERE is_train = 1
+  GROUP BY label, f1
+), l2 AS (
+  SELECT label, f2, COUNT(*) AS c FROM feat WHERE is_train = 1
+  GROUP BY label, f2
+), l3 AS (
+  SELECT label, f3, COUNT(*) AS c FROM feat WHERE is_train = 1
+  GROUP BY label, f3
+), scored AS (
+  SELECT p.event_id, p.label AS actual, c.label AS cand,
+         CAST(CAST(c.n_c AS DECIMAL(9,0))
+              * CAST(COALESCE(a.c, 0) + 1 AS DECIMAL(9,0))
+              * CAST(COALESCE(b.c, 0) + 1 AS DECIMAL(9,0))
+              * CAST(COALESCE(d.c, 0) + 1 AS DECIMAL(9,0)) AS DOUBLE)
+         / CAST(CAST(t.n AS DECIMAL(9,0))
+                * CAST(c.n_c + t.v1 AS DECIMAL(9,0))
+                * CAST(c.n_c + t.v2 AS DECIMAL(9,0))
+                * CAST(c.n_c + t.v3 AS DECIMAL(9,0)) AS DOUBLE) AS score
+  FROM feat p
+  CROSS JOIN classes c
+  CROSS JOIN totals t
+  LEFT JOIN l1 a ON a.label = c.label AND a.f1 = p.f1
+  LEFT JOIN l2 b ON b.label = c.label AND b.f2 = p.f2
+  LEFT JOIN l3 d ON d.label = c.label AND d.f3 = p.f3
+  WHERE p.is_train = 0
+), pred AS (
+  SELECT event_id, actual, cand AS predicted FROM (
+    SELECT event_id, actual, cand,
+           ROW_NUMBER() OVER (PARTITION BY event_id
+                              ORDER BY score DESC, cand) AS rnk
+    FROM scored
+  ) WHERE rnk = 1
+)
+SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY actual, predicted
+"""
+
+
+@_register("nb1_naive_bayes", _NB1_SQL)
+def nb1_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive Bayes trained AND served in relational operators: priors and
+    Laplace-smoothed likelihood tables from one pass over the 80% train
+    split (key-modulus split — px2's rule), held-out rows scored as the
+    EXACT fraction n_c·Π(cnt+1) / N·Π(n_c+V) carried in DECIMAL(38)
+    products (log-space scoring is the numerically necessary form only
+    because floats underflow; exact integers don't, and staying rational
+    keeps both engines bit-identical after the one double division).
+    Argmax per row via deterministic ranking; released as the confusion
+    matrix. Scale shape: likelihood tables are (class x feature-value)
+    — dimension-sized, broadcast; the probe scan joins them without
+    shuffling; the 5-row class frame cross join is the bounded-broadcast
+    shape the audit allows."""
+    ev = _t(spark, sf_dir, "events")
+    feat = ev.select(
+        "event_id",
+        F.col("event_type").alias("label"),
+        F.expr("hour(ts) DIV 6").alias("f1"),
+        F.floor(F.col("value") / 250.0).cast("bigint").alias("f2"),
+        (F.col("user_id") % 2).alias("f3"),
+        F.when(F.col("event_id") % 10 < 8, 1).otherwise(0).alias("is_train"),
+    )
+    feat = feat.persist()
+    train = feat.where(F.col("is_train") == 1)
+    classes = train.groupBy("label").agg(F.count(F.lit(1)).alias("n_c"))
+    totals = train.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("f1").alias("v1"),
+        F.countDistinct("f2").alias("v2"),
+        F.countDistinct("f3").alias("v3"),
+    )
+    l1 = train.groupBy("label", "f1").agg(F.count(F.lit(1)).alias("c1"))
+    l2 = train.groupBy("label", "f2").agg(F.count(F.lit(1)).alias("c2"))
+    l3 = train.groupBy("label", "f3").agg(F.count(F.lit(1)).alias("c3"))
+    probe = feat.where(F.col("is_train") == 0).select(
+        "event_id", F.col("label").alias("actual"), "f1", "f2", "f3"
+    )
+    cand = classes.select(F.col("label").alias("cand"), "n_c")
+    j = (
+        probe.crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(totals))
+        .join(
+            F.broadcast(l1.select(F.col("label").alias("cand"), "f1", "c1")),
+            ["cand", "f1"],
+            "left",
+        )
+        .join(
+            F.broadcast(l2.select(F.col("label").alias("cand"), "f2", "c2")),
+            ["cand", "f2"],
+            "left",
+        )
+        .join(
+            F.broadcast(l3.select(F.col("label").alias("cand"), "f3", "c3")),
+            ["cand", "f3"],
+            "left",
+        )
+    )
+    d9 = "decimal(9,0)"
+    num = (
+        F.col("n_c").cast(d9)
+        * (F.coalesce(F.col("c1"), F.lit(0)) + 1).cast(d9)
+        * (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast(d9)
+        * (F.coalesce(F.col("c3"), F.lit(0)) + 1).cast(d9)
+    ).cast("double")
+    den = (
+        F.col("n").cast(d9)
+        * (F.col("n_c") + F.col("v1")).cast(d9)
+        * (F.col("n_c") + F.col("v2")).cast(d9)
+        * (F.col("n_c") + F.col("v3")).cast(d9)
+    ).cast("double")
+    scored = j.select(
+        "event_id", "actual", "cand", (num / den).alias("score")
+    )
+    w_pick = Window.partitionBy("event_id").orderBy(
+        F.col("score").desc(), "cand"
+    )
+    pred = (
+        scored.withColumn("rnk", F.row_number().over(w_pick))
+        .where(F.col("rnk") == 1)
+        .select("actual", F.col("cand").alias("predicted"))
+    )
+    return pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+# =========================================================================
+# dt1: decision stump — best threshold by weighted Gini (exact rationals)
+# =========================================================================
+
+_DT1_SQL = """
+WITH labeled AS (
+  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), counts AS (
+  SELECT v, COUNT(*) AS n_v, SUM(y) AS pos_v
+  FROM labeled GROUP BY v
+), cum AS (
+  SELECT v,
+         SUM(n_v) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS nl,
+         SUM(pos_v) OVER (ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS pl,
+         SUM(n_v) OVER () AS n,
+         SUM(pos_v) OVER () AS p
+  FROM counts
+), splits AS (
+  SELECT v AS threshold, nl, pl, n - nl AS nr, p - pl AS pr, n,
+         (nl * nl - pl * pl - (nl - pl) * (nl - pl)) * (n - nl)
+           + ((n - nl) * (n - nl) - (p - pl) * (p - pl)
+              - ((n - nl) - (p - pl)) * ((n - nl) - (p - pl))) * nl
+           AS wg_num,
+         nl * (n - nl) * n AS wg_den
+  FROM cum WHERE nl > 0 AND n - nl > 0
+)
+SELECT threshold, CAST(nl AS BIGINT) AS n_left,
+       CAST(pl AS BIGINT) AS pos_left,
+       CAST(nr AS BIGINT) AS n_right, CAST(pr AS BIGINT) AS pos_right,
+       CAST(wg_num AS BIGINT) AS wg_num, CAST(wg_den AS BIGINT) AS wg_den,
+       CAST(wg_num AS BIGINT) / CAST(wg_den AS BIGINT) AS weighted_gini,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY CAST(wg_num AS BIGINT) / CAST(wg_den AS BIGINT), threshold
+  ) AS rnk
+  FROM splits
+) WHERE rnk <= 5
+"""
+
+
+@_register("dt1_decision_stump", _DT1_SQL)
+def dt1_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training — the best single threshold on a numeric
+    feature by WEIGHTED GINI, i.e. one full node split of a tree/GBM
+    builder, in one pass: class counts per distinct value (combinable),
+    cumulative sums over the aggregated value frame (ks1's ECDF shape)
+    give every candidate split's left/right class totals simultaneously,
+    and the split score is the exact rational
+    [(nl²-pl²-negl²)·nr + (nr²-pr²-negr²)·nl] / (nl·nr·N) — gini1's
+    impurity algebra with the /n² denominators cross-multiplied away.
+    Scores released as IEEE divisions of exact ints; top-5 thresholds
+    with total-order tiebreak. This is how tree libraries actually scan
+    splits (cumulative histograms), expressed relationally."""
+    ev = _t(spark, sf_dir, "events")
+    labeled = ev.select(
+        dec("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    counts = labeled.groupBy("v").agg(
+        F.count(F.lit(1)).alias("n_v"), F.sum("y").alias("pos_v")
+    )
+    w_cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = counts.select(
+        "v",
+        F.sum("n_v").over(w_cum).alias("nl"),
+        F.sum("pos_v").over(w_cum).alias("pl"),
+        F.sum("n_v").over(w_all).alias("n"),
+        F.sum("pos_v").over(w_all).alias("p"),
+    )
+    nl, pl = F.col("nl"), F.col("pl")
+    n, p = F.col("n"), F.col("p")
+    nr, pr = n - nl, p - pl
+    negl, negr = nl - pl, nr - pr
+    wg_num = (nl * nl - pl * pl - negl * negl) * nr + (
+        nr * nr - pr * pr - negr * negr
+    ) * nl
+    wg_den = nl * nr * n
+    splits = cum.where((nl > 0) & (nr > 0)).select(
+        F.col("v").alias("threshold"),
+        nl.cast("bigint").alias("n_left"),
+        pl.cast("bigint").alias("pos_left"),
+        nr.cast("bigint").alias("n_right"),
+        pr.cast("bigint").alias("pos_right"),
+        wg_num.cast("bigint").alias("wg_num"),
+        wg_den.cast("bigint").alias("wg_den"),
+        (wg_num.cast("bigint") / wg_den.cast("bigint")).alias("weighted_gini"),
+    )
+    w_rank = Window.orderBy("weighted_gini", "threshold")
+    return (
+        splits.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= 5)
+        .withColumn("rnk", F.col("rnk").cast("bigint"))
+    )
+
+
+# =========================================================================
+# src8: binaryFile source — the raw-asset ingestion surface
+# =========================================================================
+
+_SRC8_SQL = """
+SELECT doc_id, OCTET_LENGTH(CAST(text AS BLOB)) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id % 50 = 0
+"""
+
+
+@_register("src8_binaryfile_source", _SRC8_SQL)
+def src8_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` format — Spark's raw-asset reader (images, audio,
+    model checkpoints): each file becomes (path, modificationTime,
+    length, content:binary), the ingestion front door of every
+    multimodal pipeline (mm1-mm6 consume exactly this shape). A bounded
+    fixture slice of documents is materialized as one .bin file per doc
+    (fixture setup, same pattern as the JSONL/Derby source tests), read
+    back through binaryFile, and content-hashed — the oracle hashes the
+    original column, so the byte round-trip through the filesystem and
+    the reader is what's verified. doc_id is recovered from the file
+    path. At 100 TB binaryFile scans parallelize per-file and support
+    pathGlobFilter/recursiveFileLookup partition layouts; content is
+    capped by spark.sql.sources.binaryFile.maxLength (2 GB default)."""
+    import os as _os
+
+    from .queries_scale import _SCRATCH
+
+    sink = _os.path.join(
+        _SCRATCH, "src8_bin_" + _os.path.basename(sf_dir.rstrip("/"))
+    )
+    _os.makedirs(sink, exist_ok=True)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 50 == 0)
+        .select("doc_id", "text")
+    )
+    # bounded fixture write (≤ ~1% of docs): one .bin per doc, driver-side
+    # by design — this materializes the SOURCE under test, it is not a
+    # data path (the read-back below is)
+    for r in docs.collect():
+        with open(_os.path.join(sink, f"doc_{r['doc_id']}.bin"), "wb") as fh:
+            fh.write(r["text"].encode("utf-8"))
+    back = spark.read.format("binaryFile").load(sink)
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )

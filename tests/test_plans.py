@@ -391,6 +391,8 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # mb2/ir1 broadcast 1-row corpus scalars (basket count / doc count)
         "mb2_association_rules",
         "ir1_inverted_index_search",
+        # nb1 broadcasts the 5-row class frame + 1-row totals scalar
+        "nb1_naive_bayes",
     }
     import re
 
