@@ -1230,6 +1230,8 @@ _CHECK_FIRST: list[str] = [
     "nb1_naive_bayes",
     "dt1_decision_stump",
     "src8_binaryfile_source",
+    "xc1_cross_correlation",
+    "mm7_energy_segments",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -3479,3 +3479,194 @@ def src8_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+# =========================================================================
+# xc1: lagged cross-correlation of two event series (exact rational r^2)
+# =========================================================================
+
+_XC1_SQL = """
+WITH hours AS (
+  SELECT epoch_us(ts) // 3600000000 AS h_idx, event_type
+  FROM events WHERE event_type IN ('click', 'purchase')
+), xs AS (
+  SELECT h_idx, COUNT(*) AS x FROM hours WHERE event_type = 'click'
+  GROUP BY h_idx
+), ys AS (
+  SELECT h_idx, COUNT(*) AS y FROM hours WHERE event_type = 'purchase'
+  GROUP BY h_idx
+), lags AS (
+  SELECT UNNEST([-2, -1, 0, 1, 2]) AS lag
+), aligned AS (
+  SELECT l.lag, xs.x, ys.y
+  FROM lags l
+  JOIN xs ON TRUE
+  JOIN ys ON ys.h_idx = xs.h_idx + l.lag
+), sums AS (
+  SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM aligned GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                 WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS BIGINT)
+         AS r_sign,
+       CAST(CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DECIMAL(19,0))
+            * CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DECIMAL(19,0))
+            AS DOUBLE) AS r2_num,
+       CAST(CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DECIMAL(19,0))
+            * CAST(CAST(n * syy - sy * sy AS BIGINT) AS DECIMAL(19,0))
+            AS DOUBLE) AS r2_den,
+       CAST(CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DECIMAL(19,0))
+            * CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DECIMAL(19,0))
+            AS DOUBLE)
+         / CAST(CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DECIMAL(19,0))
+                * CAST(CAST(n * syy - sy * sy AS BIGINT) AS DECIMAL(19,0))
+                AS DOUBLE) AS r_squared
+FROM sums
+"""
+
+
+@_register("xc1_cross_correlation", _XC1_SQL)
+def xc1_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between two event streams (do clicks LEAD
+    purchases?) — the signal-alignment scan behind lead-lag attribution
+    and causal-direction screening. Correlation needs a sqrt, which is
+    not needed if you release r^2 WITH ITS SIGN: r^2 = (n·Σxy - ΣxΣy)^2
+    / [(n·Σxx - Σx^2)(n·Σyy - Σy^2)] — every factor an exact integer
+    from combinable sums over the ALIGNED hourly count frames, squares
+    in DECIMAL(19,0)→(38,0) (bigint-safe only to ~sf0.1, same rule as
+    cht1), one IEEE division at the end. Alignment = equi-join of the
+    hourly frames offset by each of 5 lags (a 5-row broadcast against
+    the tiny aggregated series — never raw events). stats1's corr works
+    on rows; this is the time-shifted variant done exactly."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    hidx = F.expr("unix_micros(ts) DIV 3600000000")
+    xs = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(hidx.alias("h_idx"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    ys = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(hidx.alias("h_idx"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    lags = spark.range(-2, 3).select(F.col("id").alias("lag"))
+    aligned = (
+        xs.crossJoin(F.broadcast(lags))
+        .join(
+            ys.withColumnRenamed("h_idx", "y_idx"),
+            F.col("y_idx") == F.col("h_idx") + F.col("lag"),
+        )
+    )
+    sums = aligned.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "bigint"
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("bigint")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("bigint")
+    d19 = "decimal(19,0)"
+    num = (cov.cast(d19) * cov.cast(d19)).cast("double")
+    den = (vx.cast(d19) * vy.cast(d19)).cast("double")
+    return sums.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n"),
+        F.signum(cov).cast("bigint").alias("r_sign"),
+        num.alias("r2_num"),
+        den.alias("r2_den"),
+        (num / den).alias("r_squared"),
+    )
+
+
+# =========================================================================
+# mm7: audio energy segmentation — frame energy fold + gaps-islands runs
+# =========================================================================
+
+_MM7_SQL = """
+WITH audio AS (
+  SELECT doc_id, upper(hex(CAST(text AS BLOB))) AS hx,
+         OCTET_LENGTH(CAST(text AS BLOB)) AS n_bytes
+  FROM documents WHERE doc_id % 20 = 0
+), frames AS (
+  SELECT doc_id, CAST(f - 1 AS BIGINT) AS frame_no,
+         list_reduce(
+           list_transform(generate_series(0, 63),
+             i -> CAST('0x' || substring(hx,
+                        CAST((f - 1) * 128 + i * 2 + 1 AS BIGINT), 2)
+                       AS BIGINT)),
+           (acc, v) -> acc + v) AS energy
+  FROM audio,
+       UNNEST(generate_series(1, CAST(n_bytes // 64 AS BIGINT))) AS t(f)
+  WHERE n_bytes >= 64
+), high AS (
+  SELECT doc_id, frame_no,
+         frame_no - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY frame_no) AS grp
+  FROM frames WHERE energy > 6050
+)
+SELECT doc_id, MIN(frame_no) AS seg_start, MAX(frame_no) AS seg_end,
+       CAST(COUNT(*) AS BIGINT) AS n_frames
+FROM high GROUP BY doc_id, grp
+"""
+
+
+@_register("mm7_energy_segments", _MM7_SQL)
+def mm7_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio activity segmentation (VAD shape): frame the byte stream
+    into non-overlapping 64-byte frames, compute per-frame ENERGY as an
+    in-cell fold over the 64 byte values (aggregate over a transform of
+    hex pairs — Spark `aggregate` ≡ DuckDB `list_reduce`, same fixed
+    order, exact integers, NO explode fan-out for the inner loop), then
+    merge consecutive high-energy frames into segments with the
+    gaps-islands trick (frame_no - row_number constant within a run —
+    seq1's algebra applied to media frames). This is the end-to-end
+    shape of silence-trimming/highlight-extraction: mm5 slices, this
+    scores and segments; the real scorer would be the mm2-style Arrow
+    UDF, with identical surrounding plumbing. Threshold 6050 sits at
+    the measured frame-energy median (range 5694-6359 across SFs), so
+    high and low frames both occur at every SF — the x3 vacuousness rule."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    audio = d.select(
+        "doc_id",
+        F.hex(F.col("text").cast("binary")).alias("hx"),
+        F.octet_length(F.col("text").cast("binary")).alias("n_bytes"),
+    ).where(F.col("n_bytes") >= 64)
+    framed = audio.select(
+        "doc_id",
+        "hx",
+        F.posexplode(
+            F.sequence(
+                F.lit(1).cast("bigint"),
+                F.expr("CAST(n_bytes DIV 64 AS BIGINT)"),
+            )
+        ).alias("pos", "f"),
+    )
+    energy = F.expr(
+        "aggregate(transform(sequence(0, 63),"
+        " i -> conv(substring(hx, CAST((f - 1) * 128 + i * 2 + 1 AS INT), 2),"
+        " 16, 10)), CAST(0 AS BIGINT), (acc, v) -> acc + CAST(v AS BIGINT))"
+    )
+    frames = framed.select(
+        "doc_id", (F.col("f") - 1).alias("frame_no"), energy.alias("energy")
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    high = frames.where(F.col("energy") > 6050).select(
+        "doc_id",
+        "frame_no",
+        (F.col("frame_no") - F.row_number().over(w)).alias("grp"),
+    )
+    return high.groupBy("doc_id", "grp").agg(
+        F.min("frame_no").alias("seg_start"),
+        F.max("frame_no").alias("seg_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+    ).drop("grp")

@@ -393,6 +393,8 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "ir1_inverted_index_search",
         # nb1 broadcasts the 5-row class frame + 1-row totals scalar
         "nb1_naive_bayes",
+        # xc1 broadcasts the 5-row lag spine onto the aggregated series
+        "xc1_cross_correlation",
     }
     import re
 
