@@ -1232,6 +1232,10 @@ _CHECK_FIRST: list[str] = [
     "src8_binaryfile_source",
     "xc1_cross_correlation",
     "mm7_energy_segments",
+    "anova1_variance_decomposition",
+    "bud1_token_budget_selection",
+    "an3_generalization_ladder",
+    "kap1_cohens_kappa",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -3670,3 +3670,338 @@ def mm7_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("frame_no").alias("seg_end"),
         F.count(F.lit(1)).cast("bigint").alias("n_frames"),
     ).drop("grp")
+
+
+# =========================================================================
+# anova1: one-way variance decomposition (eta^2 + F) with fold-ordered sums
+# =========================================================================
+
+_ANOVA1_SQL = """
+WITH v AS (
+  SELECT event_type AS g,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+  FROM events
+), per_g AS (
+  SELECT g, COUNT(*) AS n_g, SUM(vc) AS s_g FROM v GROUP BY g
+), tot AS (
+  SELECT COUNT(*) AS n, SUM(vc) AS s, SUM(vc * vc) AS svv,
+         (SELECT COUNT(*) FROM per_g) AS k
+  FROM v
+), folded AS (
+  SELECT list_reduce(
+           list_transform(list({'s_g': s_g, 'n_g': n_g} ORDER BY g),
+             r -> CAST(r.s_g AS DOUBLE) * CAST(r.s_g AS DOUBLE)
+                  / CAST(r.n_g AS DOUBLE)),
+           (acc, x) -> acc + x) AS sum_sq_over_n
+  FROM per_g
+)
+SELECT CAST(t.n AS BIGINT) AS n, CAST(t.k AS BIGINT) AS k,
+       f.sum_sq_over_n
+         - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)
+         AS ssb,
+       CAST(t.svv AS DOUBLE) - f.sum_sq_over_n AS ssw,
+       CAST(t.svv AS DOUBLE)
+         - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)
+         AS sst,
+       (f.sum_sq_over_n
+          - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+         / (CAST(t.svv AS DOUBLE)
+            - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+         AS eta_squared,
+       ((f.sum_sq_over_n
+           - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+          / (t.k - 1))
+         / ((CAST(t.svv AS DOUBLE) - f.sum_sq_over_n) / (t.n - t.k))
+         AS f_stat
+FROM tot t, folded f
+"""
+
+
+@_register("anova1_variance_decomposition", _ANOVA1_SQL)
+def anova1_variance_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA — eta^2 (how much of the value variance event_type
+    explains) and the F statistic, via the computational identities
+    SSB = Σ S_g²/n_g - S²/n and SST = Σv² - S²/n over exact integer-cent
+    sums. The only non-exact step, summing the k per-group S_g²/n_g
+    doubles, runs as a FIXED-ORDER fold over the label-sorted group
+    array (Spark aggregate ≡ DuckDB list_reduce — x1's determinism rule
+    applied to a statistic), so both engines round identically; every
+    input to the fold is an IEEE op on exact integers. One combinable
+    aggregate per side; the group frame is k rows."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        F.col("event_type").alias("g"),
+        (dec("value") * 100).cast("bigint").alias("vc"),
+    )
+    v = v.persist()
+    per_g = v.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("vc").alias("s_g")
+    )
+    tot = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).alias("svv"),
+    )
+    k_df = per_g.agg(F.count(F.lit(1)).alias("k"))
+    folded = per_g.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(g, s_g, n_g))),"
+            " r -> CAST(r.s_g AS DOUBLE) * CAST(r.s_g AS DOUBLE)"
+            " / CAST(r.n_g AS DOUBLE)), CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x)"
+        ).alias("sum_sq_over_n")
+    )
+    j = tot.crossJoin(F.broadcast(k_df)).crossJoin(F.broadcast(folded))
+    s_d = F.col("s").cast("double")
+    n_d = F.col("n").cast("double")
+    svv_d = F.col("svv").cast("double")
+    correction = s_d * s_d / n_d
+    ssb = F.col("sum_sq_over_n") - correction
+    ssw = svv_d - F.col("sum_sq_over_n")
+    sst = svv_d - correction
+    return j.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k"),
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        sst.alias("sst"),
+        (ssb / sst).alias("eta_squared"),
+        ((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))).alias(
+            "f_stat"
+        ),
+    )
+
+
+# =========================================================================
+# bud1: token-budget greedy selection (curation under a global budget)
+# =========================================================================
+
+_BUD1_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, source, n_chars,
+         len(list_filter(regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                         t -> LENGTH(t) > 0)) AS toks
+  FROM documents
+), budget AS (
+  SELECT SUM(toks) // 4 AS b FROM docs
+), ranked AS (
+  SELECT doc_id, source, toks,
+         SUM(toks) OVER (
+           ORDER BY (n_chars * 1000) // (toks + 1) DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+  FROM docs
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(toks) AS BIGINT) AS kept_tokens
+FROM ranked, budget
+WHERE cum_toks <= budget.b
+GROUP BY source
+"""
+
+
+@_register("bud1_token_budget_selection", _BUD1_SQL)
+def bud1_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy selection under a GLOBAL token budget — the knapsack-shaped
+    curation decision every training run makes ('best quarter of the
+    corpus by quality-per-token'): rank documents by an integer
+    chars-per-token quality ratio with a total-order tiebreak, take the
+    running-token prefix under budget, and account the kept set per
+    source. The budget is RELATIVE (total/4) so the query is scale-free.
+    The ordered prefix sum runs over the document frame (at 100 TB:
+    range-partition by the sort key and stitch partition boundary sums —
+    ord1's decomposition; greedy-by-ratio is the classic fractional-
+    knapsack approximation). Integer arithmetic end to end."""
+    from .operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(tokens(F.lower(F.col("text")))).alias("toks"),
+    )
+    d = d.persist()
+    budget = d.agg(F.expr("CAST(SUM(toks) DIV 4 AS BIGINT)").alias("b"))
+    w = Window.orderBy(
+        F.expr("(n_chars * 1000) DIV (toks + 1)").desc(), "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = d.select(
+        "doc_id", "source", "toks", F.sum("toks").over(w).alias("cum_toks")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(budget))
+        .where(F.col("cum_toks") <= F.col("b"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("toks").cast("bigint").alias("kept_tokens"),
+        )
+    )
+
+
+# =========================================================================
+# an3: k-anonymity generalization ladder (minimal sufficient level)
+# =========================================================================
+
+_AN3_SQL = """
+WITH lv AS (
+  SELECT UNNEST([0, 1, 2, 3]) AS level,
+         UNNEST([1000, 10000, 100000, 1000000]) AS divisor
+), bucketed AS (
+  SELECT l.level,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           // l.divisor AS bucket
+  FROM orders, lv l
+), sizes AS (
+  SELECT level, bucket, COUNT(*) AS c FROM bucketed GROUP BY level, bucket
+), per_level AS (
+  SELECT level, COUNT(*) AS n_buckets, MIN(c) AS min_bucket
+  FROM sizes GROUP BY level
+)
+SELECT CAST(level AS BIGINT) AS level, CAST(n_buckets AS BIGINT) AS n_buckets,
+       CAST(min_bucket AS BIGINT) AS min_bucket,
+       CASE WHEN min_bucket >= 50 THEN 1 ELSE 0 END AS achieves_k,
+       CASE WHEN min_bucket >= 50
+             AND COALESCE(MIN(CASE WHEN min_bucket >= 50 THEN level END)
+                   OVER (), -1) = level
+            THEN 1 ELSE 0 END AS is_chosen
+FROM per_level
+"""
+
+
+@_register("an3_generalization_ladder", _AN3_SQL)
+def an3_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity by GENERALIZATION (an2 suppresses rows; real releases
+    first coarsen the quasi-identifier): walk the ladder of price
+    generalizations ($10 / $100 / $1k / $10k buckets), measure the
+    smallest equivalence class at each level, and mark the MINIMAL level
+    achieving k=50 — maximum utility subject to the privacy constraint,
+    which is the actual optimization k-anonymization solves. All levels
+    evaluate in ONE pass (the 4-row ladder explodes against the scan —
+    cheaper than 4 queries and the standard lattice-search shape);
+    equivalence classes are exact integer buckets; the chosen level is a
+    window-min comparison. Levels failing k stay visible with their
+    min_bucket, so the utility/privacy tradeoff is in the output."""
+    o = _t(spark, sf_dir, "orders")
+    lv = spark.createDataFrame(
+        [(0, 1000), (1, 10000), (2, 100000), (3, 1000000)],
+        "level BIGINT, divisor BIGINT",
+    )
+    bucketed = o.crossJoin(F.broadcast(lv)).select(
+        "level",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " DIV divisor"
+        ).alias("bucket"),
+    )
+    sizes = bucketed.groupBy("level", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_level = sizes.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_buckets"), F.min("c").alias("min_bucket")
+    )
+    achieves = F.when(F.col("min_bucket") >= 50, 1).otherwise(0)
+    w_all = Window.partitionBy()
+    chosen_level = F.min(
+        F.when(F.col("min_bucket") >= 50, F.col("level"))
+    ).over(w_all)
+    return per_level.select(
+        F.col("level").cast("bigint").alias("level"),
+        F.col("n_buckets").cast("bigint").alias("n_buckets"),
+        F.col("min_bucket").cast("bigint").alias("min_bucket"),
+        achieves.alias("achieves_k"),
+        F.when(
+            (F.col("min_bucket") >= 50)
+            & (F.coalesce(chosen_level, F.lit(-1)) == F.col("level")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_chosen"),
+    )
+
+
+# =========================================================================
+# kap1: Cohen's kappa — inter-annotator agreement in exact rationals
+# =========================================================================
+
+_KAP1_SQL = """
+WITH rated AS (
+  SELECT lang AS r1,
+         CASE WHEN (instr('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                   % 10 < 2
+              THEN 'xx' ELSE lang END AS r2
+  FROM documents
+), conf AS (
+  SELECT r1, r2, COUNT(*) AS c FROM rated GROUP BY r1, r2
+), tots AS (
+  SELECT SUM(c) AS n,
+         SUM(CASE WHEN r1 = r2 THEN c ELSE 0 END) AS agree
+  FROM conf
+), margins AS (
+  SELECT COALESCE(rt.l, ct.l) AS l,
+         COALESCE(rt.row_t, 0) AS row_t, COALESCE(ct.col_t, 0) AS col_t
+  FROM (SELECT r1 AS l, SUM(c) AS row_t FROM conf GROUP BY r1) rt
+  FULL JOIN (SELECT r2 AS l, SUM(c) AS col_t FROM conf GROUP BY r2) ct
+    ON rt.l = ct.l
+), pe AS (
+  SELECT SUM(row_t * col_t) AS sum_rowcol FROM margins
+)
+SELECT CAST(t.n AS BIGINT) AS n, CAST(t.agree AS BIGINT) AS n_agree,
+       CAST(p.sum_rowcol AS BIGINT) AS sum_rowcol,
+       CAST(t.n * t.agree - p.sum_rowcol AS BIGINT)
+         / CAST(t.n * t.n - p.sum_rowcol AS BIGINT) AS kappa
+FROM tots t, pe p
+"""
+
+
+@_register("kap1_cohens_kappa", _KAP1_SQL)
+def kap1_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected inter-annotator agreement, THE
+    metric for LLM-judge vs human-label audits. Rater 2 is rater 1 with
+    a deterministic md5-keyed 20% disagreement injection (clean data
+    would make agreement vacuously perfect — the planting rule), so the
+    whole confusion/margin path is exercised. The algebra stays exact:
+    kappa = (po - pe)/(1 - pe) cross-multiplies to (N·agree - Σ
+    row_l·col_l) / (N² - Σ row_l·col_l), all integer counts from the
+    label-pair confusion frame and a FULL-join of row/col margins
+    (labels missing on one side carry 0); one IEEE division at the end.
+    Everything after the first group-by runs on label-cardinality
+    frames."""
+    d = _t(spark, sf_dir, "documents")
+    noise = (
+        F.expr(
+            "instr('0123456789abcdef',"
+            " substr(md5(CAST(doc_id AS STRING)), 1, 1))"
+        )
+        - 1
+    ) % 10 < 2
+    rated = d.select(
+        F.col("lang").alias("r1"),
+        F.when(noise, F.lit("xx")).otherwise(F.col("lang")).alias("r2"),
+    )
+    conf = rated.groupBy("r1", "r2").agg(F.count(F.lit(1)).alias("c"))
+    conf = conf.persist()
+    tots = conf.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("r1") == F.col("r2"), F.col("c")).otherwise(0)).alias(
+            "agree"
+        ),
+    )
+    rt = conf.groupBy(F.col("r1").alias("l")).agg(F.sum("c").alias("row_t"))
+    ct = conf.groupBy(F.col("r2").alias("l")).agg(F.sum("c").alias("col_t"))
+    margins = rt.join(ct, "l", "full").select(
+        F.coalesce("row_t", F.lit(0)).alias("row_t"),
+        F.coalesce("col_t", F.lit(0)).alias("col_t"),
+    )
+    pe = margins.agg(
+        F.sum(F.col("row_t") * F.col("col_t")).alias("sum_rowcol")
+    )
+    j = tots.crossJoin(F.broadcast(pe))
+    num = (F.col("n") * F.col("agree") - F.col("sum_rowcol")).cast("bigint")
+    den = (F.col("n") * F.col("n") - F.col("sum_rowcol")).cast("bigint")
+    return j.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("agree").cast("bigint").alias("n_agree"),
+        F.col("sum_rowcol").cast("bigint").alias("sum_rowcol"),
+        (num / den).alias("kappa"),
+    )

@@ -395,6 +395,13 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "nb1_naive_bayes",
         # xc1 broadcasts the 5-row lag spine onto the aggregated series
         "xc1_cross_correlation",
+        # wave-16 scalar/ladder broadcasts: anova1 (1-row totals + k-row
+        # fold), bud1 (1-row budget), an3 (4-row generalization ladder),
+        # kap1 (1-row margins scalar)
+        "anova1_variance_decomposition",
+        "bud1_token_budget_selection",
+        "an3_generalization_ladder",
+        "kap1_cohens_kappa",
     }
     import re
 
