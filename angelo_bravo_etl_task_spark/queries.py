@@ -1236,6 +1236,9 @@ _CHECK_FIRST: list[str] = [
     "bud1_token_budget_selection",
     "an3_generalization_ladder",
     "kap1_cohens_kappa",
+    "rk1_spearman",
+    "fd1_functional_deps",
+    "mix1_temperature_weights",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -4005,3 +4005,229 @@ def kap1_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_rowcol").cast("bigint").alias("sum_rowcol"),
         (num / den).alias("kappa"),
     )
+
+
+# =========================================================================
+# rk1: Spearman rank correlation (exact tie-averaged integer ranks)
+# =========================================================================
+
+_RK1_SQL = """
+WITH s AS (
+  SELECT CAST(value AS DECIMAL(18,2)) AS x, hour(ts) AS y
+  FROM events WHERE event_type = 'click'
+), rx AS (
+  SELECT x, 2 * COALESCE(SUM(c) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS rank_x2
+  FROM (SELECT x, COUNT(*) AS c FROM s GROUP BY x)
+), ry AS (
+  SELECT y, 2 * COALESCE(SUM(c) OVER (ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS rank_y2
+  FROM (SELECT y, COUNT(*) AS c FROM s GROUP BY y)
+), ranked AS (
+  SELECT rx.rank_x2 AS rx2, ry.rank_y2 AS ry2
+  FROM s JOIN rx ON s.x = rx.x JOIN ry ON s.y = ry.y
+), sums AS (
+  SELECT COUNT(*) AS n, SUM(rx2) AS sx, SUM(ry2) AS sy,
+         SUM(rx2 * rx2) AS sxx, SUM(ry2 * ry2) AS syy,
+         SUM(rx2 * ry2) AS sxy
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                 WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS BIGINT)
+         AS rho_sign,
+       CAST(CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DECIMAL(19,0))
+            * CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DECIMAL(19,0))
+            AS DOUBLE)
+         / CAST(CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DECIMAL(19,0))
+                * CAST(CAST(n * syy - sy * sy AS BIGINT) AS DECIMAL(19,0))
+                AS DOUBLE) AS rho_squared
+FROM sums
+"""
+
+
+@_register("rk1_spearman", _RK1_SQL)
+def rk1_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation — Pearson on tie-averaged ranks, the
+    outlier-robust monotone-association test completing the correlation
+    family (stats1 Pearson, xc1 lagged, this ranked). Ranks stay INTEGER
+    via mw1's 2x trick (a tied run's average rank = 2·before + run + 1
+    over 2), assigned by joining each row to its variable's distinct-
+    value rank map — at 100 TB that join co-partitions on the value, and
+    the rank maps are value-cardinality-sized. rho is released as
+    sign + rho² in exact cross-multiplied rationals (xc1's sqrt-free
+    form), squares in DECIMAL(19→38). The per-row rank join is the only
+    row-scale work; everything after is one combinable sum."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    s = ev.select(dec("value").alias("x"), F.hour("ts").alias("y"))
+    s = s.persist()
+
+    def rank_map(col):
+        counts = s.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return counts.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + 1
+            ).alias(f"rank_{col}2"),
+        )
+
+    ranked = (
+        s.join(rank_map("x"), "x")
+        .join(F.broadcast(rank_map("y")), "y")
+        .select(
+            F.col("rank_x2").alias("rx2"), F.col("rank_y2").alias("ry2")
+        )
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("bigint")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("bigint")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("bigint")
+    d19 = "decimal(19,0)"
+    return sums.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.signum(cov).cast("bigint").alias("rho_sign"),
+        (
+            (cov.cast(d19) * cov.cast(d19)).cast("double")
+            / (vx.cast(d19) * vy.cast(d19)).cast("double")
+        ).alias("rho_squared"),
+    )
+
+
+# =========================================================================
+# fd1: functional-dependency discovery (schema profiling)
+# =========================================================================
+
+_FD1_SQL = """
+WITH c1 AS (
+  SELECT 'event_id->user_id' AS candidate,
+         COUNT(*) AS n_keys,
+         SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS n_violating,
+         MAX(d) AS max_distinct
+  FROM (SELECT event_id, COUNT(DISTINCT user_id) AS d
+        FROM events GROUP BY event_id)
+), c2 AS (
+  SELECT 'user_id->event_type', COUNT(*),
+         SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END), MAX(d)
+  FROM (SELECT user_id, COUNT(DISTINCT event_type) AS d
+        FROM events GROUP BY user_id)
+), c3 AS (
+  SELECT 'day->event_type', COUNT(*),
+         SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END), MAX(d)
+  FROM (SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT event_type) AS d
+        FROM events GROUP BY CAST(ts AS DATE))
+)
+SELECT candidate, CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(n_violating AS BIGINT) AS n_violating,
+       CAST(max_distinct AS BIGINT) AS max_distinct,
+       CASE WHEN n_violating = 0 THEN 1 ELSE 0 END AS holds
+FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL
+      SELECT * FROM c3)
+"""
+
+
+@_register("fd1_functional_deps", _FD1_SQL)
+def fd1_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery — does A determine B? — the
+    schema-profiling primitive behind key detection, normalization
+    advice, and join-cardinality estimation (dq1 profiles columns in
+    isolation; this profiles RELATIONSHIPS). Each candidate A→B reduces
+    to one two-level combinable aggregate: distinct-B count per A value,
+    then violation count; candidates verified here include one that
+    HOLDS (event_id→user_id: event_id is a key) and two that fail with
+    measured violation counts — both verdict branches exercised. At
+    scale the candidate set comes from column-pair sampling and each
+    candidate is one shuffle on its LHS."""
+    ev = _t(spark, sf_dir, "events")
+
+    def check(name, lhs_col, rhs_col):
+        per_key = ev.groupBy(lhs_col.alias("k")).agg(
+            F.countDistinct(rhs_col).alias("d")
+        )
+        return per_key.agg(
+            F.lit(name).alias("candidate"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating"),
+            F.max("d").cast("bigint").alias("max_distinct"),
+        )
+
+    out = (
+        check("event_id->user_id", F.col("event_id"), F.col("user_id"))
+        .unionAll(
+            check("user_id->event_type", F.col("user_id"), F.col("event_type"))
+        )
+        .unionAll(
+            check("day->event_type", F.to_date("ts"), F.col("event_type"))
+        )
+    )
+    return out.withColumn(
+        "holds", F.when(F.col("n_violating") == 0, 1).otherwise(0)
+    )
+
+
+# =========================================================================
+# mix1: temperature-scaled source mixing weights (exact at alpha=2)
+# =========================================================================
+
+_MIX1_SQL = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_i FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(n_i) AS n, SUM(n_i * n_i) AS ssq,
+         SUM(n_i) // 5 AS budget
+  FROM counts
+)
+SELECT c.source, CAST(c.n_i AS BIGINT) AS n_i,
+       CAST(c.n_i AS BIGINT) / CAST(t.n AS BIGINT) AS w_alpha1,
+       CAST(c.n_i * c.n_i AS BIGINT) AS w2_num,
+       CAST(t.ssq AS BIGINT) AS w2_den,
+       CAST(c.n_i * c.n_i AS BIGINT) / CAST(t.ssq AS BIGINT) AS w_alpha2,
+       CAST(t.budget * c.n_i * c.n_i // t.ssq AS BIGINT) AS quota_alpha2
+FROM counts c, tot t
+"""
+
+
+@_register("mix1_temperature_weights", _MIX1_SQL)
+def mix1_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing — w_i ∝ n_i^alpha, the sampling
+    policy every multi-source LLM corpus applies (alpha < 1 upweights
+    small sources, alpha > 1 concentrates). alpha = 2 keeps the whole
+    computation in EXACT integers (n_i² / Σn_j² — fractional alphas need
+    pow(), which is libm and not ULP-portable; sm2's mixture resampler
+    consumes weights like these), released beside the alpha = 1 baseline
+    and an integer per-source QUOTA against a relative corpus budget
+    (floor division — the quota a sampler like sm2 would enforce). One
+    aggregate + a 1-row scalar broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_i"))
+    tot = counts.agg(
+        F.sum("n_i").alias("n"),
+        F.sum(F.col("n_i") * F.col("n_i")).alias("ssq"),
+        F.expr("CAST(SUM(n_i) DIV 5 AS BIGINT)").alias("budget"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    ni = F.col("n_i").cast("bigint")
+    return j.select(
+        "source",
+        ni.alias("n_i"),
+        (ni / F.col("n").cast("bigint")).alias("w_alpha1"),
+        (ni * ni).alias("w2_num"),
+        F.col("ssq").cast("bigint").alias("w2_den"),
+        ((ni * ni) / F.col("ssq").cast("bigint")).alias("w_alpha2"),
+        F.expr("CAST(budget * n_i * n_i DIV ssq AS BIGINT)").alias(
+            "quota_alpha2"
+        ),
+    )

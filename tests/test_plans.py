@@ -402,6 +402,8 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "bud1_token_budget_selection",
         "an3_generalization_ladder",
         "kap1_cohens_kappa",
+        # mix1 broadcasts the 1-row (total, ssq, budget) scalar
+        "mix1_temperature_weights",
     }
     import re
 
