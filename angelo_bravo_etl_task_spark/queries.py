@@ -1239,6 +1239,8 @@ _CHECK_FIRST: list[str] = [
     "rk1_spearman",
     "fd1_functional_deps",
     "mix1_temperature_weights",
+    "ndcg1_ranking_quality",
+    "ab2_cuped_adjustment",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

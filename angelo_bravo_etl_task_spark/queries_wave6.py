@@ -4231,3 +4231,247 @@ def mix1_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quota_alpha2"
         ),
     )
+
+
+# =========================================================================
+# ndcg1: ranking quality (NDCG@10) with a literal discount table
+# =========================================================================
+
+_NDCG1_DISCOUNTS = [
+    (1, 1.0),
+    (2, 0.6309297535714575),
+    (3, 0.5),
+    (4, 0.43067655807339306),
+    (5, 0.38685280723454163),
+    (6, 0.3562071871080222),
+    (7, 0.3333333333333333),
+    (8, 0.31546487678572877),
+    (9, 0.3010299956639812),
+    (10, 0.2890648263178879),
+]
+
+_NDCG1_SQL = """
+WITH disc(pos, d) AS (
+  VALUES (1, 1.0), (2, 0.6309297535714575), (3, 0.5),
+         (4, 0.43067655807339306), (5, 0.38685280723454163),
+         (6, 0.3562071871080222), (7, 0.3333333333333333),
+         (8, 0.31546487678572877), (9, 0.3010299956639812),
+         (10, 0.2890648263178879)
+), rel AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 4 = 0 THEN 2
+              WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS rel,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS pos
+  FROM documents
+), ranked AS (
+  SELECT r.source, r.pos, r.rel,
+         ROW_NUMBER() OVER (PARTITION BY r.source
+                            ORDER BY r.rel DESC, r.pos) AS ideal_pos
+  FROM rel r WHERE r.pos <= 10
+), dcg AS (
+  SELECT source,
+         list_reduce(list_transform(
+           list({'v': rel * CAST(d.d AS DOUBLE)} ORDER BY ranked.pos),
+           x -> x.v),
+           (a, b) -> a + b) AS dcg,
+         list_reduce(list_transform(
+           list({'v': rel * CAST(di.d AS DOUBLE)} ORDER BY ranked.ideal_pos),
+           x -> x.v),
+           (a, b) -> a + b) AS idcg
+  FROM ranked
+  JOIN disc d ON d.pos = ranked.pos
+  JOIN disc di ON di.pos = ranked.ideal_pos
+  GROUP BY source
+)
+SELECT source, dcg, idcg,
+       CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END AS ndcg
+FROM dcg
+"""
+
+
+@_register("ndcg1_ranking_quality", _NDCG1_SQL)
+def ndcg1_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 — the ranking-quality metric for ir1-style retrieval and
+    recommender evaluation. The logarithmic position discounts are libm
+    (log2 is not ULP-portable), so they enter as a 10-row LITERAL
+    table — identical decimal literals parse to identical doubles on
+    both engines, making the metric deterministic without giving up the
+    standard definition. Per-source ranking = length-ordered docs with
+    planted graded relevance (doc_id mod classes — both engines agree);
+    DCG and ideal-DCG accumulate via FIXED-ORDER folds over
+    position-sorted arrays (x1's rule — a plain SUM of 10 doubles would
+    be merge-order-dependent), and NDCG is one guarded division. The
+    discount table broadcasts; everything heavy is one window over the
+    per-source top-10."""
+    disc = spark.createDataFrame(_NDCG1_DISCOUNTS, "pos INT, d DOUBLE")
+    d = _t(spark, sf_dir, "documents")
+    rel = F.when(F.col("doc_id") % 4 == 0, 2).otherwise(
+        F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)
+    )
+    w_rank = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    ranked = (
+        d.select("doc_id", "source", "n_chars", rel.alias("rel"))
+        .withColumn("pos", F.row_number().over(w_rank))
+        .where(F.col("pos") <= 10)
+    )
+    w_ideal = Window.partitionBy("source").orderBy(
+        F.col("rel").desc(), "pos"
+    )
+    ranked = ranked.withColumn("ideal_pos", F.row_number().over(w_ideal))
+    j = (
+        ranked.join(F.broadcast(disc), ranked["pos"] == disc["pos"])
+        .drop(disc["pos"])
+        .withColumnRenamed("d", "d_pos")
+        .join(
+            F.broadcast(disc.withColumnsRenamed({"pos": "ipos", "d": "d_ideal"})),
+            F.col("ideal_pos") == F.col("ipos"),
+        )
+    )
+    dcg = j.groupBy("source").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            "struct(pos, rel * d_pos AS v))), x -> x.v),"
+            " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("dcg"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            "struct(ideal_pos, rel * d_ideal AS v))), x -> x.v),"
+            " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("idcg"),
+    )
+    return dcg.select(
+        "source",
+        "dcg",
+        "idcg",
+        F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg"))
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
+    )
+
+
+# =========================================================================
+# ab2: CUPED variance-reduced experiment readout
+# =========================================================================
+
+_AB2_SQL = """
+WITH per_user AS (
+  SELECT user_id, user_id % 2 AS arm,
+         SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15'
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  ELSE 0 END) AS x,
+         SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-15'
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+), pooled AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+         SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx
+  FROM per_user
+), arms AS (
+  SELECT arm, COUNT(*) AS n_a, SUM(x) AS sx_a, SUM(y) AS sy_a
+  FROM per_user GROUP BY arm
+), wide AS (
+  SELECT MAX(CASE WHEN arm = 0 THEN n_a END) AS n0,
+         MAX(CASE WHEN arm = 1 THEN n_a END) AS n1,
+         MAX(CASE WHEN arm = 0 THEN sx_a END) AS sx0,
+         MAX(CASE WHEN arm = 1 THEN sx_a END) AS sx1,
+         MAX(CASE WHEN arm = 0 THEN sy_a END) AS sy0,
+         MAX(CASE WHEN arm = 1 THEN sy_a END) AS sy1
+  FROM arms
+)
+SELECT CAST(w.n0 AS BIGINT) AS n0, CAST(w.n1 AS BIGINT) AS n1,
+       CAST(w.sy1 AS DOUBLE) / w.n1 - CAST(w.sy0 AS DOUBLE) / w.n0
+         AS raw_diff,
+       CAST(CAST(p.n AS DECIMAL(19,0)) * p.sxy
+            - CAST(p.sx AS DECIMAL(19,0)) * CAST(p.sy AS DECIMAL(19,0))
+            AS DOUBLE)
+         / CAST(CAST(p.n AS DECIMAL(19,0)) * p.sxx
+                - CAST(p.sx AS DECIMAL(19,0)) * CAST(p.sx AS DECIMAL(19,0))
+                AS DOUBLE) AS theta,
+       (CAST(w.sy1 AS DOUBLE) / w.n1 - CAST(w.sy0 AS DOUBLE) / w.n0)
+         - CAST(CAST(p.n AS DECIMAL(19,0)) * p.sxy
+                - CAST(p.sx AS DECIMAL(19,0)) * CAST(p.sy AS DECIMAL(19,0))
+                AS DOUBLE)
+           / CAST(CAST(p.n AS DECIMAL(19,0)) * p.sxx
+                  - CAST(p.sx AS DECIMAL(19,0)) * CAST(p.sx AS DECIMAL(19,0))
+                  AS DOUBLE)
+           * (CAST(w.sx1 AS DOUBLE) / w.n1 - CAST(w.sx0 AS DOUBLE) / w.n0)
+         AS adjusted_diff
+FROM wide w, pooled p
+"""
+
+
+@_register("ab2_cuped_adjustment", _AB2_SQL)
+def ab2_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED — the variance-reduction adjustment every mature
+    experimentation platform applies (Deng et al. 2013): correct the
+    experiment-period metric y with the pre-period covariate x via
+    theta = cov(x,y)/var(x), so adjusted_diff = raw_diff - theta·(x̄1 -
+    x̄0) removes pre-existing user-level differences the randomization
+    happened to leave (ab1 tests proportions; this is the continuous-
+    metric readout). Everything reduces to per-user (x, y) cent sums —
+    one combinable aggregate — then theta's covariance ratio in exact
+    DECIMAL(38) cross-products (regr1's algebra on the pooled frame) and
+    arm means as exact-int divisions; the arms pivot into one row so the
+    whole readout is a single deterministic-IEEE expression. Arm = key
+    modulus (deterministic assignment)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = (dec("value") * 100).cast("bigint")
+    day = F.to_date("ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(day < F.lit("2024-01-15").cast("date"), cents).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(day >= F.lit("2024-01-15").cast("date"), cents).otherwise(0)
+        ).alias("y"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    per_user = per_user.persist()
+    d19 = "decimal(19,0)"
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(d19) * F.col("y").cast(d19)).alias("sxy"),
+        F.sum(F.col("x").cast(d19) * F.col("x").cast(d19)).alias("sxx"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_a"),
+        F.sum("x").alias("sx_a"),
+        F.sum("y").alias("sy_a"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_a"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_a"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 0, F.col("sx_a"))).alias("sx0"),
+        F.max(F.when(F.col("arm") == 1, F.col("sx_a"))).alias("sx1"),
+        F.max(F.when(F.col("arm") == 0, F.col("sy_a"))).alias("sy0"),
+        F.max(F.when(F.col("arm") == 1, F.col("sy_a"))).alias("sy1"),
+    )
+    j = wide.crossJoin(F.broadcast(pooled))
+    raw_diff = F.col("sy1").cast("double") / F.col("n1") - F.col(
+        "sy0"
+    ).cast("double") / F.col("n0")
+    theta_num = (
+        F.col("n").cast(d19) * F.col("sxy")
+        - F.col("sx").cast(d19) * F.col("sy").cast(d19)
+    ).cast("double")
+    theta_den = (
+        F.col("n").cast(d19) * F.col("sxx")
+        - F.col("sx").cast(d19) * F.col("sx").cast(d19)
+    ).cast("double")
+    theta = theta_num / theta_den
+    x_diff = F.col("sx1").cast("double") / F.col("n1") - F.col(
+        "sx0"
+    ).cast("double") / F.col("n0")
+    return j.select(
+        F.col("n0").cast("bigint").alias("n0"),
+        F.col("n1").cast("bigint").alias("n1"),
+        raw_diff.alias("raw_diff"),
+        theta.alias("theta"),
+        (raw_diff - theta * x_diff).alias("adjusted_diff"),
+    )

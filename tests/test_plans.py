@@ -404,6 +404,8 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "kap1_cohens_kappa",
         # mix1 broadcasts the 1-row (total, ssq, budget) scalar
         "mix1_temperature_weights",
+        # ab2 broadcasts the 1-row pooled-covariance scalar
+        "ab2_cuped_adjustment",
     }
     import re
 
