@@ -1241,6 +1241,8 @@ _CHECK_FIRST: list[str] = [
     "mix1_temperature_weights",
     "ndcg1_ranking_quality",
     "ab2_cuped_adjustment",
+    "sv1_kaplan_meier",
+    "bpe2_apply_merges",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

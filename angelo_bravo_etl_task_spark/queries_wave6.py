@@ -4475,3 +4475,236 @@ def ab2_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         theta.alias("theta"),
         (raw_diff - theta * x_diff).alias("adjusted_diff"),
     )
+
+
+# =========================================================================
+# sv1: Kaplan-Meier survival curve (churn analysis, running-product fold)
+# =========================================================================
+
+_SV1_SQL = """
+WITH RECURSIVE durs AS (
+  SELECT MAX(hour(ts)) - MIN(hour(ts)) AS dur,
+         CASE WHEN MAX(hour(ts)) < 21 THEN 1 ELSE 0 END AS ev
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), cells AS (
+  SELECT dur, COUNT(*) AS c, SUM(ev) AS d
+  FROM durs GROUP BY dur
+), risk AS (
+  SELECT dur, d,
+         (SELECT COUNT(*) FROM durs) -
+           COALESCE(SUM(c) OVER (ORDER BY dur
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk,
+         ROW_NUMBER() OVER (ORDER BY dur) AS i
+  FROM cells WHERE d > 0
+), km AS (
+  SELECT dur, d, n_risk, i,
+         CAST(n_risk - d AS DOUBLE) / n_risk AS s
+  FROM risk WHERE i = 1
+  UNION ALL
+  SELECT r.dur, r.d, r.n_risk, r.i,
+         km.s * (CAST(r.n_risk - r.d AS DOUBLE) / r.n_risk)
+  FROM km JOIN risk r ON r.i = km.i + 1
+)
+SELECT CAST(dur AS BIGINT) AS duration_hours, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events, s AS survival
+FROM km
+"""
+
+
+@_register("sv1_kaplan_meier", _SV1_SQL)
+def sv1_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve — THE time-to-event estimator that
+    handles CENSORING correctly (naive retention curves treat still-
+    active subjects as churned and bias the curve down). Subjects are
+    (user, day) engagement episodes: duration = hours between first and
+    last event that day, right-CENSORED when the last event falls in the
+    final 3 hours (the session may continue past the observation edge)
+    — ~25% censored at every SF, so both estimator branches really run.
+    S(t) = running product of (n_risk - d)/n_risk over event times — a
+    sequential recurrence like ewma1/tb1: the Spark side runs ONE sorted
+    F.aggregate fold over the (tiny, <=24-row) event-time frame carrying
+    (survival, emitted-curve) in the accumulator; the oracle replays the
+    identical recurrence as a recursive CTE. Each factor is one IEEE
+    division of exact integers; the product chain is fixed-order on both
+    engines. Risk sets come from one cumulative window over duration
+    counts; episode building is one combinable aggregate over raw
+    events."""
+    ev = _t(spark, sf_dir, "events")
+    durs = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        (F.max(F.hour("ts")) - F.min(F.hour("ts"))).alias("dur"),
+        F.when(F.max(F.hour("ts")) < 21, 1).otherwise(0).alias("ev"),
+    ).select("dur", "ev")
+    durs = durs.persist()
+    cells = durs.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("ev").alias("d")
+    )
+    n_total = durs.agg(F.count(F.lit(1)).alias("n_total"))
+    w_before = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = (
+        cells.crossJoin(F.broadcast(n_total))
+        .select(
+            "dur",
+            "d",
+            (
+                F.col("n_total")
+                - F.coalesce(F.sum("c").over(w_before), F.lit(0))
+            ).alias("n_risk"),
+        )
+        .where(F.col("d") > 0)
+    )
+    seq = risk.agg(
+        F.array_sort(F.collect_list(F.struct("dur", "d", "n_risk"))).alias(
+            "ev"
+        )
+    )
+    folded = seq.select(
+        F.expr(
+            "aggregate(ev,"
+            " named_struct('s', CAST(1.0 AS DOUBLE),"
+            "  'out', CAST(array() AS ARRAY<STRUCT<dur: BIGINT, d: BIGINT,"
+            "   n_risk: BIGINT, s: DOUBLE>>)),"
+            " (acc, x) -> named_struct("
+            "   's', acc.s * (CAST(x.n_risk - x.d AS DOUBLE) / x.n_risk),"
+            "   'out', concat(acc.out, array(named_struct("
+            "     'dur', x.dur, 'd', x.d, 'n_risk', x.n_risk,"
+            "     's', acc.s * (CAST(x.n_risk - x.d AS DOUBLE)"
+            "          / x.n_risk))))),"
+            " acc -> acc.out) AS curve"
+        )
+    )
+    return folded.select(F.explode("curve").alias("p")).select(
+        F.col("p.dur").cast("bigint").alias("duration_hours"),
+        F.col("p.n_risk").cast("bigint").alias("n_risk"),
+        F.col("p.d").cast("bigint").alias("n_events"),
+        F.col("p.s").alias("survival"),
+    )
+
+
+# =========================================================================
+# bpe2: iterative BPE merge APPLICATION (3 data-dependent rewrite rounds)
+# =========================================================================
+
+def _bpe2_round_sql(r: int) -> str:
+    """One oracle round: top pair of txt{r} -> txt{r+1} via replace."""
+    return f"""
+pairs{r} AS (
+  SELECT p AS pair, COUNT(*) AS cnt
+  FROM (
+    SELECT UNNEST(list_transform(
+      range(1, len(string_split(trim(txt), ' '))),
+      i -> string_split(trim(txt), ' ')[i] || ' '
+           || string_split(trim(txt), ' ')[i + 1])) AS p
+    FROM txts{r} WHERE len(string_split(trim(txt), ' ')) >= 2
+  ) GROUP BY p
+), top{r} AS (
+  SELECT pair, cnt FROM (
+    SELECT pair, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rn
+    FROM pairs{r}
+  ) WHERE rn = 1
+), txts{r + 1} AS (
+  SELECT doc_id,
+         replace(txt, ' ' || (SELECT pair FROM top{r}) || ' ',
+                 ' ' || replace((SELECT pair FROM top{r}), ' ', '+') || ' ')
+           AS txt
+  FROM txts{r}
+)"""
+
+
+_BPE2_SQL = (
+    """
+WITH txts0 AS (
+  SELECT doc_id,
+         ' ' || trim(regexp_replace(regexp_replace(lower(text),
+                 '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) || ' '
+           AS txt
+  FROM documents
+), """
+    + ", ".join(_bpe2_round_sql(r).strip() for r in range(3))
+    + """
+SELECT CAST(0 AS BIGINT) AS round, pair, CAST(cnt AS BIGINT) AS cnt
+FROM top0
+UNION ALL SELECT 1, pair, CAST(cnt AS BIGINT) FROM top1
+UNION ALL SELECT 2, pair, CAST(cnt AS BIGINT) FROM top2
+"""
+)
+
+
+@_register("bpe2_apply_merges", _BPE2_SQL)
+def bpe2_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge APPLICATION — bpe1 scans candidates once; real tokenizer
+    training alternates count -> merge -> recount, each round's rewrite
+    depending on data the previous round produced. Three unrolled rounds:
+    count word bigrams (array-transform over split tokens — no explode of
+    the corpus per round beyond the pair counting), take the global top
+    pair with a deterministic tiebreak, and rewrite every document by
+    joining the 1-row winner and string-replacing ' a b ' -> ' a+b '
+    (left-to-right non-overlapping replace — identical semantics in both
+    engines; the space-sharing of back-to-back occurrences makes this
+    greedy-BPE-approximate, deterministically so). The oracle chains the
+    same three rounds as CTEs with scalar subqueries. This is the
+    iterative DATA-dependent transform pattern (vs pr1's numeric
+    iteration): each round is one aggregate + one broadcast scalar +
+    one codegen projection; a 50k-merge training run would checkpoint
+    per round like d6."""
+    from .operators.dedup import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    txts = d.select(
+        "doc_id",
+        F.concat(
+            F.lit(" "), normalize_text(F.col("text")), F.lit(" ")
+        ).alias("txt"),
+    )
+    rounds = []
+    for r in range(3):
+        arr = F.split(F.trim(F.col("txt")), " ")
+        pairs = (
+            txts.where(F.size(arr) >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(arr) - 1),
+                        lambda i: F.concat(
+                            F.element_at(arr, i),
+                            F.lit(" "),
+                            F.element_at(arr, i + 1),
+                        ),
+                    )
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w_top = Window.orderBy(F.col("cnt").desc(), "pair")
+        top = (
+            pairs.withColumn("rn", F.row_number().over(w_top))
+            .where(F.col("rn") == 1)
+            .select("pair", "cnt")
+        )
+        top = top.persist()  # consumed by the result AND the next round
+        rounds.append(
+            top.select(
+                F.lit(r).cast("bigint").alias("round"),
+                "pair",
+                F.col("cnt").cast("bigint").alias("cnt"),
+            )
+        )
+        txts = txts.crossJoin(F.broadcast(top)).select(
+            "doc_id",
+            F.replace(
+                F.col("txt"),
+                F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                F.concat(
+                    F.lit(" "),
+                    F.replace(F.col("pair"), F.lit(" "), F.lit("+")),
+                    F.lit(" "),
+                ),
+            ).alias("txt"),
+        )
+    out = rounds[0]
+    for rdf in rounds[1:]:
+        out = out.unionAll(rdf)
+    return out

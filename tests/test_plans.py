@@ -406,6 +406,10 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "mix1_temperature_weights",
         # ab2 broadcasts the 1-row pooled-covariance scalar
         "ab2_cuped_adjustment",
+        # sv1 broadcasts the 1-row subject-count scalar; bpe2 broadcasts
+        # each round's 1-row top-pair winner
+        "sv1_kaplan_meier",
+        "bpe2_apply_merges",
     }
     import re
 
