@@ -1243,6 +1243,8 @@ _CHECK_FIRST: list[str] = [
     "ab2_cuped_adjustment",
     "sv1_kaplan_meier",
     "bpe2_apply_merges",
+    "mc1_markov_power",
+    "tx12_readability",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

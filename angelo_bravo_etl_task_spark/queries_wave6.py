@@ -4708,3 +4708,156 @@ def bpe2_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for rdf in rounds[1:]:
         out = out.unionAll(rdf)
     return out
+
+
+# =========================================================================
+# mc1: Markov-chain power iteration in exact path counts (3 steps)
+# =========================================================================
+
+_MC1_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), c AS (
+  SELECT prev_type AS s, event_type AS t, COUNT(*) AS w
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+), v1 AS (
+  SELECT t AS state, w AS paths FROM c WHERE s = 'view'
+), v2 AS (
+  SELECT c.t AS state, SUM(v1.paths * c.w) AS paths
+  FROM v1 JOIN c ON c.s = v1.state GROUP BY c.t
+), v3 AS (
+  SELECT c.t AS state, SUM(v2.paths * c.w) AS paths
+  FROM v2 JOIN c ON c.s = v2.state GROUP BY c.t
+)
+SELECT state, CAST(paths AS BIGINT) AS paths3,
+       CAST(SUM(paths) OVER () AS BIGINT) AS total_paths3,
+       CAST(paths AS BIGINT) / CAST(SUM(paths) OVER () AS BIGINT) AS share
+FROM v3
+"""
+
+
+@_register("mc1_markov_power", _MC1_SQL)
+def mc1_markov_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain power iteration — where does a user who just VIEWED
+    end up three actions later? — run in EXACT PATH COUNTS: the
+    transition matrix stays as raw counts (mk1's frame) and each step is
+    one smm1-shaped vector-matrix multiply (equi-join on the shared
+    state + combinable sum), so after 3 steps paths3[s] is the exact
+    integer number of count-weighted length-3 paths — no probability
+    renormalization per step, no float accumulation (shares come out
+    once at the end as exact-int divisions). Integer bounds: T^3 fits
+    bigint through sf0.1 (DECIMAL(38) is the sf-proof form). pr1 runs
+    the same algebra in fixed-point for full PageRank; this is the
+    interpretable 3-step readout. State frames are 5 rows — every join
+    broadcasts."""
+    ev = _t(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = (
+        ev.select(
+            "event_type",
+            F.lag("event_type").over(w_seq).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("s"), F.col("event_type").alias("t")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    c = c.persist()  # three multiply rounds reuse the matrix
+    v = c.where(F.col("s") == "view").select(
+        F.col("t").alias("state"), F.col("w").alias("paths")
+    )
+    for _ in range(2):
+        v = (
+            v.join(F.broadcast(c), v["state"] == c["s"])
+            .groupBy(F.col("t").alias("nstate"))
+            .agg(F.sum(F.col("paths") * F.col("w")).alias("paths"))
+            .withColumnRenamed("nstate", "state")
+        )
+    w_all = Window.partitionBy()
+    return v.select(
+        "state",
+        F.col("paths").cast("bigint").alias("paths3"),
+        F.sum("paths").over(w_all).cast("bigint").alias("total_paths3"),
+        (
+            F.col("paths").cast("bigint")
+            / F.sum("paths").over(w_all).cast("bigint")
+        ).alias("share"),
+    )
+
+
+# =========================================================================
+# tx12: readability scoring (Flesch reading ease, deterministic heuristic)
+# =========================================================================
+
+_TX12_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                         t -> LENGTH(t) > 0)) AS w,
+         GREATEST(len(list_filter(regexp_split_to_array(text, '[.!?]'),
+                                  s -> LENGTH(TRIM(s)) >= 1)), 1) AS s,
+         len(regexp_extract_all(LOWER(text), '[aeiouy]+')) AS syl
+  FROM documents
+)
+SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(s AS BIGINT) AS n_sentences,
+       CAST(syl AS BIGINT) AS n_syllables,
+       206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+               - 84.6 * (CAST(syl AS DOUBLE) / w) AS flesch,
+       CASE WHEN 206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                 - 84.6 * (CAST(syl AS DOUBLE) / w) >= 60 THEN 'easy'
+            WHEN 206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                 - 84.6 * (CAST(syl AS DOUBLE) / w) >= 30 THEN 'medium'
+            ELSE 'hard' END AS band
+FROM m WHERE w > 0
+"""
+
+
+@_register("tx12_readability", _TX12_SQL)
+def tx12_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring — the classic readability signal
+    corpus-quality filters combine with tx2's surface ratios (very low
+    scores flag boilerplate/code; implausibly high ones flag word-salad).
+    Words and sentences from the established split rules; syllables by
+    the standard vowel-group-run heuristic (regexp_extract_all — same
+    regex engine behavior both sides for this class). The score is
+    literal coefficients times IEEE divisions of exact integer counts —
+    per-row deterministic — and the banding CASE exercises the
+    downstream filter branches. Pure narrow projection: no shuffle, no
+    UDF, codegen end to end."""
+    from .operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    w = F.size(tokens(F.lower(F.col("text"))))
+    sents = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"[.!?]"),
+                lambda x: F.length(F.trim(x)) >= 1,
+            )
+        ),
+        F.lit(1),
+    )
+    syl = F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+    m = d.select(
+        "doc_id", w.alias("w"), sents.alias("s"), syl.alias("syl")
+    ).where(F.col("w") > 0)
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("w").cast("double") / F.col("s"))
+        - F.lit(84.6) * (F.col("syl").cast("double") / F.col("w"))
+    )
+    return m.select(
+        "doc_id",
+        F.col("w").cast("bigint").alias("n_words"),
+        F.col("s").cast("bigint").alias("n_sentences"),
+        F.col("syl").cast("bigint").alias("n_syllables"),
+        flesch.alias("flesch"),
+        F.when(flesch >= 60, "easy")
+        .when(flesch >= 30, "medium")
+        .otherwise("hard")
+        .alias("band"),
+    )
