@@ -1245,6 +1245,8 @@ _CHECK_FIRST: list[str] = [
     "bpe2_apply_merges",
     "mc1_markov_power",
     "tx12_readability",
+    "hll2_sketch_union",
+    "geo5_od_matrix",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -410,6 +410,8 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # each round's 1-row top-pair winner
         "sv1_kaplan_meier",
         "bpe2_apply_merges",
+        # hll2 broadcasts the 1-row merged-exact-count scalar
+        "hll2_sketch_union",
     }
     import re
 
