@@ -1247,6 +1247,9 @@ _CHECK_FIRST: list[str] = [
     "tx12_readability",
     "hll2_sketch_union",
     "geo5_od_matrix",
+    "dq4_missing_partitions",
+    "fe6_winsorized_mean",
+    "fe7_zscore_standardize",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -5046,3 +5046,236 @@ def geo5_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_loops"),
     )
+
+
+# =========================================================================
+# dq4: missing-partition detection (backfill planner)
+# =========================================================================
+
+_DQ4_SQL = """
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+  FROM events
+), days AS (
+  SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+  UNION ALL SELECT 'heartbeat'
+), expected AS (
+  SELECT day, event_type FROM days, types
+), actual AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, event_type FROM events
+)
+SELECT e.day, e.event_type
+FROM expected e LEFT JOIN actual a
+  ON e.day = a.day AND e.event_type = a.event_type
+WHERE a.day IS NULL
+"""
+
+
+@_register("dq4_missing_partitions", _DQ4_SQL)
+def dq4_missing_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-partition detection — the backfill planner's first query:
+    build the EXPECTED (day x stream) spine from observed bounds (cal1's
+    in-engine spine, no driver loop) and anti-join what actually arrived.
+    The spine deliberately includes a stream that never reports
+    ('heartbeat') so the detector's positive path fires at every SF
+    (clean-data rule) alongside any genuinely missing real cells. The
+    spine is dimension-sized and broadcasts; the actual side is one
+    DISTINCT over the scan — at 100 TB this reads partition METADATA
+    (listing), not data, but the relational formulation is the same.
+    Output = the exact work list a backfill job consumes."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    types = ev.select("event_type").distinct().unionAll(
+        ev.sparkSession.createDataFrame([("heartbeat",)], "event_type STRING")
+    )
+    expected = days.crossJoin(F.broadcast(types))
+    actual = ev.select(
+        F.to_date("ts").alias("day"), "event_type"
+    ).distinct()
+    return expected.join(actual, ["day", "event_type"], "left_anti")
+
+
+# =========================================================================
+# fe6: winsorized mean (clip at exact p5/p95, then exact-decimal mean)
+# =========================================================================
+
+_FE6_SQL = """
+WITH v AS (
+  SELECT event_type AS g, CAST(value AS DECIMAL(18,2)) AS x FROM events
+), counts AS (
+  SELECT g, x, COUNT(*) AS c FROM v GROUP BY g, x
+), cum AS (
+  SELECT g, x, c,
+         SUM(c) OVER (PARTITION BY g ORDER BY x
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(c) OVER (PARTITION BY g) AS n
+  FROM counts
+), qs AS (
+  SELECT g,
+         MIN(CASE WHEN cum >= CAST(CEIL(0.05 * n) AS BIGINT) THEN x END)
+           AS p05,
+         MIN(CASE WHEN cum >= CAST(CEIL(0.95 * n) AS BIGINT) THEN x END)
+           AS p95
+  FROM cum GROUP BY g
+)
+SELECT v.g AS event_type,
+       CAST(MIN(qs.p05) AS DOUBLE) AS p05,
+       CAST(MIN(qs.p95) AS DOUBLE) AS p95,
+       CAST(SUM(CASE WHEN v.x < qs.p05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(SUM(CASE WHEN v.x > qs.p95 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high,
+       CAST(SUM(CASE WHEN v.x < qs.p05 THEN qs.p05
+                     WHEN v.x > qs.p95 THEN qs.p95
+                     ELSE v.x END) AS DOUBLE) / COUNT(*)
+         AS winsorized_mean
+FROM v JOIN qs ON v.g = qs.g
+GROUP BY v.g
+"""
+
+
+@_register("fe6_winsorized_mean", _FE6_SQL)
+def fe6_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean — clip at the exact per-group p5/p95 and average —
+    the robust location estimate feature pipelines use where mad1's
+    outlier REMOVAL would change row counts. Quantiles come from the
+    cumulative count-frame (m1's shape; type-1 lower quantile: smallest
+    value whose cumulative count reaches ceil(q*n) — identical integer
+    rule both engines, no interpolation ambiguity), the clip is
+    GREATEST/LEAST on exact decimals, and the clipped mean is an exact
+    DECIMAL sum over clipped decimals divided once in IEEE. Clip
+    counters ride along, proving both tails actually fired."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(F.col("event_type").alias("g"), dec("value").alias("x"))
+    v = v.persist()
+    counts = v.groupBy("g", "x").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("g")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("g")
+    cum = counts.select(
+        "g",
+        "x",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_tot).alias("n"),
+    )
+    qs = cum.groupBy("g").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(0.05 * F.col("n")).cast("bigint"),
+                F.col("x"),
+            )
+        ).alias("p05"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(0.95 * F.col("n")).cast("bigint"),
+                F.col("x"),
+            )
+        ).alias("p95"),
+    )
+    j = v.join(F.broadcast(qs), "g")
+    # CASE, not greatest/least: DuckDB's GREATEST/LEAST promote DECIMAL
+    # operands to DOUBLE, which would turn the exact clipped sum into an
+    # order-sensitive float sum (observed: ulp drift in the mean)
+    clipped = (
+        F.when(F.col("x") < F.col("p05"), F.col("p05"))
+        .when(F.col("x") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("x"))
+    )
+    return j.groupBy(F.col("g").alias("event_type")).agg(
+        F.min("p05").cast("double").alias("p05"),
+        F.min("p95").cast("double").alias("p95"),
+        F.sum(F.when(F.col("x") < F.col("p05"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("x") > F.col("p95"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_high"),
+        (F.sum(clipped).cast("double") / F.count(F.lit(1))).alias(
+            "winsorized_mean"
+        ),
+    )
+
+
+# =========================================================================
+# fe7: z-score standardization — sqrt is the ONE portable libm function
+# =========================================================================
+
+_FE7_SQL = """
+WITH v AS (
+  SELECT event_id, event_type AS g,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+  FROM events
+), stats AS (
+  SELECT g, COUNT(*) AS n, SUM(xc) AS s,
+         SUM(CAST(xc AS DECIMAL(19,0)) * CAST(xc AS DECIMAL(19,0))) AS sxx
+  FROM v GROUP BY g
+), sd AS (
+  SELECT g, CAST(s AS DOUBLE) / n AS mean_c,
+         sqrt(CAST(CAST(n AS DECIMAL(19,0)) * sxx
+                   - CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))
+                   AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (n - 1))) AS std_c
+  FROM stats
+)
+SELECT v.event_id, v.g AS event_type,
+       (v.xc - sd.mean_c) / sd.std_c AS zscore
+FROM v JOIN sd ON v.g = sd.g
+"""
+
+
+@_register("fe7_zscore_standardize", _FE7_SQL)
+def fe7_zscore_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization — the default ML feature
+    normalization. The variance comes from exact cent sums via
+    (n·Σx² - S²)/(n·(n-1)) in DECIMAL(38) cross-products, and the
+    standard deviation uses sqrt — deliberately: IEEE 754 REQUIRES sqrt
+    to be correctly rounded (unlike log/exp/pow, which are why
+    everything else in this registry avoids libm), so sqrt of an
+    identical double is bit-identical on both engines. That makes the
+    full z-score — subtract exact-ratio mean, divide by the sqrt —
+    deterministic per row. One combinable stats pass, 5-row frame
+    broadcast back, no shuffle of the fact scan. an1's integer 3-sigma
+    remains the sqrt-free alternative; this is the standard form, now
+    proven portable."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        F.col("event_type").alias("g"),
+        (dec("value") * 100).cast("bigint").alias("xc"),
+    )
+    d19 = "decimal(19,0)"
+    stats = v.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xc").alias("s"),
+        F.sum(F.col("xc").cast(d19) * F.col("xc").cast(d19)).alias("sxx"),
+    )
+    var_num = (
+        F.col("n").cast(d19) * F.col("sxx")
+        - F.col("s").cast(d19) * F.col("s").cast(d19)
+    ).cast("double")
+    sd = stats.select(
+        "g",
+        (F.col("s").cast("double") / F.col("n")).alias("mean_c"),
+        F.sqrt(
+            var_num / (F.col("n").cast("double") * (F.col("n") - 1))
+        ).alias("std_c"),
+    )
+    return v.join(F.broadcast(sd), "g").select(
+        "event_id",
+        F.col("g").alias("event_type"),
+        ((F.col("xc") - F.col("mean_c")) / F.col("std_c")).alias("zscore"),
+    )

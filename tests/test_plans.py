@@ -412,6 +412,9 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "bpe2_apply_merges",
         # hll2 broadcasts the 1-row merged-exact-count scalar
         "hll2_sketch_union",
+        # dq4 crosses the day spine with the tiny stream-type frame —
+        # the expected-partition lattice, dimension-sized by definition
+        "dq4_missing_partitions",
     }
     import re
 
