@@ -1250,6 +1250,7 @@ _CHECK_FIRST: list[str] = [
     "dq4_missing_partitions",
     "fe6_winsorized_mean",
     "fe7_zscore_standardize",
+    "u10_map_in_arrow",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

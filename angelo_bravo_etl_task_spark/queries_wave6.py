@@ -5279,3 +5279,58 @@ def fe7_zscore_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g").alias("event_type"),
         ((F.col("xc") - F.col("mean_c")) / F.col("std_c")).alias("zscore"),
     )
+
+
+# =========================================================================
+# u10: mapInArrow — zero-copy Arrow batch transform (the lowest-overhead
+# Python extension point)
+# =========================================================================
+
+_U10_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(SUM(LENGTH(event_type)) AS BIGINT) AS sum_type_len
+FROM events GROUP BY event_type
+"""
+
+
+@_register("u10_map_in_arrow", _U10_SQL)
+def u10_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the LOWEST-overhead Python extension point: batches
+    arrive as raw pyarrow RecordBatches with no pandas conversion at
+    all (u1's pandas UDF pays Series construction; u8's arrow-optimized
+    UDF still converts per-value; this hands you the wire format). The
+    transform derives integer cents via pyarrow.compute floor/multiply —
+    IEEE-identical to the SQL expression, so the downstream exact-int
+    aggregate is oracle-checkable — and string lengths, per batch,
+    zero-copy. The JVM-side group-by then proves the Arrow path fed
+    Catalyst correctly. This is the entry point for columnar C++ kernels
+    (tokenizers, codecs) at 100 TB: per-batch fixed overhead, no
+    row-at-a-time Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+
+    def derive(batches):
+        for batch in batches:
+            t = batch.column(0)
+            v = batch.column(1)
+            cents = pc.cast(
+                pc.floor(pc.multiply(v, pa.scalar(100.0))), pa.int64()
+            )
+            tlen = pc.cast(pc.utf8_length(t), pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [t, cents, tlen], ["event_type", "cents", "type_len"]
+            )
+
+    derived = ev.mapInArrow(
+        derive, "event_type string, cents bigint, type_len bigint"
+    )
+    return derived.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.sum("type_len").cast("bigint").alias("sum_type_len"),
+    )
