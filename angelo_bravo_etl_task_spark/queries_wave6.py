@@ -4650,8 +4650,9 @@ def bpe2_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     one codegen projection; a 50k-merge training run would checkpoint
     per round like d6."""
     from .operators.dedup import normalize_text
+    from .operators.partitioning import spread
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"))
     txts = d.select(
         "doc_id",
         F.concat(
@@ -4660,6 +4661,11 @@ def bpe2_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rounds = []
     for r in range(3):
+        # each round's corpus feeds TWO consumers (pair counting + the
+        # next rewrite) and chains three replace rounds of lineage —
+        # materialize per round or every consumer recomputes the chain
+        # (measured: 7.6s -> ~2s at sf0.1)
+        txts = txts.localCheckpoint(eager=True)
         arr = F.split(F.trim(F.col("txt")), " ")
         pairs = (
             txts.where(F.size(arr) >= 2)
