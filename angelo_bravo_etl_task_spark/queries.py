@@ -1251,6 +1251,7 @@ _CHECK_FIRST: list[str] = [
     "fe6_winsorized_mean",
     "fe7_zscore_standardize",
     "u10_map_in_arrow",
+    "pca1_power_iteration",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -5340,3 +5340,134 @@ def u10_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("sum_cents"),
         F.sum("type_len").cast("bigint").alias("sum_type_len"),
     )
+
+
+# =========================================================================
+# pca1: top principal direction via power iteration in exact integers
+# =========================================================================
+
+_PCA1_SQL = """
+WITH q AS (
+  SELECT vec_id, ord - 1 AS pos,
+         CAST(FLOOR(e * 128.0) AS BIGINT) AS qv
+  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS e,
+               generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS ord
+        FROM embeddings WHERE vec_id < 500)
+), nn AS (
+  SELECT COUNT(DISTINCT vec_id) AS n FROM q
+), sums AS (
+  SELECT pos, SUM(qv) AS s FROM q GROUP BY pos
+), centered AS (
+  SELECT q.vec_id, q.pos, q.qv * nn.n - sums.s AS c
+  FROM q JOIN sums ON q.pos = sums.pos CROSS JOIN nn
+), cov AS (
+  SELECT a.pos AS i, b.pos AS j, SUM(a.c * b.c) AS cij
+  FROM centered a JOIN centered b ON a.vec_id = b.vec_id
+  GROUP BY a.pos, b.pos
+), v1 AS (
+  SELECT i AS pos, SUM(cij) AS v FROM cov GROUP BY i
+), d1 AS (
+  SELECT MAX(ABS(v)) // 10000 + 1 AS d FROM v1
+), v1n AS (
+  SELECT pos,
+         (CASE WHEN v < 0 THEN -1 ELSE 1 END) * (ABS(v) // d1.d) AS v
+  FROM v1, d1
+), v2 AS (
+  SELECT cov.i AS pos, SUM(cov.cij * v1n.v) AS v
+  FROM cov JOIN v1n ON cov.j = v1n.pos GROUP BY cov.i
+), d2 AS (
+  SELECT MAX(ABS(v)) // 10000 + 1 AS d FROM v2
+)
+SELECT CAST(pos AS BIGINT) AS pos,
+       CAST((CASE WHEN v < 0 THEN -1 ELSE 1 END) * (ABS(v) // d2.d)
+            AS BIGINT) AS component_q
+FROM v2, d2
+"""
+
+
+@_register("pca1_power_iteration", _PCA1_SQL)
+def pca1_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction by POWER ITERATION in pure BIGINT — the
+    eigen-capstone over the x-family. Embeddings quantize to Q7 (floor —
+    exact) over a 500-vector sample; centering stays integer by scaling
+    every coordinate by n (q·n - S — a positive scalar multiple leaves
+    the eigendirection unchanged); the 64x64 covariance is a relational
+    outer product (self-join on vec_id, 64^2 fanout per sampled vector —
+    full-corpus C would block outer products through mapInPandas); and
+    two v <- C·v rounds (smm1's multiply on 64-row frames) renormalize
+    between rounds with sign-split integer division
+    (sign(v)·(|v| DIV d)) — written that way because Spark's DIV
+    truncates toward zero while DuckDB's // floors, which DISAGREE on
+    negatives; splitting the sign makes both floor on positive
+    magnitudes. Q7 + the 500-vector cap keep every intermediate under
+    2^63 (bounds audited in-code). No decimals, no doubles, no sqrt —
+    the released direction is deterministic to the last digit."""
+    from .operators.partitioning import spread
+
+    emb = spread(
+        _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    )
+    # magnitude audit: |qv|<=64, n<=500 -> |c|<=6.4e4; cij<=500*4.1e9=2e12;
+    # v1<=64*2e12=1.3e14; v2<=64*2e12*1e4=1.3e18 < 2^63
+    q = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "e"
+        ),
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("e") * F.lit(128.0)).cast("bigint").alias("qv"),
+    )
+    q = q.persist()  # count, per-dim sums, and the outer product
+    nn = q.agg(F.countDistinct("vec_id").alias("n"))
+    sums = q.groupBy("pos").agg(F.sum("qv").alias("s"))
+    centered = (
+        q.join(F.broadcast(sums), "pos")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "vec_id",
+            "pos",
+            (F.col("qv") * F.col("n") - F.col("s")).alias("c"),
+        )
+    )
+    centered = centered.persist()  # both sides of the outer product
+    a = centered.select(
+        F.col("vec_id").alias("k"), F.col("pos").alias("i"),
+        F.col("c").alias("ca"),
+    )
+    b = centered.select(
+        F.col("vec_id").alias("k"), F.col("pos").alias("j"),
+        F.col("c").alias("cb"),
+    )
+    cov = (
+        a.join(b, "k")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("cij"))
+    )
+    cov = cov.persist()  # two multiply rounds
+
+    def normalize(v_df):
+        d = v_df.agg(
+            (F.expr("MAX(ABS(v)) DIV 10000") + 1).alias("d")
+        )
+        return v_df.crossJoin(F.broadcast(d)).select(
+            "pos",
+            (
+                F.when(F.col("v") < 0, -1).otherwise(1)
+                * F.expr("ABS(v) DIV d")
+            ).alias("v"),
+        )
+
+    v1 = cov.groupBy(F.col("i").alias("pos")).agg(F.sum("cij").alias("v"))
+    v1n = normalize(v1)
+    v2 = (
+        cov.join(F.broadcast(v1n.withColumnRenamed("pos", "j")), "j")
+        .groupBy(F.col("i").alias("pos"))
+        .agg(F.sum(F.col("cij") * F.col("v")).alias("v"))
+    )
+    v2n = normalize(v2)
+    return v2n.select(
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("v").cast("bigint").alias("component_q"),
+    )

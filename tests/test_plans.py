@@ -415,6 +415,8 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # dq4 crosses the day spine with the tiny stream-type frame —
         # the expected-partition lattice, dimension-sized by definition
         "dq4_missing_partitions",
+        # pca1 broadcasts the 1-row sample-count and norm-divisor scalars
+        "pca1_power_iteration",
     }
     import re
 
