@@ -699,7 +699,7 @@ def bloom1_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mm6: image patch extraction (the ViT tiling layout) — byte-exact slices
 # =========================================================================
 
-def _mm6_slices(engine: str) -> str:
+def _mm6_slices() -> str:
     # one 8x8 patch = 8 row-slices of 16 hex chars each; identical offset
     # arithmetic in both engines, generated from one formula
     parts = [
@@ -724,8 +724,8 @@ WITH img AS (
        (SELECT UNNEST([0, 1]) AS pi)
 )
 SELECT doc_id, pi, pj,
-       md5({_mm6_slices('duckdb')}) AS patch_md5,
-       CAST(LENGTH({_mm6_slices('duckdb')}) // 2 AS BIGINT) AS patch_bytes
+       md5({_mm6_slices()}) AS patch_md5,
+       CAST(LENGTH({_mm6_slices()}) // 2 AS BIGINT) AS patch_bytes
 FROM tiles
 """
 
@@ -772,7 +772,7 @@ def mm6_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pi"),
         )
     )
-    patch = F.expr(_mm6_slices("spark"))
+    patch = F.expr(_mm6_slices())
     return tiles.select(
         "doc_id",
         "pi",
