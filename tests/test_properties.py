@@ -874,3 +874,305 @@ def test_portable_hll_matches_python_reference(spark, n):
     ).collect()[0]
     got = 0.709 * 4096 / (row["s_hit"] + (64 - row["n_hit"]))
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# wave 16-24 algorithmic properties: ANOVA, CUPED, Kaplan-Meier, PCA —
+# exact-equality references independent of the DuckDB oracle
+# ---------------------------------------------------------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-1000, 1000)),
+        min_size=6,
+        max_size=40,
+    )
+)
+@settings(**PROP_SETTINGS)
+def test_anova_identities_match_python_reference(spark, rows):
+    """anova1's SSB/SSW identities + fixed-order fold == a pure-Python
+    replay of the same arithmetic — EXACT float equality (same ops, same
+    order)."""
+    groups = {g for g, _ in rows}
+    if len(groups) < 2:
+        rows = rows + [(0, 1), (1, 2)]
+    # python reference with the identical label-sorted fold order
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    n = 0
+    s = 0
+    svv = 0
+    for g, v in rows:
+        agg[g][0] += 1
+        agg[g][1] += v
+        n += 1
+        s += v
+        svv += v * v
+    fold = 0.0
+    for g in sorted(agg):
+        n_g, s_g = agg[g]
+        fold = fold + (float(s_g) * float(s_g) / float(n_g))
+    ssb_ref = fold - float(s) * float(s) / float(n)
+    ssw_ref = float(svv) - fold
+
+    df = spark.createDataFrame(
+        [(str(g), v) for g, v in rows], "g STRING, vc BIGINT"
+    )
+    per_g = df.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("vc").alias("s_g")
+    )
+    tot = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).alias("svv"),
+    )
+    folded = per_g.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(g, s_g, n_g))),"
+            " r -> CAST(r.s_g AS DOUBLE) * CAST(r.s_g AS DOUBLE)"
+            " / CAST(r.n_g AS DOUBLE)), CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x)"
+        ).alias("fold")
+    )
+    row = tot.crossJoin(folded).collect()[0]
+    ssb = row["fold"] - float(row["s"]) * float(row["s"]) / float(row["n"])
+    ssw = float(row["svv"]) - row["fold"]
+    assert ssb == ssb_ref and ssw == ssw_ref
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 1), st.integers(-500, 500), st.integers(-500, 500)
+        ),
+        min_size=6,
+        max_size=40,
+    )
+)
+@settings(**PROP_SETTINGS)
+def test_cuped_adjustment_matches_python_reference(spark, rows):
+    """ab2's CUPED readout == the same exact-integer cross-products and
+    IEEE steps replayed in Python — exact equality (or both undefined
+    when var(x)=0 / an arm is empty)."""
+    arms = {a for a, _, _ in rows}
+    if len(arms) < 2:
+        rows = rows + [(0, 1, 2), (1, 3, 4)]
+    n = len(rows)
+    sx = sum(x for _, x, _ in rows)
+    sy = sum(y for _, _, y in rows)
+    sxy = sum(x * y for _, x, y in rows)
+    sxx = sum(x * x for _, x, _ in rows)
+    den = n * sxx - sx * sx
+    import math
+
+    stats = {}
+    for a in (0, 1):
+        sel = [(x, y) for aa, x, y in rows if aa == a]
+        stats[a] = (len(sel), sum(x for x, _ in sel), sum(y for _, y in sel))
+    if den == 0 or stats[0][0] == 0 or stats[1][0] == 0:
+        return  # degenerate; the query's testdata never is
+    theta_ref = float(n * sxy - sx * sy) / float(den)
+    raw_ref = float(stats[1][2]) / stats[1][0] - float(stats[0][2]) / stats[0][0]
+    xd_ref = float(stats[1][1]) / stats[1][0] - float(stats[0][1]) / stats[0][0]
+    adj_ref = raw_ref - theta_ref * xd_ref
+
+    df = spark.createDataFrame(rows, "arm BIGINT, x BIGINT, y BIGINT")
+    pooled = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).collect()[0]
+    theta = float(
+        pooled["n"] * pooled["sxy"] - pooled["sx"] * pooled["sy"]
+    ) / float(pooled["n"] * pooled["sxx"] - pooled["sx"] * pooled["sx"])
+    arms_df = {
+        r["arm"]: r
+        for r in df.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("na"),
+            F.sum("x").alias("sxa"),
+            F.sum("y").alias("sya"),
+        )
+        .collect()
+    }
+    raw = float(arms_df[1]["sya"]) / arms_df[1]["na"] - float(
+        arms_df[0]["sya"]
+    ) / arms_df[0]["na"]
+    xd = float(arms_df[1]["sxa"]) / arms_df[1]["na"] - float(
+        arms_df[0]["sxa"]
+    ) / arms_df[0]["na"]
+    assert theta == theta_ref
+    assert raw - theta * xd == adj_ref or math.isclose(
+        raw - theta * xd, adj_ref, rel_tol=0, abs_tol=0
+    )
+
+
+@given(
+    subjects=st.lists(
+        st.tuples(st.integers(0, 10), st.booleans()),
+        min_size=3,
+        max_size=40,
+    )
+)
+@settings(**PROP_SETTINGS)
+def test_kaplan_meier_fold_matches_python_reference(spark, subjects):
+    """sv1's running-product fold == the textbook KM recurrence replayed
+    in Python with identical IEEE steps — exact float equality per
+    event time."""
+    if not any(ev for _, ev in subjects):
+        subjects = subjects + [(1, True)]
+    # python reference
+    from collections import Counter
+
+    total = len(subjects)
+    by_dur = Counter(d for d, _ in subjects)
+    deaths = Counter(d for d, ev in subjects if ev)
+    s_run = 1.0
+    expect = {}
+    consumed = 0
+    for t in sorted(by_dur):
+        n_risk = total - consumed
+        consumed += by_dur[t]
+        d = deaths.get(t, 0)
+        if d > 0:
+            s_run = s_run * (float(n_risk - d) / n_risk)
+            expect[t] = (n_risk, d, s_run)
+
+    df = spark.createDataFrame(
+        [(d, 1 if ev else 0) for d, ev in subjects], "dur BIGINT, ev BIGINT"
+    )
+    cells = df.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("ev").alias("d")
+    )
+    from pyspark.sql.window import Window as W
+
+    w_before = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    risk = cells.select(
+        "dur",
+        "d",
+        (
+            F.lit(total) - F.coalesce(F.sum("c").over(w_before), F.lit(0))
+        ).alias("n_risk"),
+    ).where(F.col("d") > 0)
+    seq = risk.agg(
+        F.array_sort(F.collect_list(F.struct("dur", "d", "n_risk"))).alias("ev")
+    )
+    folded = seq.select(
+        F.expr(
+            "aggregate(ev,"
+            " named_struct('s', CAST(1.0 AS DOUBLE),"
+            "  'out', CAST(array() AS ARRAY<STRUCT<dur: BIGINT, d: BIGINT,"
+            "   n_risk: BIGINT, s: DOUBLE>>)),"
+            " (acc, x) -> named_struct("
+            "   's', acc.s * (CAST(x.n_risk - x.d AS DOUBLE) / x.n_risk),"
+            "   'out', concat(acc.out, array(named_struct("
+            "     'dur', x.dur, 'd', x.d, 'n_risk', x.n_risk,"
+            "     's', acc.s * (CAST(x.n_risk - x.d AS DOUBLE)"
+            "          / x.n_risk))))),"
+            " acc -> acc.out) AS curve"
+        )
+    )
+    got = {
+        p["dur"]: (p["n_risk"], p["d"], p["s"])
+        for p in folded.select(F.explode("curve").alias("p"))
+        .select("p.*")
+        .collect()
+    }
+    assert got == expect
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pca_power_iteration_matches_integer_reference(spark, seed):
+    """pca1's two integer power-iteration rounds == a pure-Python replay
+    of the identical Q7/centering/renormalization arithmetic — exact
+    integer equality of the released direction (deterministic synthetic
+    vectors keyed by the hypothesis seed)."""
+    import hashlib
+
+    dim, nvec = 8, 30
+
+    def elem(v, p):
+        h = int(
+            hashlib.md5(f"{seed}-{v}-{p}".encode()).hexdigest()[:6], 16
+        )
+        return (h % 2048 - 1024) / 2048.0  # [-0.5, 0.5)
+
+    vecs = [[elem(v, p) for p in range(dim)] for v in range(nvec)]
+    # python reference (identical arithmetic)
+    import math
+
+    q = [[math.floor(e * 128.0) for e in row] for row in vecs]
+    n = nvec
+    sums = [sum(q[v][p] for v in range(nvec)) for p in range(dim)]
+    c = [[q[v][p] * n - sums[p] for p in range(dim)] for v in range(nvec)]
+    cov = [
+        [
+            sum(c[v][i] * c[v][j] for v in range(nvec))
+            for j in range(dim)
+        ]
+        for i in range(dim)
+    ]
+
+    def py_norm(vv):
+        d = max(abs(x) for x in vv) // 10000 + 1
+        return [(-1 if x < 0 else 1) * (abs(x) // d) for x in vv]
+
+    v1 = py_norm([sum(cov[i]) for i in range(dim)])
+    v2 = py_norm(
+        [sum(cov[i][j] * v1[j] for j in range(dim)) for i in range(dim)]
+    )
+    expect = {p: v2[p] for p in range(dim)}
+
+    rows = [
+        (v, p, float(vecs[v][p])) for v in range(nvec) for p in range(dim)
+    ]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, pos BIGINT, e DOUBLE")
+    qdf = df.select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("e") * F.lit(128.0)).cast("bigint").alias("qv"),
+    )
+    sums_df = qdf.groupBy("pos").agg(F.sum("qv").alias("s"))
+    centered = qdf.join(sums_df, "pos").select(
+        "vec_id", "pos", (F.col("qv") * nvec - F.col("s")).alias("c")
+    )
+    a = centered.select(
+        F.col("vec_id").alias("k"), F.col("pos").alias("i"),
+        F.col("c").alias("ca"),
+    )
+    b = centered.select(
+        F.col("vec_id").alias("k"), F.col("pos").alias("j"),
+        F.col("c").alias("cb"),
+    )
+    cov_df = (
+        a.join(b, "k")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("cij"))
+    )
+
+    def norm(v_df):
+        d = v_df.agg((F.expr("MAX(ABS(v)) DIV 10000") + 1).alias("d"))
+        return v_df.crossJoin(d).select(
+            "pos",
+            (
+                F.when(F.col("v") < 0, -1).otherwise(1)
+                * F.expr("ABS(v) DIV d")
+            ).alias("v"),
+        )
+
+    v1_df = norm(
+        cov_df.groupBy(F.col("i").alias("pos")).agg(F.sum("cij").alias("v"))
+    )
+    v2_df = norm(
+        cov_df.join(v1_df.withColumnRenamed("pos", "j"), "j")
+        .groupBy(F.col("i").alias("pos"))
+        .agg(F.sum(F.col("cij") * F.col("v")).alias("v"))
+    )
+    got = {r["pos"]: r["v"] for r in v2_df.collect()}
+    assert got == expect
