@@ -5471,3 +5471,97 @@ def pca1_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("bigint").alias("pos"),
         F.col("v").cast("bigint").alias("component_q"),
     )
+
+
+# =========================================================================
+# db1: temporal debounce — keep an event only if >30s since the last KEPT
+# =========================================================================
+
+_DB1_SQL = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), walk AS (
+  SELECT user_id, event_type, i, us AS last_kept, 1 AS n_kept,
+         event_id AS first_id, event_id AS last_id
+  FROM ev WHERE i = 1
+  UNION ALL
+  SELECT e.user_id, e.event_type, e.i,
+         CASE WHEN e.us - w.last_kept > 30000000 THEN e.us
+              ELSE w.last_kept END,
+         w.n_kept + CASE WHEN e.us - w.last_kept > 30000000
+                         THEN 1 ELSE 0 END,
+         w.first_id,
+         CASE WHEN e.us - w.last_kept > 30000000 THEN e.event_id
+              ELSE w.last_id END
+  FROM walk w JOIN ev e
+    ON e.user_id = w.user_id AND e.event_type = w.event_type
+   AND e.i = w.i + 1
+), final AS (
+  SELECT user_id, event_type, n_kept, first_id, last_id, i,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY i DESC) AS rn
+  FROM walk
+)
+SELECT user_id, event_type, CAST(i AS BIGINT) AS n_events,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(first_id AS BIGINT) AS first_kept_id,
+       CAST(last_id AS BIGINT) AS last_kept_id
+FROM final WHERE rn = 1
+"""
+
+
+@_register("db1_temporal_debounce", _DB1_SQL)
+def db1_temporal_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal DEBOUNCE — keep an event only if more than 30s have
+    passed since the last KEPT event of the same (user, type) — the
+    chatter suppressor for UI double-clicks, sensor bounce, and
+    retry storms. Crucially different from e6's watermark dedup (exact-
+    key duplicates) and from fixed-window sampling: whether an event
+    survives depends on which PREVIOUS events survived, so the keep
+    decision is a sequential recurrence — the sixth member of the
+    sorted-fold family (ewma1, seq2, tb1, iu1, sv1), carrying
+    (last_kept_us, n_kept, last_kept_id) per key through one
+    F.aggregate fold over the pre-aggregated per-key series; the oracle
+    replays the identical recurrence as a recursive CTE. Integer
+    microseconds end to end."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    series = (
+        ev.select("user_id", "event_type", us.alias("us"), "event_id")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("us", "event_id"))
+            ).alias("s")
+        )
+    )
+    folded = series.select(
+        "user_id",
+        "event_type",
+        F.size("s").cast("bigint").alias("n_events"),
+        F.expr(
+            "aggregate(slice(s, 2, greatest(size(s) - 1, 0)),"
+            " named_struct('last_kept', s[0].us,"
+            "  'n_kept', CAST(1 AS BIGINT),"
+            "  'first_id', s[0].event_id, 'last_id', s[0].event_id),"
+            " (acc, x) -> named_struct("
+            "  'last_kept', CASE WHEN x.us - acc.last_kept > 30000000"
+            "               THEN x.us ELSE acc.last_kept END,"
+            "  'n_kept', acc.n_kept + (CASE WHEN x.us - acc.last_kept"
+            "            > 30000000 THEN 1 ELSE 0 END),"
+            "  'first_id', acc.first_id,"
+            "  'last_id', CASE WHEN x.us - acc.last_kept > 30000000"
+            "             THEN x.event_id ELSE acc.last_id END)) AS st"
+        ),
+    )
+    return folded.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        F.col("st.n_kept").cast("bigint").alias("n_kept"),
+        F.col("st.first_id").cast("bigint").alias("first_kept_id"),
+        F.col("st.last_id").cast("bigint").alias("last_kept_id"),
+    )
