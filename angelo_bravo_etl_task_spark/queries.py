@@ -1253,6 +1253,7 @@ _CHECK_FIRST: list[str] = [
     "u10_map_in_arrow",
     "pca1_power_iteration",
     "db1_temporal_debounce",
+    "emd1_wasserstein",
     # rows-only-by-design, never yet recorded (past position 50 — first in
     # line for the next round's window):
     "hh2_heavy_hitters_sketch",

@@ -5565,3 +5565,92 @@ def db1_temporal_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.first_id").cast("bigint").alias("first_kept_id"),
         F.col("st.last_id").cast("bigint").alias("last_kept_id"),
     )
+
+
+# =========================================================================
+# emd1: Wasserstein-1 (earth mover's) distance in exact integers
+# =========================================================================
+
+_EMD1_SQL = """
+WITH s AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_b
+  FROM events WHERE event_type IN ('click', 'error')
+), counts AS (
+  SELECT vc, SUM(is_a) AS ca, SUM(is_b) AS cb
+  FROM s GROUP BY vc
+), cum AS (
+  SELECT vc,
+         SUM(ca) OVER (ORDER BY vc
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_a,
+         SUM(cb) OVER (ORDER BY vc
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_b,
+         LEAD(vc) OVER (ORDER BY vc) AS next_vc,
+         SUM(ca) OVER () AS n, SUM(cb) OVER () AS m
+  FROM counts
+)
+SELECT CAST(MIN(n) AS BIGINT) AS n_click,
+       CAST(MIN(m) AS BIGINT) AS n_error,
+       CAST(SUM(ABS(cum_a * m - cum_b * n)
+                * COALESCE(next_vc - vc, 0)) AS BIGINT) AS w1_scaled,
+       CAST(SUM(ABS(cum_a * m - cum_b * n)
+                * COALESCE(next_vc - vc, 0)) AS BIGINT)
+         / (CAST(MIN(n) AS BIGINT) * CAST(MIN(m) AS BIGINT) * 100)
+         AS emd
+FROM cum
+"""
+
+
+@_register("emd1_wasserstein", _EMD1_SQL)
+def emd1_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth mover's) distance between the 'click' and
+    'error' value distributions — the drift metric that, unlike ks1's
+    KS statistic (max ECDF gap), weights HOW FAR mass must move, which
+    is what makes it the standard for monitoring continuous features.
+    On a line W1 = ∫|F1 - F2|, which discretizes EXACTLY over the
+    distinct-value frame: Σ |cum_a·m - cum_b·n| · (next_v - v) in
+    integer cents — the ks1 ECDF frame plus one LEAD for the gap, all
+    bigint (DECIMAL(38) is the sf-proof form, cht1's rule), and the
+    released distance is ONE IEEE division by the exact n·m·100
+    normalizer. Same two-pass scale shape as ks1: raw rows reduce to
+    distinct values first; the ordered window runs over value
+    cardinality only."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "error")
+    )
+    s = ev.select(
+        (dec("value") * 100).cast("bigint").alias("vc"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_b"),
+    )
+    counts = s.groupBy("vc").agg(
+        F.sum("is_a").alias("ca"), F.sum("is_b").alias("cb")
+    )
+    w_cum = Window.orderBy("vc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_ord = Window.orderBy("vc")
+    w_all = Window.partitionBy()
+    cum = counts.select(
+        "vc",
+        F.sum("ca").over(w_cum).alias("cum_a"),
+        F.sum("cb").over(w_cum).alias("cum_b"),
+        F.lead("vc").over(w_ord).alias("next_vc"),
+        F.sum("ca").over(w_all).alias("n"),
+        F.sum("cb").over(w_all).alias("m"),
+    )
+    contrib = F.abs(
+        F.col("cum_a") * F.col("m") - F.col("cum_b") * F.col("n")
+    ) * F.coalesce(F.col("next_vc") - F.col("vc"), F.lit(0))
+    n = F.min("n").cast("bigint")
+    m = F.min("m").cast("bigint")
+    w1 = F.sum(contrib).cast("bigint")
+    return cum.agg(
+        n.alias("n_click"),
+        m.alias("n_error"),
+        w1.alias("w1_scaled"),
+        (w1 / (n * m * 100)).alias("emd"),
+    )
