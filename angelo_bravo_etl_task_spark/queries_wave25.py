@@ -625,3 +625,403 @@ def att1_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_last").alias("last_touch"),
         )
     )
+
+
+# =========================================================================
+# boot1: deterministic bootstrap confidence interval (md5 resampling)
+# =========================================================================
+
+_BOOT1_SQL = """
+WITH sample AS (
+  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM customer WHERE c_custkey < 100
+), draws AS (
+  SELECT gb.b, gj.j,
+         CAST('0x' || substr(md5('b' || CAST(gb.b AS VARCHAR) || '_'
+                                 || CAST(gj.j AS VARCHAR)), 1, 8)
+              AS BIGINT) % 100 AS idx
+  FROM generate_series(0, 39) gb(b), generate_series(0, 99) gj(j)
+), reps AS (
+  SELECT d.b, CAST(SUM(s.cents) AS BIGINT) AS sum_cents
+  FROM draws d JOIN sample s ON s.c_custkey = d.idx
+  GROUP BY d.b
+), ranked AS (
+  SELECT sum_cents,
+         ROW_NUMBER() OVER (ORDER BY sum_cents, b) AS rn
+  FROM reps
+)
+SELECT CAST(100 AS BIGINT) AS n,
+       CAST(40 AS BIGINT) AS n_reps,
+       (SELECT CAST(SUM(cents) AS BIGINT) FROM sample) AS point_cents,
+       (SELECT sum_cents FROM ranked WHERE rn = 2) AS lo_cents,
+       (SELECT sum_cents FROM ranked WHERE rn = 38) AS hi_cents
+"""
+
+
+@_register("boot1_bootstrap_ci", _BOOT1_SQL)
+def boot1_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval with DETERMINISTIC resampling — the
+    reproducibility requirement every training-data pipeline has and
+    rand() cannot give across engines or reruns: the B x n resample index
+    matrix is md5-derived (draw (b, j) picks row md5('b<b>_<j>') % n), so
+    both engines materialize the identical 40 replicates. The statistic
+    is the replicate SUM of account-balance cents (exact integers; the
+    mean differs by the constant 1/n); the 90% CI is the pair of type-1
+    order statistics at ranks 2 and 38 of the 40 sorted replicate sums.
+    The resample is an EQUI-join of the 4000-row draw spine against the
+    keyed sample — never a per-row rand() scan, so at 100 TB the spine
+    broadcasts and replicates partition-locally. The draw spine itself is
+    generated by explode(sequence(..)) — no cross join."""
+    cust = _t(spark, sf_dir, "customer")
+    sample = cust.where(F.col("c_custkey") < 100).select(
+        "c_custkey",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    draws = (
+        spark.range(0, 40)
+        .select(F.col("id").alias("b"), F.explode(F.expr("sequence(0, 99)")).alias("j"))
+        .select(
+            "b",
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("b"),
+                                F.col("b").cast("string"),
+                                F.lit("_"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 100
+            ).alias("idx"),
+        )
+    )
+    reps = (
+        draws.join(F.broadcast(sample), draws["idx"] == sample["c_custkey"])
+        .groupBy("b")
+        .agg(F.sum("cents").alias("sum_cents"))
+    )
+    from pyspark.sql.window import Window as W
+
+    ranked = reps.withColumn(
+        "rn", F.row_number().over(W.orderBy("sum_cents", "b"))
+    )
+    lo = ranked.where(F.col("rn") == 2).select(
+        F.col("sum_cents").alias("lo_cents")
+    )
+    hi = ranked.where(F.col("rn") == 38).select(
+        F.col("sum_cents").alias("hi_cents")
+    )
+    point = sample.agg(F.sum("cents").alias("point_cents"))
+    return (
+        point.join(lo)
+        .join(hi)
+        .select(
+            F.lit(100).cast("bigint").alias("n"),
+            F.lit(40).cast("bigint").alias("n_reps"),
+            "point_cents",
+            "lo_cents",
+            "hi_cents",
+        )
+    )
+
+
+# =========================================================================
+# snm1: sorted-neighborhood tolerance pairing (1-D SNM blocking)
+# =========================================================================
+
+_SNM1_SQL = """
+WITH c AS (
+  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM customer
+), ranked AS (
+  SELECT c_custkey, cents,
+         ROW_NUMBER() OVER (ORDER BY cents, c_custkey) AS ord
+  FROM c
+), offs AS (
+  SELECT UNNEST(generate_series(1, 3)) AS off
+)
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       a.cents AS cents_a, b.cents AS cents_b,
+       CAST(b.cents - a.cents AS BIGINT) AS diff_cents,
+       CAST(o.off AS BIGINT) AS rank_gap
+FROM ranked a
+JOIN offs o ON TRUE
+JOIN ranked b ON b.ord = a.ord + o.off
+WHERE b.cents - a.cents <= 50
+"""
+
+
+@_register("snm1_sorted_neighborhood", _SNM1_SQL)
+def snm1_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood method: find near-identical account balances
+    (within 50 cents) by sorting ONCE on the match key and pairing only
+    rows within 3 rank positions — the classic entity-resolution blocking
+    that replaces the O(N^2) |a-b|<eps theta-join with sort + bounded
+    window. The pair generation is an EQUI-join on (ord + off), off in
+    {1,2,3}, from an exploded 3-row offset spine — no inequality join
+    anywhere in the plan. Exact integer cents throughout. At 100 TB the
+    global sort is a range partition; the only extra work versus this
+    plan is replicating w rows across partition boundaries (noted here,
+    immaterial at window w=3). Rank-distance semantics (a true-near pair
+    separated by >3 intervening rows is not emitted) are inherent to SNM
+    and mirrored identically by the oracle."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    ranked = c.withColumn(
+        "ord", F.row_number().over(Window.orderBy("cents", "c_custkey"))
+    )
+    offs = spark.range(1, 4).select(F.col("id").alias("off"))
+    a = ranked.select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("cents").alias("cents_a"),
+        F.col("ord").alias("ord_a"),
+    )
+    b = ranked.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("cents").alias("cents_b"),
+        F.col("ord").alias("ord_b"),
+    )
+    paired = (
+        a.crossJoin(F.broadcast(offs))
+        .join(b, F.col("ord_b") == F.col("ord_a") + F.col("off"))
+        .where(F.col("cents_b") - F.col("cents_a") <= 50)
+    )
+    return paired.select(
+        "cust_a",
+        "cust_b",
+        "cents_a",
+        "cents_b",
+        (F.col("cents_b") - F.col("cents_a")).alias("diff_cents"),
+        F.col("off").cast("bigint").alias("rank_gap"),
+    )
+
+
+# =========================================================================
+# regr2: Theil-Sen robust slope (median of pairwise slopes)
+# =========================================================================
+
+_REGR2_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), idx AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS x, y
+  FROM daily
+), pairs AS (
+  SELECT a.x AS xi, a.y AS yi, b.x AS xj, b.y AS yj,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+  FROM idx a JOIN idx b ON b.x > a.x
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs
+), med AS (
+  SELECT slope FROM (
+    SELECT slope, ROW_NUMBER() OVER (ORDER BY slope, xi, xj) AS rn FROM pairs
+  ), m WHERE rn = (m.n_pairs + 1) // 2
+), nd AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM idx
+), res AS (
+  SELECT CAST(i.y AS DOUBLE) - med.slope * CAST(i.x AS DOUBLE) AS r, i.x
+  FROM idx i, med
+), imed AS (
+  SELECT r AS intercept FROM (
+    SELECT r, x, ROW_NUMBER() OVER (ORDER BY r, x) AS rn FROM res
+  ), nd WHERE rn = (nd.n_days + 1) // 2
+)
+SELECT nd.n_days, m.n_pairs, med.slope, imed.intercept
+FROM nd, m, med, imed
+"""
+
+
+@_register("regr2_theil_sen", _REGR2_SQL)
+def regr2_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust regression of the daily click-count trend: slope =
+    median of all pairwise slopes, intercept = median residual at that
+    slope — the estimator that shrugs off the outlier days that wreck
+    regr1's least squares. The quadratic pair set is generated where it
+    belongs: INSIDE one array cell of the pre-aggregated 30-row series
+    (nested transform over the sorted struct array, exploded back), so no
+    join — let alone a cross join — ever touches the raw events; the only
+    full-data pass is the map-side-combinable daily count. Slopes are
+    single IEEE divisions of exact integers (deterministic, correctly
+    rounded, hence portable); medians are type-1 lower order statistics
+    at rank (m+1) div 2 with (slope, xi, xj) tiebreak, exactly mirrored
+    by the oracle. The 1-row slope scalar broadcasts back onto the
+    30-row series for residuals — the sanctioned scalar-subquery shape."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("x"),
+        "y",
+    )
+    series = idx.agg(
+        F.sort_array(F.collect_list(F.struct("x", "y"))).alias("s")
+    )
+    pairs = series.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(s, (a, ai) ->"
+                " transform(slice(s, ai + 2, size(s)),"
+                " b -> named_struct('xi', a.x, 'yi', a.y,"
+                " 'xj', b.x, 'yj', b.y))))"
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.xi").alias("xi"),
+        F.col("p.yi").alias("yi"),
+        F.col("p.xj").alias("xj"),
+        F.col("p.yj").alias("yj"),
+        (
+            (F.col("p.yj") - F.col("p.yi")).cast("double")
+            / (F.col("p.xj") - F.col("p.xi")).cast("double")
+        ).alias("slope"),
+    )
+    pairs = pairs.persist()
+    m = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    ranked = pairs.withColumn(
+        "rn", F.row_number().over(Window.orderBy("slope", "xi", "xj"))
+    )
+    med = (
+        ranked.join(F.broadcast(m))
+        .where(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .select("slope")
+    )
+    nd = idx.agg(F.count(F.lit(1)).alias("n_days"))
+    res = idx.join(F.broadcast(med)).select(
+        (
+            F.col("y").cast("double")
+            - F.col("slope") * F.col("x").cast("double")
+        ).alias("r"),
+        "x",
+    )
+    imed = (
+        res.withColumn("rn", F.row_number().over(Window.orderBy("r", "x")))
+        .join(F.broadcast(nd))
+        .where(F.col("rn") == F.expr("(n_days + 1) div 2"))
+        .select(F.col("r").alias("intercept"))
+    )
+    return (
+        nd.join(m)
+        .join(med.select(F.col("slope")))
+        .join(imed)
+        .select("n_days", "n_pairs", "slope", "intercept")
+    )
+
+
+# =========================================================================
+# hw1: Holt's linear trend (double exponential smoothing), exact integers
+# =========================================================================
+
+_HW1_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events WHERE day(ts) <= 16 GROUP BY 1, 2
+), idx AS (
+  SELECT event_type, day, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS i
+  FROM daily
+), r AS (
+  SELECT event_type, day, i,
+         CAST(4 AS BIGINT) AS p4,
+         CAST(4 * x AS BIGINT) AS lhat,
+         CAST(0 AS BIGINT) AS bhat
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.event_type, idx.day, idx.i,
+         CAST(4 * r.p4 AS BIGINT),
+         CAST(2 * r.p4 * idx.x + 2 * r.lhat + 2 * r.bhat AS BIGINT),
+         CAST(r.p4 * idx.x - r.lhat + 3 * r.bhat AS BIGINT)
+  FROM r JOIN idx ON idx.event_type = r.event_type AND idx.i = r.i + 1
+)
+SELECT event_type, day, p4, lhat, bhat,
+       CAST(lhat + bhat AS BIGINT) AS forecast1_scaled
+FROM r
+"""
+
+
+@_register("hw1_holt_linear_trend", _HW1_SQL)
+def hw1_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing (alpha = beta =
+    1/2) over each type's first 16 daily counts — EXACT: with dyadic
+    smoothing weights, level l_t and trend b_t are rationals with
+    denominator 4^t, so the fold carries integer-scaled state
+    (p4, lhat, bhat) = (4^t, 4^t*l_t, 4^t*b_t) with the recurrences
+    lhat_t = 2*p4_{t-1}*x_t + 2*lhat_{t-1} + 2*bhat_{t-1} and
+    bhat_t = p4_{t-1}*x_t - lhat_{t-1} + 3*bhat_{t-1} — no division,
+    no floats, no cross-engine drift; 16 days keeps 4^16*l inside
+    BIGINT with orders of magnitude to spare. Like ewma1 this is a true
+    recurrence no window frame expresses; the Spark side is ONE sorted
+    in-cell fold over the pre-aggregated per-type series, the oracle the
+    identical recurrence as a recursive CTE. The one-step-ahead forecast
+    (l+b) shares the 4^t scale, so it is exact too."""
+    ev = _t(spark, sf_dir, "events").where(F.dayofmonth("ts") <= 16)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("s")
+    )
+    acc0 = F.expr(
+        "CAST(array() AS ARRAY<STRUCT<day: DATE, p4: BIGINT,"
+        " lhat: BIGINT, bhat: BIGINT>>)"
+    )
+
+    def step(acc, v):
+        prev = F.element_at(acc, -1)
+        first = F.size(acc) == 0
+        p4 = F.when(first, F.lit(4).cast("bigint")).otherwise(
+            (4 * prev["p4"]).cast("bigint")
+        )
+        lhat = F.when(first, (4 * v["x"]).cast("bigint")).otherwise(
+            (
+                2 * prev["p4"] * v["x"] + 2 * prev["lhat"] + 2 * prev["bhat"]
+            ).cast("bigint")
+        )
+        bhat = F.when(first, F.lit(0).cast("bigint")).otherwise(
+            (prev["p4"] * v["x"] - prev["lhat"] + 3 * prev["bhat"]).cast(
+                "bigint"
+            )
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    v["day"].alias("day"),
+                    p4.alias("p4"),
+                    lhat.alias("lhat"),
+                    bhat.alias("bhat"),
+                )
+            ),
+        )
+
+    folded = series.select(
+        "event_type", F.aggregate("s", acc0, step).alias("hw")
+    )
+    ex = folded.select("event_type", F.explode("hw").alias("p"))
+    return ex.select(
+        "event_type",
+        F.col("p.day").alias("day"),
+        F.col("p.p4").alias("p4"),
+        F.col("p.lhat").alias("lhat"),
+        F.col("p.bhat").alias("bhat"),
+        (F.col("p.lhat") + F.col("p.bhat")).alias("forecast1_scaled"),
+    )

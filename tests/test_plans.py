@@ -417,6 +417,15 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "dq4_missing_partitions",
         # pca1 broadcasts the 1-row sample-count and norm-divisor scalars
         "pca1_power_iteration",
+        # boot1 assembles its single output row from three 1-row scalar
+        # frames (point estimate + the two CI order statistics)
+        "boot1_bootstrap_ci",
+        # snm1 crosses the 3-row offset spine onto the ranked frame —
+        # same bounded-spine shape as xc1's lag spine
+        "snm1_sorted_neighborhood",
+        # regr2 broadcasts the 1-row slope/count scalars back onto the
+        # 30-row aggregated series (sanctioned scalar-subquery shape)
+        "regr2_theil_sen",
     }
     import re
 
