@@ -426,6 +426,13 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # regr2 broadcasts the 1-row slope/count scalars back onto the
         # 30-row aggregated series (sanctioned scalar-subquery shape)
         "regr2_theil_sen",
+        # mmr1 broadcasts the 1-row query vector onto the corpus scan and
+        # crosses the two 8-row candidate frames for the pairwise sims —
+        # dimension-sized by construction (re-rank the top-k, never the
+        # corpus)
+        "mmr1_diversified_topk",
+        # slo1 broadcasts the 1-row global-rate scalar
+        "slo1_burn_rate",
     }
     import re
 
