@@ -433,6 +433,8 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "mmr1_diversified_topk",
         # slo1 broadcasts the 1-row global-rate scalar
         "slo1_burn_rate",
+        # pmi1 broadcasts the 1-row corpus token total
+        "pmi1_collocations",
     }
     import re
 
