@@ -435,6 +435,11 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "slo1_burn_rate",
         # pmi1 broadcasts the 1-row corpus token total
         "pmi1_collocations",
+        # stats3 assembles each output row from three 1-row aggregate
+        # frames (left stats, right stats, actual join count)
+        "stats3_join_card_estimate",
+        # zipf1 broadcasts the 1-row median r*f scalar onto the top-30
+        "zipf1_rank_frequency",
     }
     import re
 
