@@ -440,6 +440,9 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "stats3_join_card_estimate",
         # zipf1 broadcasts the 1-row median r*f scalar onto the top-30
         "zipf1_rank_frequency",
+        # perm1 broadcasts the 1-row observed-difference scalar onto the
+        # 20-row salted-difference frame
+        "perm1_permutation_test",
     }
     import re
 
