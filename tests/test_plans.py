@@ -443,6 +443,13 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # perm1 broadcasts the 1-row observed-difference scalar onto the
         # 20-row salted-difference frame
         "perm1_permutation_test",
+        # dtw1 joins the two 1-row series-array frames (the whole DP is
+        # one in-cell fold over that single row)
+        "dtw1_dynamic_time_warping",
+        # qq1 broadcasts the 1-row n/m count scalars onto the ranked frame
+        "qq1_quantile_mapping",
+        # app1 broadcasts the 1-row total-votes and leftover-seats scalars
+        "app1_largest_remainder",
     }
     import re
 
