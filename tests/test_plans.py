@@ -450,6 +450,9 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "qq1_quantile_mapping",
         # app1 broadcasts the 1-row total-votes and leftover-seats scalars
         "app1_largest_remainder",
+        # px5 broadcasts the 4-row centroid frame (IVF assignment) and the
+        # 1-row query vector — both dimension-sized by construction
+        "px5_retrieval_pipeline",
     }
     import re
 

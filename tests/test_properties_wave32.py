@@ -136,3 +136,18 @@ def test_twa1_matches_python_integral(spark, sf_dir):
         gn, gs, gnum = got[uid]
         assert (gn, gs) == (en, es), uid
         assert Decimal(gnum) == enum_, uid
+
+
+def test_px5_self_retrieval_at_rank_one(spark, sf_dir):
+    """px5: the query chunk retrieves ITSELF at rank 1 with cosine
+    exactly 1.0 (identical fold over identical vectors) — the end-to-end
+    sanity invariant of the retrieval pipeline."""
+    rows = sorted(
+        QUERIES["px5_retrieval_pipeline"][0](spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert rows, "empty retrieval result"
+    top = rows[0]
+    assert (top["doc_id"], top["chunk_idx"]) == (0, 0)
+    assert top["cosine"] == 1.0
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
