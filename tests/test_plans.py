@@ -453,6 +453,8 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # px5 broadcasts the 4-row centroid frame (IVF assignment) and the
         # 1-row query vector — both dimension-sized by construction
         "px5_retrieval_pipeline",
+        # neg1 broadcasts the 1-row corpus-size scalar onto the draw spine
+        "neg1_negative_sampling",
     }
     import re
 
