@@ -455,6 +455,9 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "px5_retrieval_pipeline",
         # neg1 broadcasts the 1-row corpus-size scalar onto the draw spine
         "neg1_negative_sampling",
+        # heaps1 crosses the 5-row cutoff spine onto the token frame —
+        # the cube-by-cutoff shape (cutoffs are dimension-sized)
+        "heaps1_vocab_growth",
     }
     import re
 
