@@ -458,6 +458,15 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # heaps1 crosses the 5-row cutoff spine onto the token frame —
         # the cube-by-cutoff shape (cutoffs are dimension-sized)
         "heaps1_vocab_growth",
+        # ring1 broadcasts the fixed 40-row vnode ring onto the key scan
+        # (the placement table is a constant, never data-sized)
+        "ring1_consistent_hash",
+        # cov1 broadcasts the 1-row top-50-term universe cell onto the
+        # candidate docs (sanctioned scalar-subquery shape)
+        "cov1_greedy_set_cover",
+        # gs1 assembles one packed instance row from four 1-row frames
+        # (prefs/ranks/key lists) — the whole match is one in-cell fold
+        "gs1_stable_matching",
     }
     import re
 
