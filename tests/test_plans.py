@@ -467,6 +467,17 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # gs1 assembles one packed instance row from four 1-row frames
         # (prefs/ranks/key lists) — the whole match is one in-cell fold
         "gs1_stable_matching",
+        # kt1's pair join runs on the bounded custkey % 7 slice — the
+        # documented O(m^2) oracle-demo shape (sample/bucket at scale)
+        "kt1_kendall_tau",
+        # mst1 self-joins the fixed 12-node frame to build the complete
+        # edge list — instance-sized by construction
+        "mst1_prim_spanning_tree",
+        # ransac1 broadcasts the 10-row hypothesis spine and the 1-row
+        # point-count scalar onto the point scan
+        "ransac1_robust_line",
+        # wp1 crosses the two 1-row vocab cells onto the 200-word frame
+        "wp1_wordpiece_tokenize",
     }
     import re
 
