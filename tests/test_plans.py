@@ -478,6 +478,11 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "ransac1_robust_line",
         # wp1 crosses the two 1-row vocab cells onto the 200-word frame
         "wp1_wordpiece_tokenize",
+        # ca1 is a generated 16x16 grid: the range x range cross and the
+        # constant 8-offset neighbor spine are instance-sized literals
+        "ca1_stencil_rounds",
+        # crdt1 crosses the constant 3-row replica spine onto the scan
+        "crdt1_gcounter_merge",
     }
     import re
 
