@@ -483,6 +483,9 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "ca1_stencil_rounds",
         # crdt1 crosses the constant 3-row replica spine onto the scan
         "crdt1_gcounter_merge",
+        # io1 crosses the two 1-row policy-total scalar frames onto the
+        # 20-request instance
+        "io1_elevator_schedule",
     }
     import re
 
