@@ -486,6 +486,9 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # io1 crosses the two 1-row policy-total scalar frames onto the
         # 20-request instance
         "io1_elevator_schedule",
+        # topo1 crosses the two 1-row packed instance cells (node list,
+        # edge list) — the whole sort is one in-cell state machine
+        "topo1_kahn_order",
     }
     import re
 
