@@ -489,6 +489,12 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # topo1 crosses the two 1-row packed instance cells (node list,
         # edge list) — the whole sort is one in-cell state machine
         "topo1_kahn_order",
+        # pq1 broadcasts the 1-row 4-centroid codebook cell onto the scan
+        "pq1_product_quantization",
+        # zo2 is the generated 16x16 grid (range x range, the ca1 shape)
+        "zo2_hilbert_locality",
+        # trn1 crosses the constant 7x4 (round, slot) spine
+        "trn1_round_robin",
     }
     import re
 
