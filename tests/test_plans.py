@@ -495,6 +495,9 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "zo2_hilbert_locality",
         # trn1 crosses the constant 7x4 (round, slot) spine
         "trn1_round_robin",
+        # sieve1 joins the generated 199-row spine with its 13-row
+        # divisor spine on a non-equi predicate — both constant literals
+        "sieve1_relational_primes",
     }
     import re
 
