@@ -498,6 +498,9 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # sieve1 joins the generated 199-row spine with its 13-row
         # divisor spine on a non-equi predicate — both constant literals
         "sieve1_relational_primes",
+        # cr1 self-crosses the constant 16-node ring for clockwise
+        # distances — instance-sized by construction
+        "cr1_ring_election",
     }
     import re
 
