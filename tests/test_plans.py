@@ -501,6 +501,9 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # cr1 self-crosses the constant 16-node ring for clockwise
         # distances — instance-sized by construction
         "cr1_ring_election",
+        # coin1 broadcasts the 1-row 31-cell DP table onto the 30-amount
+        # spine — both constant literals
+        "coin1_change_dp_vs_greedy",
     }
     import re
 
