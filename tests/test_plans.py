@@ -504,6 +504,15 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # coin1 broadcasts the 1-row 31-cell DP table onto the 30-amount
         # spine — both constant literals
         "coin1_change_dp_vs_greedy",
+        # wave 69-71 scalar frames: each crosses a broadcast 1-row
+        # aggregate (ref day / cutoff / corpus stats / bin bounds) onto
+        # the scan — the scalar-subquery execution shape (io1/pq1
+        # precedent); the broadcast side is exactly one row by
+        # construction
+        "decay1_halflife_leaderboard",
+        "lbl1_leakage_free_labels",
+        "bm25_1_ranked_retrieval",
+        "an4_l_diversity",
     }
     import re
 
