@@ -380,18 +380,18 @@ WITH s AS (
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
-       CAST(CAST(CAST(n AS DECIMAL(12,0)) * sxy AS DECIMAL(37,4))
+       CAST(CAST(CAST(CAST(n AS DECIMAL(12,0)) * sxy AS DECIMAL(37,4))
             - CAST(CAST(sx AS DECIMAL(19,2)) * CAST(sy AS DECIMAL(19,2))
                    AS DECIMAL(37,4))
-            AS DECIMAL(38,4)) AS covar_num,
-       CAST(CAST(CAST(n AS DECIMAL(12,0)) * sxx AS DECIMAL(37,4))
+            AS DECIMAL(38,4)) AS DOUBLE) AS covar_num,
+       CAST(CAST(CAST(CAST(n AS DECIMAL(12,0)) * sxx AS DECIMAL(37,4))
             - CAST(CAST(sx AS DECIMAL(19,2)) * CAST(sx AS DECIMAL(19,2))
                    AS DECIMAL(37,4))
-            AS DECIMAL(38,4)) AS var_qty_num,
-       CAST(CAST(CAST(n AS DECIMAL(12,0)) * syy AS DECIMAL(37,4))
+            AS DECIMAL(38,4)) AS DOUBLE) AS var_qty_num,
+       CAST(CAST(CAST(CAST(n AS DECIMAL(12,0)) * syy AS DECIMAL(37,4))
             - CAST(CAST(sy AS DECIMAL(19,2)) * CAST(sy AS DECIMAL(19,2))
                    AS DECIMAL(37,4))
-            AS DECIMAL(38,4)) AS var_price_num
+            AS DECIMAL(38,4)) AS DOUBLE) AS var_price_num
 FROM s
 """
 
@@ -409,7 +409,12 @@ def stats1_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs DuckDB even from identical exact sums, from int128→double casts).
     The aggregation is a single map-side-combinable groupBy of five decimal
     sums + a count; all products are sized to fit DECIMAL(38) without
-    precision-loss rounding in either engine."""
+    precision-loss rounding in either engine. The numerators leave the
+    query as DOUBLE via ONE terminal cast of the exact decimal (correctly
+    rounded in both engines, so bit-identical): Spark's toPandas hands a
+    DECIMAL column to the driver as object-of-Decimal while DuckDB's .df()
+    hands float64 — representation skew that fails the driver's hash even
+    on equal values (r3 red row; fixed r4)."""
     li = _t(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("decimal(18,2)")
     y = F.col("l_extendedprice").cast("decimal(18,2)")
@@ -427,12 +432,15 @@ def stats1_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (ndec * F.col("sxy") - F.col("sx") * F.col("sy"))
         .cast("decimal(38,4)")
+        .cast("double")
         .alias("covar_num"),
         (ndec * F.col("sxx") - F.col("sx") * F.col("sx"))
         .cast("decimal(38,4)")
+        .cast("double")
         .alias("var_qty_num"),
         (ndec * F.col("syy") - F.col("sy") * F.col("sy"))
         .cast("decimal(38,4)")
+        .cast("double")
         .alias("var_price_num"),
     )
 
@@ -785,12 +793,26 @@ def qt2_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-memory 100 TB path for the same question qt1 answers exactly.
     Rows-only in the driver (sketch results are engine-specific); the
     unit test bounds its error against qt1's exact values at the
-    configured accuracy."""
+    configured accuracy. Output is FLATTENED to scalar (flag, q, value)
+    rows via posexplode — the r3 driver crashed hashing an array<double>
+    column (``TypeError: unhashable type: 'list'``), so even rows-only
+    queries must emit scalar columns."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    qs = [0.25, 0.5, 0.75]
+    agg = li.groupBy("l_returnflag").agg(
         F.percentile_approx(
-            "l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
+            "l_quantity", F.array(*[F.lit(q) for q in qs]), 10000
         ).alias("approx_quantiles")
+    )
+    return agg.select(
+        "l_returnflag",
+        F.posexplode("approx_quantiles").alias("pos", "quantile_value"),
+    ).select(
+        "l_returnflag",
+        F.element_at(
+            F.array(*[F.lit(q) for q in qs]), F.col("pos") + 1
+        ).alias("q"),
+        "quantile_value",
     )
 
 
@@ -1078,7 +1100,7 @@ WITH c AS (
 SELECT cents // 5000000 AS bucket,
        (cents // 5000000) * 50000 AS lo_dollars,
        COUNT(*) AS n_orders,
-       SUM(cents) AS sum_cents,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
        MIN(cents) AS min_cents,
        MAX(cents) AS max_cents
 FROM c GROUP BY 1

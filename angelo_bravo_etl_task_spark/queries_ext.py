@@ -971,7 +971,8 @@ def a4_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MP1_SQL = """
 WITH per_line AS (
   SELECT l_orderkey, l_linenumber,
-         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS qty_c
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS qty_c
   FROM lineitem GROUP BY l_orderkey, l_linenumber
 )
 SELECT l_orderkey, l_linenumber, qty_c
@@ -1018,7 +1019,8 @@ _U6_SQL = """
 SELECT o.o_orderkey,
        CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
        COUNT(l.l_orderkey) AS n_lines,
-       COALESCE(SUM(CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)), 0)
+       CAST(COALESCE(SUM(CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100
+                              AS BIGINT)), 0) AS BIGINT)
          AS sum_qty_c
 FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE o.o_orderkey % 500 = 0
@@ -1225,7 +1227,8 @@ def ord1_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NS1_SQL = """
 SELECT l_orderkey, l_linenumber,
-       SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS qty_c
+       CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS qty_c
 FROM lineitem
 GROUP BY l_orderkey, l_linenumber
 """
@@ -1294,7 +1297,8 @@ def _obs1_build(spark: SparkSession, sf_dir: str):
     """
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT)
              AS sum_cents
     FROM orders
     GROUP BY o_orderpriority
@@ -1319,9 +1323,9 @@ _SRC6_SQL = """
 SELECT o_orderpriority,
        COUNT(*) AS n_rows,
        COUNT(CASE WHEN o_orderkey % 10 = 0 THEN 1 END) AS n_corrupt,
-       SUM(CASE WHEN o_orderkey % 10 <> 0
+       CAST(SUM(CASE WHEN o_orderkey % 10 <> 0
                 THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-           END) AS good_cents
+           END) AS BIGINT) AS good_cents
 FROM orders
 GROUP BY o_orderpriority
 """
@@ -1382,7 +1386,8 @@ def src6_corrupt_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events
     GROUP BY event_type
@@ -1475,7 +1480,7 @@ WITH counts AS (
   SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM counts
 )
 SELECT c.l_suppkey, c.n,
-       (c.n * 10000) // t.total AS share_bp,
+       CAST((c.n * 10000) // t.total AS BIGINT) AS share_bp,
        t.n_keys
 FROM counts c, tot t
 ORDER BY c.n DESC, c.l_suppkey
@@ -1612,7 +1617,8 @@ def w9_nth_value_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, o_orderpriority,
            GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
            COUNT(*) AS n,
-           SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT)
              AS sum_cents
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
@@ -1703,8 +1709,9 @@ def j6_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(CASE WHEN denom = 0 THEN 1 END) AS n_div_null,
            COUNT(CASE WHEN TRY_CAST(maybe_num AS BIGINT) IS NULL THEN 1 END)
              AS n_cast_null,
-           SUM(TRY_CAST(maybe_num AS BIGINT)) AS sum_cast,
-           SUM(CASE WHEN denom <> 0 THEN price_c // denom END) AS sum_div
+           CAST(SUM(TRY_CAST(maybe_num AS BIGINT)) AS BIGINT) AS sum_cast,
+           CAST(SUM(CASE WHEN denom <> 0 THEN price_c // denom END)
+                AS BIGINT) AS sum_div
     FROM t
     """,
 )

@@ -465,7 +465,8 @@ WITH toks AS (
 )
 SELECT grams.doc_id,
        COUNT(*) AS n_bigrams,
-       SUM(CASE WHEN df.doc_freq = 1 THEN 1 ELSE 0 END) AS n_unique
+       CAST(SUM(CASE WHEN df.doc_freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique
 FROM grams JOIN df USING (g)
 GROUP BY grams.doc_id
 """
@@ -566,7 +567,7 @@ def dp1_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sh1_curriculum_shards",
     """
     SELECT COUNT(*) AS n_docs,
-           SUM(CAST(n_chars AS BIGINT)) AS total_chars,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars
     FROM documents
@@ -629,7 +630,8 @@ _PX3_RUN_SEQ = [0]
              g.event_type,
              time_bucket(INTERVAL '10 minutes', g.ts) AS window_start,
              COUNT(*) AS n_events,
-             SUM(CAST(g.value AS DECIMAL(18,2)) * d.weight) AS weighted_value
+             CAST(SUM(CAST(g.value AS DECIMAL(18,2)) * d.weight) AS DOUBLE)
+               AS weighted_value
       FROM gated g JOIN dim d ON g.event_type = d.event_type
       GROUP BY 1, 2, 3
     ), wm AS (
@@ -685,7 +687,7 @@ def px3_streaming_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
             )
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
-                F.sum("wv").alias("weighted_value"),
+                F.sum("wv").cast("double").alias("weighted_value"),
             )
             .select(
                 "event_type",
@@ -815,7 +817,7 @@ WITH ranked AS (
   FROM documents
 )
 SELECT source, COUNT(*) AS n_kept,
-       SUM(CAST(n_chars AS BIGINT)) AS kept_chars
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS kept_chars
 FROM ranked WHERE rnk <= 40
 GROUP BY source
 """

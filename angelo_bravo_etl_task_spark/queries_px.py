@@ -995,7 +995,8 @@ def d8_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PR1_ITER = """
   SELECT e.dst AS node,
-         150000 + (85 * SUM(r.rank // d.outdeg)) // 100 AS rank
+         CAST(150000 + (85 * SUM(r.rank // d.outdeg)) // 100 AS BIGINT)
+           AS rank
   FROM edges e
   JOIN {prev} r ON e.src = r.node
   JOIN deg d ON d.src = e.src

@@ -467,7 +467,8 @@ _E8_RUN_SEQ = [0]
       SELECT d.category,
              time_bucket(INTERVAL '10 minutes', e.ts) AS window_start,
              COUNT(*) AS n_events,
-             SUM(CAST(e.value AS DECIMAL(18,2)) * d.weight) AS weighted_value
+             CAST(SUM(CAST(e.value AS DECIMAL(18,2)) * d.weight) AS DOUBLE)
+               AS weighted_value
       FROM events e JOIN dim d ON e.event_type = d.event_type
       GROUP BY 1, 2
     ), wm AS (
@@ -523,7 +524,7 @@ def e8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
-                F.sum("wv").alias("weighted_value"),
+                F.sum("wv").cast("double").alias("weighted_value"),
             )
             .select(
                 "category",
@@ -545,10 +546,10 @@ def e8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           SUM(CASE WHEN o_orderpriority = '1-URGENT'
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
                     THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 200 AS BIGINT)
                     ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-               END) AS sum_cents
+               END) AS BIGINT) AS sum_cents
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -614,7 +615,8 @@ def zorder_value(a, b):
     """
     SELECT l_returnflag,
            COUNT(*) AS n_rows,
-           SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT)
              AS sum_cents
     FROM lineitem
     WHERE l_partkey BETWEEN 40 AND 119 AND l_suppkey BETWEEN 2 AND 7
@@ -676,7 +678,8 @@ def zo1_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n_rows,
-           SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT)
              AS sum_cents,
            MIN(l_shipdate) AS first_ship,
            MAX(l_shipdate) AS last_ship
@@ -728,7 +731,7 @@ def src5_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM generate_series(0, 9999) AS t(i)
     )
     SELECT sensor_id, COUNT(*) AS n_readings,
-           SUM(value) AS sum_value, MAX(value) AS max_value
+           CAST(SUM(value) AS BIGINT) AS sum_value, MAX(value) AS max_value
     FROM r GROUP BY sensor_id
     """,
 )
@@ -770,7 +773,8 @@ def src7_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_cents
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
     FROM events
     GROUP BY event_type
     """,

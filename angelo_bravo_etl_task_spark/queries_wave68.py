@@ -173,7 +173,7 @@ def w14_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_acctbal").alias("max_bal"),
     )
     w = Window.partitionBy("c_mktsegment").orderBy("decile")
-    expected = (F.col("seg_n") / F.lit(10)).cast("long") + F.when(
+    expected = F.expr("seg_n DIV 10") + F.when(
         F.col("decile") <= F.col("seg_n") % 10, F.lit(1)
     ).otherwise(F.lit(0))
     return (

