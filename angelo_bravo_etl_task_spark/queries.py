@@ -1094,67 +1094,17 @@ from . import queries_wave70  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave71  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
-# correctness sweep covers a bounded prefix of the registry (r1 checked
-# exactly the first 50 registered names), so queries that still need a
-# driver-green row — fixed queries, the 11 with no r1 row, and anything new
-# this round — lead; the long-green tail follows in registration order.
+# correctness sweep covers a bounded ~50-name prefix of the registry, so
+# queries that still need a driver-green row lead; the long-green tail
+# follows in registration order. Rotated every round.
 _CHECK_FIRST: list[str] = [
-    # --- round-3 priority: queries with no driver-green row yet ---
-    "u2_apply_in_pandas",  # r2 hash-FAIL; oracle HUGEINT typing fixed (r3)
-    # 11 registered in r2 but never swept (fell past the 50-name window):
-    "co1_retention_cohorts",
-    "fn1_funnel",
-    "w7_range_interval_window",
-    "stats1_corr_covar",
-    "p2_unpivot",
-    "fz1_levenshtein",
-    "tx7_repetition",
-    "tx8_pii_redaction",
-    "ct1_contamination",
-    "ts2_rollup_cascade",
-    "e6_stream_dedup",
-    # r2-green but vacuous (0 rows); near-dups now planted — re-verify:
-    "x3_embedding_near_dup",
-    # new round 3:
-    "d7_lsh_dedup_e2e",
-    "a3_exact_distinct",
-    "dq1_profile_columns",
-    "mv1_incremental_agg",
-    "scd1_scd2_history",
-    "d8_dedup_survivors",
-    "x5_cluster_centroids",
-    "qt1_exact_quantiles",
-    "qt2_approx_quantiles",
-    "src3_schema_evolution",
-    "e7_stream_filter_dedup",
-    "w8_cumulative_distinct",
-    "hh1_heavy_hitters",
-    "u5_grouped_agg_udf",
-    "pk1_sequence_packing",
-    "sm2_mixture_resample",
-    "bk2_bucketed_agg",
-    "x6_nearest_centroid",
-    # new round-3 wave 2:
-    "cdc1_snapshot_diff",
-    "an1_exact_outliers",
-    "hist1_histogram",
-    "pr1_pagerank",
-    "mp1_map_roundtrip",
-    "u6_cogrouped_udf",
-    "e8_stream_static_join",
-    "src4_dynamic_overwrite",
-    "zo1_zorder_scan",
-    "tx9_bigram_novelty",
-    # new round-3 wave 3:
-    "sql1_sql_frontend",
-    "cache1_cached_reuse",
-    "ord1_global_row_number",
-    "src5_zstd_roundtrip",
-    "mm4_image_resize",
-    "ns1_nested_roundtrip",
-    "obs1_observed_agg",
-    "src6_corrupt_csv",
-    "vr1_variant_json",
+    # --- round-5 rotation: the 50-name driver sweep window (VERDICT r4
+    # items 1/6/7). Base = first never-driver-swept names in registration
+    # order (r1-r4 covered 146 distinct; the head must rotate each round
+    # to drain the 272-query coverage debt). Four verdict-priority names
+    # (e11/e12 stream-stream joins, hh2/a4 sketch rows-only) replace the
+    # last four base names, which lead the round-6 rotation instead.
+    # Long-green tail follows via _ordered_names() in registration order.
     "src7_python_datasource",
     "xml2_from_xml_roundtrip",
     "sk2_skew_profile",
@@ -1179,7 +1129,6 @@ _CHECK_FIRST: list[str] = [
     "vb1_vocab_build",
     "dm1_per_source_caps",
     "bm1_bitmap_distinct",
-    # new round-3 wave 4:
     "j8_interval_overlap",
     "pt1_point_in_time_join",
     "hist2_equidepth",
@@ -1200,165 +1149,12 @@ _CHECK_FIRST: list[str] = [
     "f15_explode_outer",
     "u8_arrow_udf",
     "e9_complete_mode",
-    "seq2_capped_sessions",
-    "dq2_rule_violations",
-    "ab1_experiment_analysis",
-    "arr1_nested_no_explode",
     "e10_stream_union",
     "u9_broadcast_model_udf",
-    "qt3_weighted_median",
-    "cal1_calendar_spine",
-    "mm5_audio_frames",
-    "cur1_corpus_datasheet",
-    "px4_incremental_refresh",
     "e11_stream_stream_left_outer",
-    "sql3_parameterized",
-    "tp1_transpose",
-    "rec1_recursive_cte",
-    "var1_session_variables",
-    "scr1_sql_scripting",
-    "f16_listagg",
-    "aud1_filter_audit",
-    "nh1_null_semantics",
-    "f17_bitwise_aggs",
-    "f18_percentile_cont",
-    "f19_mask",
-    "url1_parse",
-    "luhn1_checksum",
-    "agg2_argmax",
-    "div1_simpson_diversity",
-    "mb1_copurchase_pairs",
-    "w12_ratio_to_report",
-    "tb1_token_bucket",
-    "iu1_interval_union",
-    # new round-3 wave 6:
-    "geo1_grid_knn",
-    "ip1_cidr_enrich",
-    "ks1_two_sample",
-    "mad1_robust_outliers",
-    "gini1_split_impurity",
-    "regr1_linear_fit",
-    "bloom1_bloom_prefilter",
-    "mm6_image_patches",
-    "sql4_group_by_all",
-    "sql5_qualify",
-    "mk1_markov_transitions",
-    "dp2_private_counts",
-    "dpp1_dynamic_pruning",
-    "agg3_mode_tiebreak",
-    "benford1_first_digit",
-    "cht1_chi_square_cells",
-    "geo2_trajectory",
-    "smm1_sparse_matmul",
-    "geo3_point_in_polygon",
-    "gr1_bfs_reachability",
-    "fc1_seasonal_baseline",
-    "tx11_boilerplate",
-    "f21_string_surface",
-    "geo4_tile_pyramid",
-    "fe3_impute_scale",
-    "ar1_conversion_latency",
-    "ts3_ohlc_downsample",
-    "seq3_pattern_match",
-    "ng1_continuation_counts",
-    "kmv1_distinct_sketch",
-    "sky1_skyline",
-    "d9_containment_dedup",
-    "km1_kmeans_iteration",
-    "gr2_clustering_coeff",
-    "dq3_freshness",
-    "mw1_mann_whitney",
-    "fe5_target_encode_loo",
-    "hll1_portable_hyperloglog",
-    "seg1_rfm_segments",
-    "mb2_association_rules",
-    "ir1_inverted_index_search",
-    "sql6_bag_setops",
-    "nb1_naive_bayes",
-    "dt1_decision_stump",
-    "src8_binaryfile_source",
-    "xc1_cross_correlation",
-    "mm7_energy_segments",
-    "anova1_variance_decomposition",
-    "bud1_token_budget_selection",
-    "an3_generalization_ladder",
-    "kap1_cohens_kappa",
-    "rk1_spearman",
-    "fd1_functional_deps",
-    "mix1_temperature_weights",
-    "ndcg1_ranking_quality",
-    "ab2_cuped_adjustment",
-    "sv1_kaplan_meier",
-    "bpe2_apply_merges",
-    "mc1_markov_power",
-    "tx12_readability",
-    "hll2_sketch_union",
-    "geo5_od_matrix",
-    "dq4_missing_partitions",
-    "fe6_winsorized_mean",
-    "fe7_zscore_standardize",
-    "u10_map_in_arrow",
-    "pca1_power_iteration",
-    "db1_temporal_debounce",
-    "emd1_wasserstein",
-    # rows-only-by-design, never yet recorded (past position 50 — first in
-    # line for the next round's window):
+    "e12_stream_stream_full_outer",
     "hh2_heavy_hitters_sketch",
     "a4_hll_rollup",
-    # --- rotation: long-green queries last confirmed in r1, oldest first.
-    # d3/d4/x2/x4/a2 (rows-only) already have recorded rows from r1/r2 and
-    # moved to the tail to keep the 50-name sweep window on new queries ---
-    "d3_minhash_lsh",
-    "d4_simhash",
-    "x2_lsh_topk",
-    "x4_ivf_topk",
-    "a2_approx_distinct",
-    "r1_left_join",
-    "r3_group_count",
-    "r4_distinct",
-    "r5_project_case",
-    "r6_filter_notnull",
-    "r10_visual_attributes",
-    "r12_path_ops",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "j1_semi_anti",
-    "j2_range_join",
-    "j3_asof_join",
-    "w1_topk_per_group",
-    "w2_running_sum",
-    "w3_lag_lead",
-    "g1_rollup",
-    "g2_cube",
-    "g3_grouping_sets",
-    "a1_count_distinct",
-    "s1_setops",
-    "t1_topk_global",
-    "f1_scalar_strings",
-    "f2_dates",
-    "f3_json",
-    "e1_tumbling_window",
-    "e2_session_window",
-    "d1_exact_dedup",
-    "d2_normalized_dedup",
-    "x1_cosine_topk",
-    "tx1_token_stats",
-    "tx2_quality",
-    "tx3_language_id",
-    "tx4_fingerprint",
-    "mm1_binary_meta",
-    "q6_revenue_change",
-    "q12_priority_counts",
-    "q14_promo_ratio",
-    "q18_large_orders",
-    "j4_full_outer",
-    "j5_cross_join",
-    "w4_rank_variants",
-    "w5_first_last",
-    "w6_sliding_sum",
-    "m1_exact_median",
-    "p1_pivot",
 ]
 
 

@@ -3459,7 +3459,6 @@ def src8_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = _os.path.join(
         _SCRATCH, "src8_bin_" + _os.path.basename(sf_dir.rstrip("/"))
     )
-    _os.makedirs(sink, exist_ok=True)
     docs = (
         _t(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 50 == 0)
@@ -3467,10 +3466,33 @@ def src8_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bounded fixture write (≤ ~1% of docs): one .bin per doc, driver-side
     # by design — this materializes the SOURCE under test, it is not a
-    # data path (the read-back below is)
-    for r in docs.collect():
-        with open(_os.path.join(sink, f"doc_{r['doc_id']}.bin"), "wb") as fh:
-            fh.write(r["text"].encode("utf-8"))
+    # data path (the read-back below is). Built in a private tmp dir then
+    # renamed into place so a concurrent run never observes (or scans) a
+    # half-written fixture; the loser of the rename race just reuses the
+    # winner's complete directory.
+    rows = docs.collect()
+    if not (
+        _os.path.isdir(sink)
+        and len(_os.listdir(sink)) == len(rows)
+    ):
+        tmp = f"{sink}.tmp.{_os.getpid()}"
+        _os.makedirs(tmp, exist_ok=True)
+        for r in rows:
+            p = _os.path.join(tmp, f"doc_{r['doc_id']}.bin")
+            with open(p, "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+        import shutil as _shutil
+
+        try:
+            _os.rename(tmp, sink)
+        except OSError:
+            # sink appeared meanwhile: a concurrent winner (complete —
+            # reuse it) or a stale partial from a killed run (replace it)
+            if len(_os.listdir(sink)) != len(rows):
+                _shutil.rmtree(sink, ignore_errors=True)
+                _os.rename(tmp, sink)
+            else:
+                _shutil.rmtree(tmp, ignore_errors=True)
     back = spark.read.format("binaryFile").load(sink)
     return back.select(
         F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)

@@ -58,8 +58,10 @@ WITH toks AS (
   ) WHERE rnk BETWEEN 8 AND 13
 ), scored AS (
   SELECT p.doc_id,
-         CAST(SUM((LEAST((s.n * 1000) // q.df, 100000) * 22 * p.tf * s.l)
-                  // (10 * s.l * p.tf + 3 * s.l + 9 * s.n * d.dl))
+         CAST(SUM((LEAST((s.n * 1000) // q.df, 100000)
+                   * CAST(22 AS HUGEINT) * LEAST(p.tf, 100000) * s.l)
+                  // (CAST(10 AS HUGEINT) * s.l * LEAST(p.tf, 100000)
+                      + 3 * s.l + 9 * s.n * d.dl))
               AS BIGINT) AS score,
          CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
          CAST(MAX(d.dl) AS BIGINT) AS dl
@@ -86,9 +88,17 @@ def bm25_1_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the closed-form of idf · tf(k1+1)/(tf + k1(1−b+b·dl/avgdl)) after
     substituting avgdl = L/N and clearing denominators, so saturation
     AND length normalization survive intact while every operation is an
-    exact integer (positive DIV truncates identically cross-engine; the
-    idf cap bounds the product under 2^63 through sf10: idf ≤ 1e5,
-    22·tf·L ≤ 22·10³·10⁹ ≈ 2.2e13 → ≤ 2.2e18 < 9.2e18). The shape is
+    exact integer (positive DIV truncates identically cross-engine).
+    Overflow is bounded IN-CODE, not by assumption: the idf factor is
+    capped at 1e5, tf is capped at 1e5 via LEAST in both engines (BM25's
+    tf term saturates toward k1+1 anyway, so capping a pathological 1e5+
+    term count changes nothing material), and the products run in
+    128-bit integer arithmetic — Spark DECIMAL(38,0), DuckDB HUGEINT —
+    because int64 is NOT enough at corpus scale: the capped numerator
+    1e5·22·1e5·L passes 2^63 once L > 4.2e7 tokens. In decimal128 it
+    holds to L ≈ 4.5e26 tokens; DIV on positive decimals truncates
+    identically cross-engine and returns BIGINT (property-tested with
+    adversarial tf up to 1e12 at a simulated 4e10-token corpus). The shape is
     the serving shape: a 6-term broadcast query hits the postings index
     by term equi-join, doc lengths join on doc_id, the 1-row corpus
     stats broadcast, scores are one map-side-combinable aggregate, and
@@ -116,8 +126,10 @@ def bm25_1_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "df")
     )
     term_score = F.expr(
-        "(LEAST((n * 1000) DIV df, 100000) * 22 * tf * l)"
-        " DIV (10 * l * tf + 3 * l + 9 * n * dl)"
+        "(LEAST((n * 1000) DIV df, 100000)"
+        " * CAST(22 AS DECIMAL(38,0)) * LEAST(tf, 100000) * l)"
+        " DIV (CAST(10 AS DECIMAL(38,0)) * l * LEAST(tf, 100000)"
+        " + 3 * l + 9 * n * dl)"
     )
     scored = (
         postings.join(F.broadcast(query), "term")

@@ -171,10 +171,12 @@ def test_qt2_sketch_within_accuracy_of_qt1_exact(spark, sf_dir):
         (r["l_returnflag"], r["q"]): r["quantile_value"]
         for r in QUERIES["qt1_exact_quantiles"][0](spark, sf_dir).collect()
     }
-    for r in QUERIES["qt2_approx_quantiles"][0](spark, sf_dir).collect():
-        for q, got in zip((0.25, 0.5, 0.75), r["approx_quantiles"]):
-            want = exact[(r["l_returnflag"], q)]
-            assert abs(got - want) <= 1.0, (r["l_returnflag"], q, got, want)
+    approx_rows = QUERIES["qt2_approx_quantiles"][0](spark, sf_dir).collect()
+    assert len(approx_rows) == len(exact), "one flattened row per (flag, q)"
+    for r in approx_rows:
+        want = exact[(r["l_returnflag"], r["q"])]
+        got = r["quantile_value"]
+        assert abs(got - want) <= 1.0, (r["l_returnflag"], r["q"], got, want)
 
 
 def test_hh2_sketch_matches_exact_under_capacity(spark, sf_dir):

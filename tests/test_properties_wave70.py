@@ -36,6 +36,7 @@ def _bm25_parts(sf_dir):
 
 def _term_score(tf, d_len, df, n, big_l):
     idf = min((n * 1000) // df, 100000)
+    tf = min(tf, 100000)  # in-code overflow bound, mirrored in both engines
     return (idf * 22 * tf * big_l) // (
         10 * big_l * tf + 3 * big_l + 9 * n * d_len
     )
@@ -73,6 +74,54 @@ def test_bm25_replay_and_axioms(spark, sf_dir):
     for tf in (1, 3, 9):
         s = [_term_score(tf, L, df0, n, big_l) for L in (50, 100, 400, 1600)]
         assert s == sorted(s, reverse=True)
+
+
+def test_bm25_products_bounded_at_corpus_scale(spark, sf_dir):
+    """The score arithmetic must survive ANY input tf at corpus-scale
+    (n, L) — the caps and the 128-bit widening are in-code, not
+    assumptions. int64 is NOT enough: even with tf capped at 1e5 the
+    numerator 1e5·22·1e5·L passes 2^63 once L > 4.2e7 tokens, so the
+    production expression runs in DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB). Run the exact Spark-side expression over adversarial tf up
+    to 1e12 on a simulated 4e10-token corpus and assert it matches the
+    unbounded-int Python replica (an overflow would raise under ANSI or
+    silently diverge otherwise), plus cap saturation."""
+    from pyspark.sql import functions as F
+
+    n, big_l, df, d_len = 10**6, 4 * 10**10, 3, 100  # ~sf100 corpus scale
+    tfs = [1, 7, 99999, 100000, 100001, 10**9, 10**12]
+    sdf = spark.createDataFrame(
+        [(t,) for t in tfs], "tf bigint"
+    ).select(
+        "tf",
+        F.expr(
+            f"(LEAST(({n}L * 1000) DIV {df}, 100000)"
+            f" * CAST(22 AS DECIMAL(38,0)) * LEAST(tf, 100000) * {big_l}L)"
+            f" DIV (CAST(10 AS DECIMAL(38,0)) * {big_l}L"
+            f" * LEAST(tf, 100000) + 3 * {big_l}L"
+            f" + 9 * {n}L * {d_len})"
+        ).alias("score"),
+    )
+    got = {r.tf: int(r.score) for r in sdf.collect()}
+    import duckdb
+
+    duck = {
+        t: duckdb.sql(
+            f"SELECT (LEAST(({n} * 1000) // {df}, 100000)"
+            f" * CAST(22 AS HUGEINT) * LEAST({t}, 100000) * {big_l})"
+            f" // (CAST(10 AS HUGEINT) * {big_l} * LEAST({t}, 100000)"
+            f" + 3 * {big_l} + 9 * {n} * {d_len})"
+        ).fetchone()[0]
+        for t in tfs
+    }
+    for t in tfs:
+        want = _term_score(t, d_len, df, n, big_l)
+        assert got[t] == want == duck[t], (t, got[t], duck[t], want)
+        assert 0 <= got[t] <= 100000 * 3, "score within idf·(k1+1)/k1 bound"
+    # cap saturation: tf beyond the cap scores identically to the cap
+    assert got[100001] == got[100000] == got[10**12]
+    # decimal128 headroom for the largest capped numerator
+    assert 100000 * 22 * 100000 * big_l < 10**38
 
 
 def test_il1_interleave_replay(spark, sf_dir):

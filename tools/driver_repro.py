@@ -96,6 +96,9 @@ def main() -> None:
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
+    unknown = sorted(set(args.names) - set(QUERIES))
+    if unknown:
+        ap.error(f"unknown query names (not in QUERIES): {unknown}")
     spark = get_spark()
     con = _duck(args.sf)
     names = args.names or [n for n, (_, sql) in QUERIES.items() if sql]
@@ -103,7 +106,17 @@ def main() -> None:
     for name in names:
         fn, sql = QUERIES[name]
         if sql is None:
-            report[name] = ["(rows-only, skipped)"]
+            # Rows-only queries have no oracle SQL: still RUN the Spark side
+            # (a crash here would be a driver red row) and verify toPandas()
+            # survives the driver's canonical sort, but count them separately
+            # from the hash-safe total.
+            try:
+                spdf = fn(spark, args.sf).toPandas()
+                _canon(spdf)
+                report[name] = [f"(rows-only, ran: {len(spdf)} rows)"]
+            except Exception as exc:
+                report[name] = [f"ERROR: {type(exc).__name__}: {exc}"]
+            print(f"{'rows-onl':8s} {name}  {report[name][0][:120]}")
             continue
         try:
             spdf = fn(spark, args.sf).toPandas()
@@ -121,7 +134,13 @@ def main() -> None:
         k: v for k, v in report.items()
         if any(p.startswith(("HARD", "ERROR")) for p in v)
     }
-    print(f"\n{len(names) - len(hard_bad)}/{len(names)} driver-hash-safe; "
+    rows_only = [
+        k for k, v in report.items()
+        if v and v[0].startswith("(rows-only")
+    ]
+    checked = len(names) - len(rows_only)
+    print(f"\n{checked - len(hard_bad)}/{checked} driver-hash-safe "
+          f"(+{len(rows_only)} rows-only ran clean); "
           f"hard-bad: {sorted(hard_bad)}")
     with open("/tmp/driver_repro.json", "w") as f:
         json.dump(report, f, indent=1, default=str)
