@@ -410,8 +410,15 @@ def stats1_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     The aggregation is a single map-side-combinable groupBy of five decimal
     sums + a count; all products are sized to fit DECIMAL(38) without
     precision-loss rounding in either engine. The numerators leave the
-    query as DOUBLE via ONE terminal cast of the exact decimal (correctly
-    rounded in both engines, so bit-identical): Spark's toPandas hands a
+    query as DOUBLE via ONE terminal cast of the exact decimal. Caveat on
+    that cast: Spark uses BigDecimal.doubleValue (correctly rounded) while
+    DuckDB converts the int128 numerator to double and THEN divides by
+    10^scale — double rounding that can skew 1 ulp once unscaled
+    numerators exceed 2^53 (≈9e15; these (38,4) numerators reach that at
+    roughly sf≥1). Verified bit-identical at sf0.01/sf0.1, the driver's
+    range; for larger SFs scale the numerator down in exact decimal
+    arithmetic before the cast. Separate from the r3 lesson: Spark's
+    toPandas hands a
     DECIMAL column to the driver as object-of-Decimal while DuckDB's .df()
     hands float64 — representation skew that fails the driver's hash even
     on equal values (r3 red row; fixed r4)."""
