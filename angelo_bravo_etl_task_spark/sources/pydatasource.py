@@ -17,7 +17,12 @@ distributed feed would take.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 
@@ -54,3 +59,44 @@ class RangeSensorDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return RangeSensorReader(self.options)
+
+
+class RangeSensorStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of ``RangeSensorReader`` (Spark 4
+    ``SimpleDataSourceStreamReader``): the offset is a row position, each
+    micro-batch advances it by ``step`` rows, and ``readBetweenOffsets``
+    replays any offset range exactly — the REPLAYABILITY contract that
+    makes a custom streaming source recoverable from a checkpoint. Row
+    content is the same id arithmetic as the batch reader, so an SQL
+    oracle reproduces the union of all micro-batches regardless of how
+    the stream was chunked."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.step = int(options.get("step", 100))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def _rows(self, a: int, b: int):
+        return [(i, i % 7, (i * i) % 1000) for i in range(a, b)]
+
+    def read(self, start):
+        a = start["pos"]
+        b = min(a + self.step, self.n_rows)
+        return (iter(self._rows(a, b)), {"pos": b})
+
+    def readBetweenOffsets(self, start, end):
+        return iter(self._rows(start["pos"], end["pos"]))
+
+
+class RangeSensorStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "range_sensor_stream"
+
+    def schema(self) -> str:
+        return "reading_id bigint, sensor_id bigint, value bigint"
+
+    def simpleStreamReader(self, schema: StructType):
+        return RangeSensorStreamReader(self.options)
