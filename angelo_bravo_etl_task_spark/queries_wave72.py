@@ -69,7 +69,9 @@ WITH sh AS (
   FROM ordered o JOIN shn s ON s.doc_id = o.doc_id
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM pre a JOIN pre b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  FROM pre a JOIN pre b
+    ON a.gram = b.gram AND a.doc_id < b.doc_id
+   AND 10 * LEAST(a.n, b.n) >= 6 * GREATEST(a.n, b.n)
 )
 SELECT c.id_a, c.id_b,
        sa.n AS n_a, sb.n AS n_b,
@@ -96,7 +98,11 @@ def ssj1_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles is COMPLETE (property-tested against brute force). It is
     also cheap: the prefix picks each doc's RAREST shingles, so the
     per-shingle join buckets stay small where a join on all shingles
-    (or on frequent ones) would quadratically blow up on common grams.
+    (or on frequent ones) would quadratically blow up on common grams,
+    and the PPJoin length filter (10·min(n_a,n_b) ≥ 6·max — a Jaccard
+    ≥ 0.6 pair cannot differ in size by more than 1/0.6×) prunes
+    size-mismatched candidates before the set-intersection verify,
+    completeness-preserving by the same threshold algebra.
     Verification is exact set arithmetic (|∩| via array_intersect;
     threshold as the integer cross-product inter·10 ≥ 6·union; the
     reported jaccard is one IEEE division of exact BIGINTs, portable).
@@ -133,6 +139,7 @@ def ssj1_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordered.join(sh.select("doc_id", "n"), "doc_id")
         .select(
             "doc_id",
+            "n",
             F.explode(
                 F.slice(
                     "gs",
@@ -143,11 +150,24 @@ def ssj1_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("gram"),
         )
+        # persisted: pre feeds BOTH sides of the candidate self-join, and
+        # without it Catalyst recomputes the freq-join + per-doc sort
+        # pipeline twice (the derived-frame self-join gotcha)
+        .persist()
     )
     cand = (
         pre.alias("a")
         .join(pre.alias("b"), "gram")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            # PPJoin length filter: Jaccard >= 0.6 forces the smaller set
+            # to hold >= 0.6 of the larger, so size-mismatched pairs are
+            # provably below threshold and never reach verification
+            & (
+                10 * F.least(F.col("a.n"), F.col("b.n"))
+                >= 6 * F.greatest(F.col("a.n"), F.col("b.n"))
+            )
+        )
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
