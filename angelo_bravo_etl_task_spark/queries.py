@@ -1102,7 +1102,8 @@ from . import queries_wave78  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave79  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave80  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave81  # noqa: E402,F401  (extends QUERIES)
-from . import queries_wave82  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_wave82  # noqa: E402,F401  (extends QUERIES)
+from . import queries_wave83  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded ~50-name prefix of the registry, so
