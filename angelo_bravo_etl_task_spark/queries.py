@@ -48,6 +48,10 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {}
 
 def _register(name: str, sql: str | None):
     def deco(fn: QueryFn) -> QueryFn:
+        # a duplicate name would SILENTLY shadow the earlier query (and
+        # its oracle) — the wave-72/wave-25 ssj1 collision class
+        if name in QUERIES:
+            raise ValueError(f"duplicate query registration: {name}")
         QUERIES[name] = (fn, sql)
         return fn
 
@@ -1103,7 +1107,8 @@ from . import queries_wave79  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave80  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave81  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave82  # noqa: E402,F401  (extends QUERIES)
-from . import queries_wave83  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_wave83  # noqa: E402,F401  (extends QUERIES)
+from . import queries_wave84  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded ~50-name prefix of the registry, so

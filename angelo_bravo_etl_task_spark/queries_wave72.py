@@ -1,10 +1,10 @@
 r"""Round-5 wave 72: prefix-filter set-similarity join, weighted
 deterministic reservoir sampling.
 
-- ssj1: the UNBOUNDED exact similarity self-join the d-family was
-  missing. d5/d9 brute-force a bounded id window so the oracle can
-  check them; d3/d7 are probabilistic (LSH). ssj1 is the third point
-  of the design space: EXACT Jaccard over ALL pairs with candidate
+- ssj2: the SHINGLE-level sibling of wave 25's token-level ssj1 —
+  an UNBOUNDED exact similarity self-join over 3-gram shingle sets
+  (d5/d9 brute-force a bounded id window; d3/d7 are probabilistic
+  LSH): EXACT Jaccard ≥ 0.6 over ALL pairs with candidate
   generation by the prefix-filtering principle (Chaudhuri et al.,
   SSJoin/PPJoin): order each doc's shingles by ascending global
   document-frequency (rarest first) and index only the first
@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from .queries import _register, _t
 
 # =========================================================================
-# ssj1: prefix-filtering exact similarity self-join (Jaccard >= 0.6)
+# ssj2: prefix-filtering exact shingle-similarity self-join (J >= 0.6)
 # =========================================================================
 
 _DUCK_TOKS = (
@@ -43,7 +43,7 @@ _DUCK_TOKS = (
     "'[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"
 )
 
-_SSJ1_SQL = rf"""
+_SSJ2_SQL = rf"""
 WITH sh AS (
   SELECT doc_id,
          list_distinct(list_filter(
@@ -86,8 +86,8 @@ WHERE CAST(len(list_intersect(sa.grams, sb.grams)) AS BIGINT) * 10
 """
 
 
-@_register("ssj1_prefix_filter_join", _SSJ1_SQL)
-def ssj1_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("ssj2_shingle_prefix_join", _SSJ2_SQL)
+def ssj2_shingle_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard ≥ 0.6 similarity self-join over ALL document pairs
     with prefix-filtering candidate generation — no id-window bound
     (d5/d9's oracle crutch) and no false negatives (d3/d7's LSH risk).

@@ -513,6 +513,24 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "lbl1_leakage_free_labels",
         "bm25_1_ranked_retrieval",
         "an4_l_diversity",
+        # round-5 scalar/dimension broadcasts, all bounded by
+        # construction: prn1/gc1 cross the 1-row global-min-date and
+        # cutoff scalars; est1/est2/mix2 assemble output rows from 1-row
+        # aggregate frames; vb2 crosses the 1-row totals cell and joins
+        # the 11-row power-of-two spine; x8/x9 broadcast the
+        # centroid-dimension frame (every-100th vector) plus 1-row
+        # totals, and x8's exact top-5 runs on the fixed 50-query probe
+        # set (x1's documented audit-sample shape); rbo1 joins the
+        # 10-row depth spine onto the two 10-row rankers
+        "prn1_manifest_pruning",
+        "gc1_orphan_retention",
+        "est1_join_cardinality",
+        "est2_join_order",
+        "mix2_epoch_plan",
+        "vb2_oov_coverage",
+        "x8_ivf_recall",
+        "x9_ivf_bucket_balance",
+        "rbo1_rank_biased_overlap",
     }
     import re
 

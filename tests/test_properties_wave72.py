@@ -1,6 +1,6 @@
 """Independent Python-reference properties for wave 72.
 
-ssj1: rebuild shingle sets in pure Python, brute-force ALL pairs, and
+ssj2: rebuild shingle sets in pure Python, brute-force ALL pairs, and
 certify the prefix filter is COMPLETE (every true pair ≥ τ is emitted —
 the theorem, checked empirically) and SOUND (every emitted pair really
 is ≥ τ), plus the prefix-length formula and the rarest-first ordering.
@@ -49,7 +49,7 @@ def _jaccard_ok(a: set, b: set) -> bool:
     return inter * 10 >= 6 * (len(a) + len(b) - inter)
 
 
-def test_ssj1_prefix_filter_sound_and_complete(spark, sf_dir):
+def test_ssj2_prefix_filter_sound_and_complete(spark, sf_dir):
     docs = pq.read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).to_pylist()
@@ -63,7 +63,7 @@ def test_ssj1_prefix_filter_sound_and_complete(spark, sf_dir):
         for b in ids[i + 1 :]
         if _jaccard_ok(sh[a], sh[b])
     }
-    rows = QUERIES["ssj1_prefix_filter_join"][0](spark, sf_dir).collect()
+    rows = QUERIES["ssj2_shingle_prefix_join"][0](spark, sf_dir).collect()
     got = {(r.id_a, r.id_b) for r in rows}
     assert got == truth, (
         f"missing={sorted(truth - got)[:5]} extra={sorted(got - truth)[:5]}"
