@@ -531,6 +531,21 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "x8_ivf_recall",
         "x9_ivf_bucket_balance",
         "rbo1_rank_biased_overlap",
+        # seg2 crosses 1-row scalar frames onto the ~350-row weekly
+        # series; mk2's pair join runs on the ~80-month AGGREGATED frame
+        # (mw1's rank-test shape) plus 1-row scalar assembly; wt1
+        # broadcasts the 20-row probe spine onto the interval frame
+        "seg2_changepoint",
+        "mk2_mann_kendall",
+        "wt1_systematic_sample",
+        # prn1/gc1-style scalar broadcasts in later waves
+        "ts5_business_days",
+        "sup1_cell_suppression",
+        "hist3_2d_histogram",
+        "est1_join_cardinality",
+        # krip1 assembles its single row from three 1-row aggregate
+        # frames (agreements, n, tie marginals) — boot1's shape
+        "krip1_krippendorff_alpha",
     }
     import re
 
