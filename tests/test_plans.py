@@ -546,6 +546,8 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # krip1 assembles its single row from three 1-row aggregate
         # frames (agreements, n, tie marginals) — boot1's shape
         "krip1_krippendorff_alpha",
+        # jel1 assembles its single row from four 1-row count frames
+        "jel1_join_elimination",
     }
     import re
 
