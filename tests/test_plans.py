@@ -551,6 +551,9 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # d10's ground-truth pair join runs on the bounded doc_id < 300
         # audit slice — the documented d5/d9 oracle-demo shape
         "d10_minhash_recall",
+        # px6 broadcasts the centroid-dimension frame for IVF assignment
+        # (x4/x8's shape)
+        "px6_rag_pipeline",
     }
     import re
 
