@@ -575,3 +575,45 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
             offenders.append(name)
     assert offenders == [], offenders
+
+
+def test_round5_plan_shapes(spark, sf_dir):
+    """Positive plan-shape claims for round-5's headline queries — the
+    docstring promises, asserted on the physical plan instead of
+    trusted (the zo1/hist2 discipline):
+
+    - ssj2: the prefix frame is PERSISTED (InMemoryTableScan feeds both
+      sides of the candidate self-join — without it the freq-join +
+      per-doc sort pipeline runs twice, measured 3x slower);
+    - topp1: every window is partitioned by lang (no single-partition
+      global window over the corpus);
+    - est1: the heavy-hitter selection compiles to
+      TakeOrderedAndProject (partial per-partition limits, never a
+      global sort);
+    - pk2: the bucket aggregate is a partial+final hash aggregate pair
+      (map-side combinable), not a sort-based aggregate.
+    """
+    from angelo_bravo_etl_task_spark.queries import QUERIES
+
+    ssj2 = QUERIES["ssj2_shingle_prefix_join"][0](spark, sf_dir)
+    p = physical_plan(ssj2)
+    assert "InMemoryTableScan" in p, "ssj2 must reuse the persisted prefix"
+
+    topp1 = QUERIES["topp1_nucleus_cutoff"][0](spark, sf_dir)
+    p = physical_plan(topp1)
+    for line in p.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "lang" in line, f"unpartitioned window in topp1: {line}"
+
+    est1 = QUERIES["est1_join_cardinality"][0](spark, sf_dir)
+    p = physical_plan(est1)
+    assert "TakeOrderedAndProject" in p, (
+        "est1's top-20 heavy hitters must be a partial-limit top-k"
+    )
+
+    pk2 = QUERIES["pk2_length_buckets"][0](spark, sf_dir)
+    p = physical_plan(pk2)
+    assert p.count("HashAggregate") >= 2, (
+        "pk2's bucket rollup must be a partial+final hash aggregate"
+    )
+    assert "SortAggregate" not in p
