@@ -554,6 +554,10 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # px6 broadcasts the centroid-dimension frame for IVF assignment
         # (x4/x8's shape)
         "px6_rag_pipeline",
+        # sc1/lb1 assemble rows from 1-row policy/fold scalar frames and
+        # the constant 4-worker spine
+        "sc1_sjf_vs_fifo",
+        "lb1_lpt_balance",
     }
     import re
 
