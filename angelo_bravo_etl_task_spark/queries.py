@@ -1123,7 +1123,10 @@ from . import queries_wave94  # noqa: E402,F401  (extends QUERIES; keep last)
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded ~50-name prefix of the registry, so
 # queries that still need a driver-green row lead; the long-green tail
-# follows in registration order. Rotated every round.
+# follows in registration order. Rotated every round — regenerate with
+# tools/rotate_check_first.py once the previous round's
+# CORRECTNESS_r*.json lands, then pre-verify the new head with
+# tools/driver_repro.py (both sf0.01 and sf0.1).
 _CHECK_FIRST: list[str] = [
     # --- round-5 rotation: the 50-name driver sweep window (VERDICT r4
     # items 1/6/7). Base = first never-driver-swept names in registration
