@@ -1128,63 +1128,59 @@ from . import queries_wave94  # noqa: E402,F401  (extends QUERIES; keep last)
 # CORRECTNESS_r*.json lands, then pre-verify the new head with
 # tools/driver_repro.py (both sf0.01 and sf0.1).
 _CHECK_FIRST: list[str] = [
-    # --- round-5 rotation: the 50-name driver sweep window (VERDICT r4
-    # items 1/6/7). Base = first never-driver-swept names in registration
-    # order (r1-r4 covered 146 distinct; the head must rotate each round
-    # to drain the 272-query coverage debt). Four verdict-priority names
-    # (e11/e12 stream-stream joins, hh2/a4 sketch rows-only) replace the
-    # last four base names, which lead the round-6 rotation instead.
-    # Long-green tail follows via _ordered_names() in registration order.
-    "src7_python_datasource",
-    "xml2_from_xml_roundtrip",
-    "sk2_skew_profile",
-    "er1_blocked_fuzzy_match",
-    "u7_udtf_analyze",
-    "dp1_incremental_dedup",
-    "cp1_compaction",
-    "w9_nth_value_offsets",
-    "g4_grouping_id",
-    "j6_null_safe_join",
-    "f11_try_functions",
-    "cl1_collation",
-    "sh1_curriculum_shards",
-    "px3_streaming_ingest_pipeline",
-    "tc1_triangle_count",
+    # regenerated by tools/rotate_check_first.py — the next 50
+    # never-driver-swept names in registration order; pre-verify
+    # with tools/driver_repro.py before shipping the round
     "f12_array_set_algebra",
-    "j7_asof_tolerance",
-    "w10_rolling_distinct",
-    "seq1_gaps_islands",
-    "f13_timezone_hours",
-    "ck1_doc_chunking",
-    "vb1_vocab_build",
-    "dm1_per_source_caps",
-    "bm1_bitmap_distinct",
-    "j8_interval_overlap",
-    "pt1_point_in_time_join",
-    "hist2_equidepth",
-    "ewma1_exp_smoothing",
-    "an2_k_anonymity",
-    "x7_quantized_cosine",
-    "w11_dist_ranks",
-    "tx10_tfidf_keywords",
-    "bpe1_merge_candidates",
-    "fh1_feature_hashing",
-    "fh2_sparse_cosine_topk",
-    "fe1_feature_binning",
-    "mv2_incremental_distinct",
-    "rc1_reconciliation",
-    "j9_asof_nearest",
-    "sql2_lateral_subquery",
-    "p3_pivot_multi_agg",
-    "f15_explode_outer",
-    "u8_arrow_udf",
-    "e9_complete_mode",
-    "e10_stream_union",
-    "u9_broadcast_model_udf",
-    "e11_stream_stream_left_outer",
-    "e12_stream_stream_full_outer",
-    "hh2_heavy_hitters_sketch",
-    "a4_hll_rollup",
+    "mm5_audio_frames",
+    "sql3_parameterized",
+    "tp1_transpose",
+    "rec1_recursive_cte",
+    "var1_session_variables",
+    "scr1_sql_scripting",
+    "f16_listagg",
+    "nh1_null_semantics",
+    "f17_bitwise_aggs",
+    "f18_percentile_cont",
+    "f19_mask",
+    "agg2_argmax",
+    "seq2_capped_sessions",
+    "dq2_rule_violations",
+    "ab1_experiment_analysis",
+    "arr1_nested_no_explode",
+    "qt3_weighted_median",
+    "cal1_calendar_spine",
+    "mb1_copurchase_pairs",
+    "w12_ratio_to_report",
+    "tb1_token_bucket",
+    "iu1_interval_union",
+    "cur1_corpus_datasheet",
+    "px4_incremental_refresh",
+    "aud1_filter_audit",
+    "url1_parse",
+    "luhn1_checksum",
+    "div1_simpson_diversity",
+    "geo1_grid_knn",
+    "ip1_cidr_enrich",
+    "ks1_two_sample",
+    "mad1_robust_outliers",
+    "gini1_split_impurity",
+    "regr1_linear_fit",
+    "bloom1_bloom_prefilter",
+    "mm6_image_patches",
+    "sql4_group_by_all",
+    "sql5_qualify",
+    "mk1_markov_transitions",
+    "dp2_private_counts",
+    "dpp1_dynamic_pruning",
+    "agg3_mode_tiebreak",
+    "benford1_first_digit",
+    "cht1_chi_square_cells",
+    "geo2_trajectory",
+    "smm1_sparse_matmul",
+    "geo3_point_in_polygon",
+    "gr1_bfs_reachability",
+    "fc1_seasonal_baseline",
 ]
 
 

@@ -1800,10 +1800,13 @@ WITH per_order AS (
   FROM lineitem GROUP BY l_orderkey
 )
 SELECT l_orderkey,
-       list_sort(list_distinct(list_cat(hi_qty, hi_price))) AS u,
-       list_sort(list_intersect(hi_qty, hi_price)) AS i,
-       list_sort(list_filter(hi_qty,
-                 x -> NOT list_contains(hi_price, x))) AS d
+       COALESCE(array_to_string(
+         list_sort(list_distinct(list_cat(hi_qty, hi_price))), ','), '')
+         AS u,
+       COALESCE(array_to_string(
+         list_sort(list_intersect(hi_qty, hi_price)), ','), '') AS i,
+       COALESCE(array_to_string(list_sort(list_filter(hi_qty,
+                 x -> NOT list_contains(hi_price, x))), ','), '') AS d
 FROM per_order
 WHERE len(hi_qty) > 0 OR len(hi_price) > 0
 """
@@ -1818,7 +1821,11 @@ def f12_array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     with sort+distinct because the builtins differ in ORDER guarantees
     (Spark preserves first-argument order, DuckDB does not) — order is
     representation, set content is semantics, and the oracle pins the
-    semantics."""
+    semantics. The terminal columns are `array_join(..., ',')` STRINGS,
+    not arrays: the driver's canonicalizer row-sorts raw pandas columns
+    and list cells are unhashable (`TypeError` — the round-5 red row), so
+    the sorted+distinct arrays are rendered in their canonical order as
+    CSV strings, which is the same information bit-for-bit."""
     li = _t(spark, sf_dir, "lineitem")
     per_order = li.groupBy("l_orderkey").agg(
         F.array_sort(
@@ -1842,9 +1849,15 @@ def f12_array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("hi_qty") > 0) | (F.size("hi_price") > 0)
     ).select(
         "l_orderkey",
-        F.array_sort(F.array_union("hi_qty", "hi_price")).alias("u"),
-        F.array_sort(F.array_intersect("hi_qty", "hi_price")).alias("i"),
-        F.array_sort(F.array_except("hi_qty", "hi_price")).alias("d"),
+        F.array_join(
+            F.array_sort(F.array_union("hi_qty", "hi_price")), ","
+        ).alias("u"),
+        F.array_join(
+            F.array_sort(F.array_intersect("hi_qty", "hi_price")), ","
+        ).alias("i"),
+        F.array_join(
+            F.array_sort(F.array_except("hi_qty", "hi_price")), ","
+        ).alias("d"),
     )
 
 

@@ -81,9 +81,16 @@ def _run_stream_to_memory(
                 if n >= _SRC9_N_ROWS:
                     break
                 time.sleep(0.3)
-            batches = q.lastProgress["batchId"] if q.lastProgress else 0
         finally:
             q.stop()
+        # Derive the batch count AFTER stop() from recentProgress (max
+        # batchId): lastProgress can be None or lag the final committed
+        # batch right after the row-count poll breaks, which made the
+        # multi-batch assertion flaky even on genuinely ~7-batch runs.
+        batches = max(
+            (p["batchId"] for p in (q.recentProgress or []) if p),
+            default=0,
+        )
     assert spark.table(sink).count() == _SRC9_N_ROWS, "stream did not drain"
     assert batches >= _SRC9_N_ROWS // _SRC9_STEP - 1, (
         "expected a multi-batch run",
@@ -174,8 +181,16 @@ def e13_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state: dict[int, tuple[int, int, int]] = {}  # sensor -> (n, last_id, val)
     seen = [0]
+    merged_batches: set[int] = set()
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch may redeliver a micro-batch after a transient
+        # failure; the merge below is NOT idempotent (counts add), so a
+        # replayed batch_id must be skipped or the fold double-counts —
+        # the same dedup-by-batch-id every real CDC apply-loop carries.
+        if batch_id in merged_batches:
+            return
+        merged_batches.add(batch_id)
         partial = (
             batch_df.groupBy("sensor_id")
             .agg(

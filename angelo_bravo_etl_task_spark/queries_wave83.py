@@ -214,8 +214,15 @@ def e14_stream_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("j.*")
     routed = _dlq_route(parsed)
     acc = {"good": 0, "repaired": 0, "dead": 0, "chars": 0, "batches": 0}
+    folded_batches: set[int] = set()
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        # Additive counters are not idempotent: skip a micro-batch Spark
+        # redelivers after a transient failure so the ledger cannot
+        # double-count (same guard as e13's _merge).
+        if batch_id in folded_batches:
+            return
+        folded_batches.add(batch_id)
         part = (
             batch_df.groupBy("route")
             .agg(

@@ -57,6 +57,21 @@ def _norm_rows(cols, rows):
 def test_query_matches_oracle(spark, sf_dir, name):
     fn, sql = QUERIES[name]
     sdf = fn(spark, sf_dir)
+    # Driver-canonicalizer guard (qt2/f12 lesson, third occurrence of the
+    # class in round 5): the driver row-sorts RAW pandas columns, and
+    # list/dict cells are unhashable there, so an oracle-paired query must
+    # never emit a nested top-level column — flatten with array_join /
+    # to_json at the terminal select instead.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    nested = [
+        f.name for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not nested, (
+        f"{name}: nested-type output columns {nested} would crash the "
+        "driver's canonical row-sort — emit scalars only"
+    )
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 

@@ -542,7 +542,6 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "ts5_business_days",
         "sup1_cell_suppression",
         "hist3_2d_histogram",
-        "est1_join_cardinality",
         # krip1 assembles its single row from three 1-row aggregate
         # frames (agreements, n, tie marginals) — boot1's shape
         "krip1_krippendorff_alpha",

@@ -27,6 +27,7 @@ import sys
 
 import duckdb
 import pandas as pd
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -45,14 +46,18 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Driver-style canonicalization: columns sorted by name, rows sorted
-    lexicographically by all columns (stringified so mixed/object columns
-    sort deterministically), index reset."""
+    """Driver-style canonicalization, BYTE-FAITHFUL to the driver's _canon:
+    columns sorted by name, then `sort_values` on the RAW columns (the
+    round-5 f12 traceback shows the driver sorts raw values — pandas
+    lexsort_indexer -> Categorical -> factorize, which raises
+    `TypeError: unhashable type: 'list'` on array cells). Any exception
+    here is therefore a real driver crash and MUST propagate to the
+    caller; do not pre-stringify (that is exactly the divergence that let
+    f12 pass the round-5 pre-verification while the real driver burned a
+    red row)."""
     pdf = pdf[sorted(pdf.columns)]
     if len(pdf) and len(pdf.columns):
-        key = pdf.astype(str)
-        order = key.sort_values(by=list(key.columns), kind="mergesort").index
-        pdf = pdf.loc[order]
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
     return pdf.reset_index(drop=True)
 
 
@@ -119,9 +124,20 @@ def main() -> None:
             print(f"{'rows-onl':8s} {name}  {report[name][0][:120]}")
             continue
         try:
-            spdf = fn(spark, args.sf).toPandas()
+            sdf = fn(spark, args.sf)
+            nested = [
+                f.name for f in sdf.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            probs = (
+                [f"HARD nested-type columns {nested}: the driver's _canon "
+                 "row-sort crashes on list/dict cells — flatten "
+                 "(array_join / to_json) before rotation"]
+                if nested else []
+            )
+            spdf = sdf.toPandas()
             dpdf = con.execute(sql).df()
-            probs = compare(name, spdf, dpdf)
+            probs += compare(name, spdf, dpdf)
         except Exception as exc:
             probs = [f"ERROR: {type(exc).__name__}: {exc}"]
         report[name] = probs
