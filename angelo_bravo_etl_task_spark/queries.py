@@ -1131,56 +1131,56 @@ _CHECK_FIRST: list[str] = [
     # regenerated by tools/rotate_check_first.py — the next 50
     # never-driver-swept names in registration order; pre-verify
     # with tools/driver_repro.py before shipping the round
-    "f12_array_set_algebra",
-    "mm5_audio_frames",
-    "sql3_parameterized",
-    "tp1_transpose",
-    "rec1_recursive_cte",
-    "var1_session_variables",
-    "scr1_sql_scripting",
-    "f16_listagg",
-    "nh1_null_semantics",
-    "f17_bitwise_aggs",
-    "f18_percentile_cont",
-    "f19_mask",
-    "agg2_argmax",
-    "seq2_capped_sessions",
-    "dq2_rule_violations",
-    "ab1_experiment_analysis",
-    "arr1_nested_no_explode",
-    "qt3_weighted_median",
-    "cal1_calendar_spine",
-    "mb1_copurchase_pairs",
-    "w12_ratio_to_report",
-    "tb1_token_bucket",
-    "iu1_interval_union",
-    "cur1_corpus_datasheet",
-    "px4_incremental_refresh",
-    "aud1_filter_audit",
-    "url1_parse",
-    "luhn1_checksum",
-    "div1_simpson_diversity",
-    "geo1_grid_knn",
-    "ip1_cidr_enrich",
-    "ks1_two_sample",
-    "mad1_robust_outliers",
-    "gini1_split_impurity",
-    "regr1_linear_fit",
-    "bloom1_bloom_prefilter",
-    "mm6_image_patches",
-    "sql4_group_by_all",
-    "sql5_qualify",
-    "mk1_markov_transitions",
-    "dp2_private_counts",
-    "dpp1_dynamic_pruning",
-    "agg3_mode_tiebreak",
-    "benford1_first_digit",
-    "cht1_chi_square_cells",
-    "geo2_trajectory",
-    "smm1_sparse_matmul",
-    "geo3_point_in_polygon",
-    "gr1_bfs_reachability",
-    "fc1_seasonal_baseline",
+    "px5_retrieval_pipeline",
+    "px6_rag_pipeline",
+    "src8_binaryfile_source",
+    "src9_python_stream_source",
+    "e13_foreachbatch_upsert",
+    "e14_stream_dlq",
+    "u10_map_in_arrow",
+    "u11_scalar_iter_udf",
+    "u12_udtf_table_arg",
+    "u13_apply_in_arrow",
+    "d9_containment_dedup",
+    "mb2_association_rules",
+    "kmv1_distinct_sketch",
+    "hll1_portable_hyperloglog",
+    "km1_kmeans_iteration",
+    "tx11_boilerplate",
+    "f21_string_surface",
+    "geo4_tile_pyramid",
+    "fe3_impute_scale",
+    "ar1_conversion_latency",
+    "ts3_ohlc_downsample",
+    "seq3_pattern_match",
+    "ng1_continuation_counts",
+    "sky1_skyline",
+    "gr2_clustering_coeff",
+    "dq3_freshness",
+    "mw1_mann_whitney",
+    "fe5_target_encode_loo",
+    "seg1_rfm_segments",
+    "ir1_inverted_index_search",
+    "sql6_bag_setops",
+    "nb1_naive_bayes",
+    "dt1_decision_stump",
+    "xc1_cross_correlation",
+    "mm7_energy_segments",
+    "anova1_variance_decomposition",
+    "bud1_token_budget_selection",
+    "an3_generalization_ladder",
+    "kap1_cohens_kappa",
+    "rk1_spearman",
+    "fd1_functional_deps",
+    "mix1_temperature_weights",
+    "ndcg1_ranking_quality",
+    "ab2_cuped_adjustment",
+    "sv1_kaplan_meier",
+    "bpe2_apply_merges",
+    "mc1_markov_power",
+    "tx12_readability",
+    "hll2_sketch_union",
+    "geo5_od_matrix",
 ]
 
 

@@ -1731,9 +1731,13 @@ SELECT CAST(2 AS BIGINT) AS zoom, CAST(cx AS BIGINT) AS cx,
        CAST(cy AS BIGINT) AS cy, CAST(n AS BIGINT) AS n
 FROM z2
 UNION ALL
-SELECT 1, cx // 5, cy // 5, SUM(n) FROM z2 GROUP BY cx // 5, cy // 5
+SELECT CAST(1 AS BIGINT), CAST(cx // 5 AS BIGINT), CAST(cy // 5 AS BIGINT),
+       CAST(SUM(n) AS BIGINT)
+FROM z2 GROUP BY cx // 5, cy // 5
 UNION ALL
-SELECT 0, cx // 25, cy // 25, SUM(n) FROM z2 GROUP BY cx // 25, cy // 25
+SELECT CAST(0 AS BIGINT), CAST(cx // 25 AS BIGINT), CAST(cy // 25 AS BIGINT),
+       CAST(SUM(n) AS BIGINT)
+FROM z2 GROUP BY cx // 25, cy // 25
 """
 
 
@@ -3354,7 +3358,7 @@ WITH labeled AS (
          nl * (n - nl) * n AS wg_den
   FROM cum WHERE nl > 0 AND n - nl > 0
 )
-SELECT threshold, CAST(nl AS BIGINT) AS n_left,
+SELECT CAST(threshold AS VARCHAR) AS threshold, CAST(nl AS BIGINT) AS n_left,
        CAST(pl AS BIGINT) AS pos_left,
        CAST(nr AS BIGINT) AS n_right, CAST(pr AS BIGINT) AS pos_right,
        CAST(wg_num AS BIGINT) AS wg_num, CAST(wg_den AS BIGINT) AS wg_den,
@@ -3410,7 +3414,10 @@ def dt1_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * nl
     wg_den = nl * nr * n
     splits = cum.where((nl > 0) & (nr > 0)).select(
-        F.col("v").alias("threshold"),
+        # DECIMAL(18,2) -> string on BOTH engines renders fixed 2 decimals
+        # ('112.50'), where a float64 release would print '112.5' on the
+        # DuckDB/pandas side only — the round-7 pre-verify divergence.
+        F.col("v").cast("string").alias("threshold"),
         nl.cast("bigint").alias("n_left"),
         pl.cast("bigint").alias("pos_left"),
         nr.cast("bigint").alias("n_right"),

@@ -188,9 +188,12 @@ def e13_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # failure; the merge below is NOT idempotent (counts add), so a
         # replayed batch_id must be skipped or the fold double-counts —
         # the same dedup-by-batch-id every real CDC apply-loop carries.
+        # The batch is marked merged only AFTER the fold completes: a
+        # batch whose first attempt died mid-collect is re-processed on
+        # replay (at-least-once upgraded to exactly-once by the guard),
+        # while a successfully-applied batch is never double-counted.
         if batch_id in merged_batches:
             return
-        merged_batches.add(batch_id)
         partial = (
             batch_df.groupBy("sensor_id")
             .agg(
@@ -206,6 +209,7 @@ def e13_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 last_id, last_v = id0, v0
             state[r.sensor_id] = (n0 + r.n, last_id, last_v)
             seen[0] += r.n
+        merged_batches.add(batch_id)
 
     with ephemeral_checkpoint_dir() as ckpt:
         q = (

@@ -219,10 +219,11 @@ def e14_stream_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         # Additive counters are not idempotent: skip a micro-batch Spark
         # redelivers after a transient failure so the ledger cannot
-        # double-count (same guard as e13's _merge).
+        # double-count (same guard as e13's _merge). Marked folded only
+        # AFTER the fold completes so a batch whose first attempt failed
+        # mid-collect is re-processed on replay rather than lost.
         if batch_id in folded_batches:
             return
-        folded_batches.add(batch_id)
         part = (
             batch_df.groupBy("route")
             .agg(
@@ -236,6 +237,7 @@ def e14_stream_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
             if r.route != "dead":
                 acc["chars"] += r.chars
         acc["batches"] += 1
+        folded_batches.add(batch_id)
 
     with ephemeral_checkpoint_dir() as ckpt:
         q = (

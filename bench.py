@@ -77,17 +77,58 @@ def main() -> None:
         except Exception:
             pass
 
-    timings: dict[str, float] = {}
-    for name, (fn, _) in QUERIES.items():
+    def run_once(name: str) -> float:
+        fn = QUERIES[name][0]
         quiesce()
         start = time.perf_counter()
+        fn(spark, sf_dir).count()
+        return round(time.perf_counter() - start, 3)
+
+    timings: dict[str, float] = {}
+    for name in QUERIES:
         try:
-            fn(spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - start, 3)
+            timings[name] = run_once(name)
             print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
         except Exception as exc:  # record failures without killing the run
             timings[name] = -1.0
             print(f"# bench error {name}: {exc}", file=sys.stderr, flush=True)
+
+    # Variance guard (verdict r6 item 3): a single-run bench cannot tell a
+    # real regression from JVM/GC noise — round 6 saw six >1.5× swings with
+    # ZERO code change (mb2/d7/d6/tc1/kmv1/hdr1). The headline px1, the 10
+    # slowest queries of this run, and the known round-6 outliers get two
+    # more samples; their recorded time becomes the MEDIAN of 3, flagged in
+    # "median_of" so round-over-round deltas on the expensive tail are
+    # meaningful. The registry tail stays single-run (its times are small
+    # and sum-dominated by the median-guarded head).
+    R6_OUTLIERS = [
+        "mb2_association_rules", "d7_lsh_dedup_e2e", "d6_dup_clusters",
+        "tc1_triangle_count", "kmv1_distinct_sketch", "hdr1_log_histogram",
+    ]
+    top10 = sorted(
+        (n for n, t in timings.items() if t >= 0),
+        key=lambda n: timings[n], reverse=True,
+    )[:10]
+    remeasure = [
+        n for n in dict.fromkeys(
+            ["px1_loinc_i2b2_pipeline"] + top10 + R6_OUTLIERS
+        )
+        if timings.get(n, -1.0) >= 0
+    ]
+    median_of: dict[str, int] = {}
+    for name in remeasure:
+        samples = [timings[name]]
+        for _ in range(2):
+            try:
+                samples.append(run_once(name))
+            except Exception as exc:
+                print(f"# bench rerun error {name}: {exc}",
+                      file=sys.stderr, flush=True)
+        samples.sort()
+        timings[name] = samples[len(samples) // 2]
+        median_of[name] = len(samples)
+        print(f"# median {name}: {timings[name]}s of {samples}",
+              file=sys.stderr, flush=True)
 
     ok = [t for t in timings.values() if t >= 0]
     total = round(sum(ok), 3)
@@ -109,6 +150,7 @@ def main() -> None:
         # FRONT of long lines (BENCH_r02), so the headline fields go LAST
         # where a tail-window capture preserves them.
         "queries": timings,
+        "median_of": median_of,
         "sf": sf,
         "n_queries": len(timings),
         "sum_all_queries_sec": total,

@@ -123,23 +123,27 @@ def main() -> None:
                 report[name] = [f"ERROR: {type(exc).__name__}: {exc}"]
             print(f"{'rows-onl':8s} {name}  {report[name][0][:120]}")
             continue
+        probs: list[str] = []
         try:
             sdf = fn(spark, args.sf)
             nested = [
                 f.name for f in sdf.schema.fields
                 if isinstance(f.dataType, (ArrayType, MapType, StructType))
             ]
-            probs = (
-                [f"HARD nested-type columns {nested}: the driver's _canon "
-                 "row-sort crashes on list/dict cells — flatten "
-                 "(array_join / to_json) before rotation"]
-                if nested else []
-            )
+            if nested:
+                probs.append(
+                    f"HARD nested-type columns {nested}: the driver's "
+                    "_canon row-sort crashes on list/dict cells — flatten "
+                    "(array_join / to_json) before rotation"
+                )
             spdf = sdf.toPandas()
             dpdf = con.execute(sql).df()
             probs += compare(name, spdf, dpdf)
         except Exception as exc:
-            probs = [f"ERROR: {type(exc).__name__}: {exc}"]
+            # APPEND so a pre-collected HARD nested-type diagnostic (the
+            # actionable "flatten it" note) survives alongside the crash
+            # it predicted, instead of being overwritten by it.
+            probs.append(f"ERROR: {type(exc).__name__}: {exc}")
         report[name] = probs
         hard = [p for p in probs if p.startswith(("HARD", "ERROR"))]
         status = "OK" if not probs else ("DIVERGES" if hard else "soft")
