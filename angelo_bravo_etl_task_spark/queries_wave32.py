@@ -236,9 +236,10 @@ WITH pts AS (
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_segments,
        CAST(SUM(dur_us) AS BIGINT) AS span_us,
-       CAST(SUM(cents * dur_us) AS DECIMAL(38,6)) AS twa_num,
-       CAST(SUM(CAST(cents AS DECIMAL(38,6))) AS DECIMAL(38,6))
-         AS plain_sum
+       CAST(CAST(SUM(cents * dur_us) AS DECIMAL(38,6)) AS VARCHAR)
+         AS twa_num,
+       CAST(CAST(SUM(CAST(cents AS DECIMAL(38,6))) AS DECIMAL(38,6))
+            AS VARCHAR) AS plain_sum
 FROM seg GROUP BY user_id
 HAVING COUNT(*) >= 3
 """
@@ -278,11 +279,17 @@ def twa1_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
             F.sum("dur_us").alias("span_us"),
+            # exact DECIMAL(38,6) released as its fixed-6-decimal string
+            # on BOTH engines — DuckDB's pandas path degrades >18-digit
+            # decimals to float64, losing a ULP at twa_num's 1e16
+            # magnitudes (round-7 full-replica finding; dt1's fix).
             F.sum(F.col("cents") * F.col("dur_us"))
             .cast("decimal(38,6)")
+            .cast("string")
             .alias("twa_num"),
             F.sum(F.col("cents").cast("decimal(38,6)"))
             .cast("decimal(38,6)")
+            .cast("string")
             .alias("plain_sum"),
         )
         .where(F.col("n_segments") >= 3)

@@ -35,13 +35,13 @@ WITH logs AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CASE WHEN action = 'click' THEN 1 ELSE 0 END) AS BIGINT)
          AS n_match,
-       CAST(5 * SUM(CASE WHEN action = 'click'
-                         THEN reward_cents ELSE 0 END)
-            AS DECIMAL(38,6)) AS ips_num,
+       CAST(CAST(5 * SUM(CASE WHEN action = 'click'
+                              THEN reward_cents ELSE 0 END)
+                 AS DECIMAL(38,6)) AS VARCHAR) AS ips_num,
        CAST(COUNT(*) AS BIGINT) AS ips_den,
-       CAST(SUM(CASE WHEN action = 'click'
-                     THEN reward_cents ELSE 0 END)
-            AS DECIMAL(38,6)) AS snips_num,
+       CAST(CAST(SUM(CASE WHEN action = 'click'
+                          THEN reward_cents ELSE 0 END)
+                 AS DECIMAL(38,6)) AS VARCHAR) AS snips_num,
        CAST(SUM(CASE WHEN action = 'click' THEN 1 ELSE 0 END) AS BIGINT)
          AS snips_den
 FROM logs
@@ -70,12 +70,18 @@ def ops1_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logs.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(match, 1).otherwise(0)).cast("bigint").alias("n_match"),
+        # exact DECIMAL(38,6) released as its fixed-6-decimal string on
+        # BOTH engines: DuckDB's pandas path degrades >18-digit decimals
+        # to float64 ('50975500.0' vs Spark's '50975500.000000') — the
+        # round-7 full-replica divergence class (same fix as dt1).
         (5 * F.sum(F.when(match, F.col("reward_cents")).otherwise(0)))
         .cast("decimal(38,6)")
+        .cast("string")
         .alias("ips_num"),
         F.count(F.lit(1)).alias("ips_den"),
         F.sum(F.when(match, F.col("reward_cents")).otherwise(0))
         .cast("decimal(38,6)")
+        .cast("string")
         .alias("snips_num"),
         F.sum(F.when(match, 1).otherwise(0)).cast("bigint").alias(
             "snips_den"
