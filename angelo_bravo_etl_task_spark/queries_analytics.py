@@ -383,15 +383,15 @@ SELECT l_returnflag, n,
        CAST(CAST(CAST(CAST(n AS DECIMAL(12,0)) * sxy AS DECIMAL(37,4))
             - CAST(CAST(sx AS DECIMAL(19,2)) * CAST(sy AS DECIMAL(19,2))
                    AS DECIMAL(37,4))
-            AS DECIMAL(38,4)) AS DOUBLE) AS covar_num,
+            AS DECIMAL(38,4)) AS VARCHAR) AS covar_num,
        CAST(CAST(CAST(CAST(n AS DECIMAL(12,0)) * sxx AS DECIMAL(37,4))
             - CAST(CAST(sx AS DECIMAL(19,2)) * CAST(sx AS DECIMAL(19,2))
                    AS DECIMAL(37,4))
-            AS DECIMAL(38,4)) AS DOUBLE) AS var_qty_num,
+            AS DECIMAL(38,4)) AS VARCHAR) AS var_qty_num,
        CAST(CAST(CAST(CAST(n AS DECIMAL(12,0)) * syy AS DECIMAL(37,4))
             - CAST(CAST(sy AS DECIMAL(19,2)) * CAST(sy AS DECIMAL(19,2))
                    AS DECIMAL(37,4))
-            AS DECIMAL(38,4)) AS DOUBLE) AS var_price_num
+            AS DECIMAL(38,4)) AS VARCHAR) AS var_price_num
 FROM s
 """
 
@@ -410,14 +410,13 @@ def stats1_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     The aggregation is a single map-side-combinable groupBy of five decimal
     sums + a count; all products are sized to fit DECIMAL(38) without
     precision-loss rounding in either engine. The numerators leave the
-    query as DOUBLE via ONE terminal cast of the exact decimal. Caveat on
-    that cast: Spark uses BigDecimal.doubleValue (correctly rounded) while
-    DuckDB converts the int128 numerator to double and THEN divides by
-    10^scale — double rounding that can skew 1 ulp once unscaled
-    numerators exceed 2^53 (≈9e15; these (38,4) numerators reach that at
-    roughly sf≥1). Verified bit-identical at sf0.01/sf0.1, the driver's
-    range; for larger SFs scale the numerator down in exact decimal
-    arithmetic before the cast. Separate from the r3 lesson: Spark's
+    query as fixed-4-decimal STRINGS of the exact decimal. They used to
+    leave via a terminal double cast, but Spark uses
+    BigDecimal.doubleValue (correctly rounded) while DuckDB converts the
+    int128 numerator to double and THEN divides by 10^scale — double
+    rounding that skews 1 ulp once unscaled numerators exceed 2^53
+    (≈9e15), observed live at sf0.1 after a driver data regeneration.
+    The string release is exact at every SF. Separate from the r3 lesson: Spark's
     toPandas hands a
     DECIMAL column to the driver as object-of-Decimal while DuckDB's .df()
     hands float64 — representation skew that fails the driver's hash even
@@ -437,17 +436,24 @@ def stats1_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag",
         "n",
+        # The exact DECIMAL(38,4) numerators leave as their fixed-4-decimal
+        # STRINGS on both engines: the terminal double cast documented
+        # below went 1-ULP divergent at sf0.1 once the regenerated data
+        # pushed unscaled numerators past 2^53 (DuckDB converts int128 to
+        # double then divides by 10^scale — double rounding; found by the
+        # round-7 sf0.1 replica sweep). Consumers needing a double divide
+        # the string-exact numerator themselves; the value is unchanged.
         (ndec * F.col("sxy") - F.col("sx") * F.col("sy"))
         .cast("decimal(38,4)")
-        .cast("double")
+        .cast("string")
         .alias("covar_num"),
         (ndec * F.col("sxx") - F.col("sx") * F.col("sx"))
         .cast("decimal(38,4)")
-        .cast("double")
+        .cast("string")
         .alias("var_qty_num"),
         (ndec * F.col("syy") - F.col("sy") * F.col("sy"))
         .cast("decimal(38,4)")
-        .cast("double")
+        .cast("string")
         .alias("var_price_num"),
     )
 

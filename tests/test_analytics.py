@@ -84,7 +84,9 @@ def test_moment_numerators_nonnegative_and_corr_bounded(spark, sf_dir):
     rows = _run(spark, sf_dir, "stats1_corr_covar").collect()
     assert rows
     for r in rows:
-        assert r.var_qty_num >= 0 and r.var_price_num >= 0
+        # numerators are released as exact decimal STRINGS (see stats1's
+        # docstring); parse for the numeric laws
+        assert float(r.var_qty_num) >= 0 and float(r.var_price_num) >= 0
         corr = float(r.covar_num) / (
             float(r.var_qty_num) ** 0.5 * float(r.var_price_num) ** 0.5
         )
