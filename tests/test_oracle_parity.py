@@ -62,7 +62,7 @@ def test_query_matches_oracle(spark, sf_dir, name):
     # list/dict cells are unhashable there, so an oracle-paired query must
     # never emit a nested top-level column — flatten with array_join /
     # to_json at the terminal select instead.
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
     nested = [
         f.name for f in sdf.schema.fields
@@ -71,6 +71,21 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert not nested, (
         f"{name}: nested-type output columns {nested} would crash the "
         "driver's canonical row-sort — emit scalars only"
+    )
+    # Second structural driver hazard (dt1/ops1/twa1/stats1, round 7): a
+    # DecimalType OUTPUT column reaches the driver's pandas compare as
+    # Spark object-of-Decimal ('112.50') vs DuckDB float64 ('112.5') —
+    # a guaranteed hash mismatch this collect/fetchall-level test cannot
+    # see (both sides hand back decimal.Decimal here). Terminal-release
+    # decimals as double (precision <= 18, values < 2^53) or as
+    # fixed-scale strings (wide/exact); never raw DecimalType.
+    decimals = [
+        f.name for f in sdf.schema.fields
+        if isinstance(f.dataType, DecimalType)
+    ]
+    assert not decimals, (
+        f"{name}: DecimalType output columns {decimals} hash-diverge at "
+        "the driver's pandas level — release as double or string"
     )
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
