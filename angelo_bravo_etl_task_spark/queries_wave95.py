@@ -1,4 +1,4 @@
-r"""Round-7 wave 95: native XML file source/sink (Spark 4).
+r"""Round-7 wave 95: native XML file source/sink, EXECUTE IMMEDIATE.
 
 - src10: the XML FILE source — ``format("xml")`` with rowTag — which is
   new, built-in surface in Spark 4 (the old spark-xml package folded into
@@ -6,6 +6,12 @@ r"""Round-7 wave 95: native XML file source/sink (Spark 4).
   (f8 generation, xml2 from_xml parse-back); this closes the remaining
   gap: XML as an interchange FORMAT on disk, the shape B2B/healthcare
   feeds (the reference's own LOINC domain) actually arrive in.
+- sql7: EXECUTE IMMEDIATE — Spark 4's dynamic-SQL statement — in its
+  full shape: a scalar probe captured INTO a session variable, then a
+  parameterized aggregate bound via named USING. Completes the SQL
+  frontend family (sql1 static text, sql3 parameterized spark.sql,
+  var1 session variables, scr1 scripting) with the one statement-level
+  surface that was missing.
 
 Reference parity note: the reference script (Angelo_ETL_Task.py:160-176)
 builds C_METADATAXML strings by hand; src10 is the engine-level
@@ -107,4 +113,60 @@ def src10_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             (F.col("price").cast("decimal(18,2)") * 100).cast("bigint")
         ).alias("sum_price_cents"),
+    )
+
+
+# =========================================================================
+# sql7: EXECUTE IMMEDIATE — dynamic SQL with INTO capture + USING binding
+# =========================================================================
+
+_SQL7_SQL = """
+WITH cut AS (
+  SELECT CAST(MAX(o_orderkey) // 2 AS BIGINT) AS cut FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS sum_cents,
+       (SELECT cut FROM cut) AS cutoff_used
+FROM orders WHERE o_orderkey <= (SELECT cut FROM cut)
+GROUP BY o_orderpriority
+"""
+
+
+@_register("sql7_execute_immediate", _SQL7_SQL)
+def sql7_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic SQL via EXECUTE IMMEDIATE (Spark 4), both halves of the
+    statement's contract in one flow: (1) a scalar probe whose result
+    is captured INTO a session variable (``MAX(o_orderkey) DIV 2`` — a
+    data-derived cutoff, never a constant that goes vacuous when the
+    driver regenerates data), and (2) the released aggregate as a
+    dynamically-supplied SQL STRING with a named parameter bound via
+    ``USING var AS cut`` — the template-driven ETL shape (rule engines,
+    per-tenant queries) where the text of the statement is data, not
+    code. Parameter binding is the injection-safe path: the cutoff
+    travels as a typed value, never string-spliced into the template.
+    The oracle states the identical cutoff + aggregate statically.
+    Money is released as exact integer cents. Dynamic or not, the plan
+    Catalyst compiles is the same pushdown-filtered scan + hash
+    aggregate the static sql1 gets — EXECUTE IMMEDIATE is frontend
+    surface, not an execution mode."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("sql7_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE sql7_cut BIGINT")
+    spark.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT MAX(o_orderkey) DIV 2 FROM sql7_orders' INTO sql7_cut"
+    )
+    template = (
+        "SELECT o_orderpriority, "
+        "COUNT(*) AS n_orders, "
+        "SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+        "AS sum_cents, "
+        ":cut AS cutoff_used "
+        "FROM sql7_orders WHERE o_orderkey <= :cut "
+        "GROUP BY o_orderpriority"
+    )
+    return spark.sql(
+        f"EXECUTE IMMEDIATE '{template}' USING sql7_cut AS cut"
     )

@@ -83,3 +83,31 @@ def test_src10_fixture_is_escaped_xml(spark, sf_dir):
         # every < must open/close a tag (letter, /, ?, or !)
         assert not re.search(r"<(?![A-Za-z/?!])", text), p
     assert saw_entity, "tricky payload's metacharacters never hit the files"
+
+
+def test_sql7_execute_immediate_replay(spark, sf_dir):
+    """Pure-Python replay of sql7's data-derived cutoff and aggregate:
+    cutoff = max(orderkey) DIV 2, then per-priority count and exact
+    integer cents below it — certifying both the INTO capture and the
+    USING binding carried the right value."""
+    t = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    ).to_pylist()
+    cut = max(r["o_orderkey"] for r in t) // 2
+    exp = {}
+    for r in t:
+        if r["o_orderkey"] > cut:
+            continue
+        n, cents = exp.get(r["o_orderpriority"], (0, 0))
+        exp[r["o_orderpriority"]] = (
+            n + 1,
+            cents + int(Decimal(str(round(r["o_totalprice"], 2))) * 100),
+        )
+    fn, _ = QUERIES["sql7_execute_immediate"]
+    rows = fn(spark, sf_dir).collect()
+    assert rows and all(r.cutoff_used == cut for r in rows)
+    got = {r.o_orderpriority: (r.n_orders, r.sum_cents) for r in rows}
+    assert got == exp
+    # the filter genuinely bit: some orders lie above the cutoff
+    assert sum(n for n, _ in exp.values()) < len(t)
