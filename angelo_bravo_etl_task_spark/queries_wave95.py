@@ -170,3 +170,54 @@ def sql7_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"EXECUTE IMMEDIATE '{template}' USING sql7_cut AS cut"
     )
+
+
+# =========================================================================
+# ps1: pandas API on Spark — the third frontend, same engine
+# =========================================================================
+
+_PS1_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@_register("ps1_pandas_api", _PS1_SQL)
+def ps1_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas API on Spark (``pyspark.pandas``) — PySpark's third
+    frontend after DataFrame and SQL — driving the SAME engine: a
+    pandas-shaped ``read_parquet → column arithmetic → groupby().agg()``
+    that compiles to the identical pushdown-scan + hash-aggregate plan
+    the DataFrame API gets (pandas-on-Spark is lazy Column algebra, not
+    a driver-side pandas), released back through ``to_spark()``. This
+    is the migration path for pandas codebases: same groupby semantics,
+    distributed execution, no collect. Cents via ROUND of the double
+    product: the true price has <= 2 decimals, so the product sits an
+    epsilon from an integer and half-up vs half-even can never differ
+    (no exact .5 remainders exist to disagree on); both engines multiply
+    the identical IEEE doubles. The per-row index warning pandas-on-
+    Spark emits for default indexes is irrelevant here — the groupby
+    never touches the index. At 100 TB this runs exactly as q1 does;
+    the frontend choice changes ergonomics, not the plan."""
+    import pyspark.pandas as pps
+
+    path = os.path.join(sf_dir, "orders.parquet")
+    psdf = pps.read_parquet(path)[
+        ["o_orderpriority", "o_orderkey", "o_totalprice"]
+    ]
+    psdf["cents"] = (psdf["o_totalprice"] * 100).round(0).astype("int64")
+    g = psdf.groupby("o_orderpriority").agg(
+        n=("o_orderkey", "count"),
+        sum_keys=("o_orderkey", "sum"),
+        sum_cents=("cents", "sum"),
+    )
+    return g.reset_index().to_spark().select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_keys").cast("bigint").alias("sum_keys"),
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+    )

@@ -111,3 +111,33 @@ def test_sql7_execute_immediate_replay(spark, sf_dir):
     assert got == exp
     # the filter genuinely bit: some orders lie above the cutoff
     assert sum(n for n, _ in exp.values()) < len(t)
+
+
+def test_ps1_pandas_api_replay_and_plan(spark, sf_dir):
+    """Replay ps1 in pure Python AND certify the docstring's plan claim:
+    pandas-on-Spark compiled to a distributed hash aggregate over a
+    column-pruned scan — not a driver-side pandas computation."""
+    from angelo_bravo_etl_task_spark.plans.audit import physical_plan
+
+    t = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    ).to_pylist()
+    exp = {}
+    for r in t:
+        n, keys, cents = exp.get(r["o_orderpriority"], (0, 0, 0))
+        exp[r["o_orderpriority"]] = (
+            n + 1,
+            keys + r["o_orderkey"],
+            cents + round(r["o_totalprice"] * 100),
+        )
+    fn, _ = QUERIES["ps1_pandas_api"]
+    sdf = fn(spark, sf_dir)
+    got = {
+        r.o_orderpriority: (r.n, r.sum_keys, r.sum_cents)
+        for r in sdf.collect()
+    }
+    assert got == exp
+    plan = physical_plan(sdf)
+    assert "HashAggregate" in plan, plan
+    assert "Scan parquet" in plan or "FileScan parquet" in plan, plan
