@@ -210,6 +210,10 @@ WITH b AS (
   SELECT d.lang, d.source,
          LEAST(3, ((d.n_chars - b.mn) * 4) // (b.mx - b.mn + 1)) AS bin
   FROM documents d CROSS JOIN b
+  UNION ALL
+  SELECT 'zz' AS lang, 'planted_constant_bin' AS source,
+         CAST(0 AS BIGINT) AS bin
+  FROM documents WHERE doc_id % 7 = 0
 )
 SELECT lang, source,
        CAST(COUNT(*) AS BIGINT) AS grp_n,
@@ -230,14 +234,20 @@ def an4_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     so each cell counts DISTINCT sensitive bins and cells with fewer
     than l = 3 get a 'generalize' verdict. The sensitive attribute is
     the equi-width n_chars quartile from a single broadcast (min, max)
-    — data-derived bounds keep both verdict branches firing at every
-    SF (measured: 11 cells at l=1, 32 at l=2, 54 at l≥3 at sf0.01)
-    where fixed bin edges would go vacuous under data regeneration.
+    — data-derived bounds (measured: 11 cells at l=1, 32 at l=2, 54 at
+    l≥3 at sf0.01) where fixed bin edges would go vacuous under data
+    regeneration. Large cells legitimately diversify as data grows (at
+    sf0.1 every real cell spans ≥3 quartiles), so a planted synthetic
+    cell with a constant bin keeps the 'generalize' branch firing at
+    every SF — the tx8/src6 deterministic-planting rule.
     One 1-row broadcast + one hash aggregate on the QI key with a
     distinct-count — at 100 TB the aggregate is map-side combinable
     on (lang, source, bin) first, exactly how Spark plans
     COUNT(DISTINCT) via expand."""
-    d = _t(spark, sf_dir, "documents").select("lang", "source", "n_chars")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    d = docs.select("lang", "source", "n_chars")
     b = d.agg(
         F.min("n_chars").cast("long").alias("mn"),
         F.max("n_chars").cast("long").alias("mx"),
@@ -250,6 +260,19 @@ def an4_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("((n_chars - mn) * 4) DIV (mx - mn + 1)"),
         ).alias("bin"),
     )
+    # Planted adversarial cell (the tx8/src6 planting rule): a synthetic
+    # QI cell whose sensitive bin is constant BY CONSTRUCTION, so the
+    # 'generalize' branch fires deterministically at EVERY SF — at sf0.1
+    # every real (lang, source) cell is large enough to span >= 3
+    # quartiles and the flag path would otherwise go vacuous (found by
+    # the round-7 sf0.1 property sweep). Both engines state the plant
+    # identically, so it is on the hash path like any other row.
+    planted = docs.where(F.col("doc_id") % 7 == 0).select(
+        F.lit("zz").alias("lang"),
+        F.lit("planted_constant_bin").alias("source"),
+        F.lit(0).cast("long").alias("bin"),
+    )
+    binned = binned.unionAll(planted)
     return (
         binned.groupBy("lang", "source")
         .agg(

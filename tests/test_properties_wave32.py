@@ -139,9 +139,14 @@ def test_twa1_matches_python_integral(spark, sf_dir):
 
 
 def test_px5_self_retrieval_at_rank_one(spark, sf_dir):
-    """px5: the query chunk retrieves ITSELF at rank 1 with cosine
-    exactly 1.0 (identical fold over identical vectors) — the end-to-end
-    sanity invariant of the retrieval pipeline."""
+    """px5: the query chunk retrieves ITSELF at rank 1 — the end-to-end
+    sanity invariant of the retrieval pipeline. The self-cosine is the
+    normalized self-dot: mathematically 1, but the double fold
+    sum(x_i^2)/sqrt(sum)^2 rounds, so it may sit 1 ULP below 1.0
+    (observed at sf0.1: 0.9999999999999999). Cross-engine the value is
+    still bit-identical (same fold both sides — the oracle-parity
+    check); this invariant only needs rank-1 identity plus cosine at
+    the top of the unit interval."""
     rows = sorted(
         QUERIES["px5_retrieval_pipeline"][0](spark, sf_dir).collect(),
         key=lambda r: r["rank"],
@@ -149,5 +154,6 @@ def test_px5_self_retrieval_at_rank_one(spark, sf_dir):
     assert rows, "empty retrieval result"
     top = rows[0]
     assert top["chunk_idx"] == 0
-    assert top["cosine"] == 1.0
+    assert abs(top["cosine"] - 1.0) < 1e-12
+    assert all(r["cosine"] <= top["cosine"] for r in rows)
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))

@@ -53,7 +53,8 @@ def test_apri1_lattice_replay(spark, sf_dir):
 
 def test_an4_diversity_replay(spark, sf_dir):
     docs = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars"],
     ).to_pylist()
     mn = min(r["n_chars"] for r in docs)
     mx = max(r["n_chars"] for r in docs)
@@ -63,6 +64,13 @@ def test_an4_diversity_replay(spark, sf_dir):
         cell = cells[(r["lang"], r["source"])]
         cell[0] += 1
         cell[1].add(b)
+    # the planted constant-bin cell (see an4's docstring): keeps the
+    # 'generalize' branch live at SFs where every real cell diversifies
+    for r in docs:
+        if r["doc_id"] % 7 == 0:
+            cell = cells[("zz", "planted_constant_bin")]
+            cell[0] += 1
+            cell[1].add(0)
     rows = QUERIES["an4_l_diversity"][0](spark, sf_dir).collect()
     assert {(r.lang, r.source) for r in rows} == set(cells)
     n_div = n_flag = 0
