@@ -559,6 +559,9 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "lb1_lpt_balance",
         # rng1 crosses the 16-cell frame with 1-row total/chi scalars
         "rng1_md5_uniformity",
+        # ppl1 broadcasts the 1-row corpus-mean-surprisal threshold —
+        # the same scalar-subquery shape as tx10/ab1 corpus scalars
+        "ppl1_perplexity_band_filter",
     }
     import re
 
