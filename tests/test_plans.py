@@ -562,6 +562,9 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # ppl1 broadcasts the 1-row corpus-mean-surprisal threshold —
         # the same scalar-subquery shape as tx10/ab1 corpus scalars
         "ppl1_perplexity_band_filter",
+        # an5 broadcasts two 1-row scalars: the (min, max) bin bounds
+        # (an4's shape) and the corpus bin distribution (N, G0..G2)
+        "an5_t_closeness",
     }
     import re
 
