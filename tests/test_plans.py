@@ -565,6 +565,9 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # an5 broadcasts two 1-row scalars: the (min, max) bin bounds
         # (an4's shape) and the corpus bin distribution (N, G0..G2)
         "an5_t_closeness",
+        # kmv2 crosses two 1-row k-th-minimum scalars into the 1-row
+        # theta, then broadcasts theta — all scalar-subquery shapes
+        "kmv2_sketch_set_algebra",
     }
     import re
 
