@@ -261,6 +261,25 @@ def test_pr1_no_cartesian_anywhere(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_pr1_checkpoint_truncates_lineage(spark, sf_dir):
+    """pr1's localCheckpoint(eager=True) on the degree-annotated edge
+    frame must actually TRUNCATE lineage — the discipline that keeps
+    10+-iteration jobs plannable at 100 TB (each unrolled iteration
+    otherwise re-embeds the full edge derivation, growing the plan
+    superlinearly). Asserted, not advised: every iteration's edge probe
+    scans the materialized RDD (3 ExistingRDD/LogicalRDD scans, one per
+    iteration), and the parquet scan + distinct that DERIVED the edges
+    appear zero times in the final plan — they live behind the
+    checkpoint cut."""
+    df = QUERIES["pr1_pagerank"][0](spark, sf_dir)
+    plan = physical_plan(df)
+    rdd_scans = plan.count("ExistingRDD")
+    assert rdd_scans >= 3, plan  # one per unrolled iteration
+    assert "lineitem.parquet" not in plan, (
+        "edge derivation leaked past the checkpoint cut"
+    )
+
+
 def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
     """AQE's skew-join handling must actually engage on a skewed shuffle
     join: one key carrying ~90% of the fact side, broadcast disabled so a
