@@ -1122,7 +1122,8 @@ from . import queries_wave94  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave95  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave96  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave97  # noqa: E402,F401  (extends QUERIES)
-from . import queries_wave98  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_wave98  # noqa: E402,F401  (extends QUERIES)
+from . import queries_wave99  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded ~50-name prefix of the registry, so
