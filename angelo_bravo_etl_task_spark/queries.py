@@ -1136,57 +1136,66 @@ _CHECK_FIRST: list[str] = [
     # regenerated by tools/rotate_check_first.py — the next 50
     # never-driver-swept names in registration order; pre-verify
     # with tools/driver_repro.py before shipping the round
-    "px5_retrieval_pipeline",
-    "px6_rag_pipeline",
-    "src8_binaryfile_source",
-    "src9_python_stream_source",
-    "e13_foreachbatch_upsert",
-    "e14_stream_dlq",
-    "u10_map_in_arrow",
-    "u11_scalar_iter_udf",
-    "u12_udtf_table_arg",
-    "u13_apply_in_arrow",
-    "d9_containment_dedup",
-    "mb2_association_rules",
-    "kmv1_distinct_sketch",
-    "hll1_portable_hyperloglog",
-    "km1_kmeans_iteration",
-    "tx11_boilerplate",
-    "f21_string_surface",
-    "geo4_tile_pyramid",
-    "fe3_impute_scale",
-    "ar1_conversion_latency",
-    "ts3_ohlc_downsample",
-    "seq3_pattern_match",
-    "ng1_continuation_counts",
-    "sky1_skyline",
-    "gr2_clustering_coeff",
-    "dq3_freshness",
-    "mw1_mann_whitney",
-    "fe5_target_encode_loo",
-    "seg1_rfm_segments",
-    "ir1_inverted_index_search",
-    "sql6_bag_setops",
-    "nb1_naive_bayes",
-    "dt1_decision_stump",
-    "xc1_cross_correlation",
-    "mm7_energy_segments",
-    "anova1_variance_decomposition",
-    "bud1_token_budget_selection",
-    "an3_generalization_ladder",
-    "kap1_cohens_kappa",
-    "rk1_spearman",
-    "fd1_functional_deps",
-    "mix1_temperature_weights",
-    "ndcg1_ranking_quality",
-    "ab2_cuped_adjustment",
-    "sv1_kaplan_meier",
-    "bpe2_apply_merges",
-    "mc1_markov_power",
-    "tx12_readability",
-    "hll2_sketch_union",
-    "geo5_od_matrix",
+    "src10_xml_source",
+    "src10_orc_roundtrip",
+    "sql7_execute_immediate",
+    "ps1_pandas_api",
+    "ppl1_perplexity_band_filter",
+    "an5_t_closeness",
+    "mv3_incremental_join",
+    "kmv2_sketch_set_algebra",
+    "f25_aes_pii_vault",
+    "stats1_corr_covar",
+    "dq4_missing_partitions",
+    "fe6_winsorized_mean",
+    "fe7_zscore_standardize",
+    "pca1_power_iteration",
+    "db1_temporal_debounce",
+    "emd1_wasserstein",
+    "ssj1_prefix_filter_join",
+    "sp1_weighted_shortest_path",
+    "chg1_cusum_changepoint",
+    "ri1_referential_integrity",
+    "att1_touch_attribution",
+    "boot1_bootstrap_ci",
+    "snm1_sorted_neighborhood",
+    "regr2_theil_sen",
+    "hw1_holt_linear_trend",
+    "mmr1_diversified_topk",
+    "ev1_classification_report",
+    "slo1_burn_rate",
+    "hier1_subtree_rollup",
+    "ft1_sft_examples",
+    "pref1_preference_pairs",
+    "cv1_group_kfold",
+    "pmi1_collocations",
+    "rrf1_rank_fusion",
+    "tm1_seasonal_decompose",
+    "stats2_analyze_tables",
+    "cf1_item_item",
+    "cal2_business_days",
+    "mrk1_merkle_fingerprint",
+    "stats3_join_card_estimate",
+    "geo6_shoelace_measures",
+    "zipf1_rank_frequency",
+    "qt4_percentile_cont",
+    "perm1_permutation_test",
+    "kc1_kcore_peel",
+    "bot1_cadence_regularity",
+    "up1_uplift_by_segment",
+    "shap1_exact_shapley",
+    "twa1_time_weighted_avg",
+    "rdv1_rendezvous_hashing",
 ]
+# Highest CORRECTNESS_r{N}.json acknowledged when the head
+# above was rotated; the round-boundary tripwire
+# (tests/test_evidence_doc.py) tolerates exactly ONE newer
+# round before going red.
+_CHECK_FIRST_ACK_ROUND: int = 7
+# Already-swept names deliberately kept in the head for
+# re-certification (--prioritize); not hand-drift.
+_CHECK_FIRST_RECHECK: list[str] = ['stats1_corr_covar']
+# end _CHECK_FIRST block (regenerated by rotate_check_first.py)
 
 
 def _ordered_names() -> list[str]:

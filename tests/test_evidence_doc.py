@@ -172,19 +172,59 @@ def test_rotation_unknown_prioritize_rejected():
 
 
 def test_live_check_first_matches_tool():
-    """queries.py::_CHECK_FIRST (what the driver will sweep) is exactly
-    what the rotation tool would emit for the current CORRECTNESS state
-    with this round's prioritize list — i.e. the committed head is not
-    hand-drifted."""
+    """Round-boundary tripwire, de-fanged per VERDICT r7 item 2.
+
+    The committed head must not contain already-swept names (beyond the
+    declared _CHECK_FIRST_RECHECK re-certifications) — that is hand-drift
+    or a missed rotation. But a freshly delivered CORRECTNESS file
+    (exactly ONE round newer than _CHECK_FIRST_ACK_ROUND) must NOT red an
+    untouched, fully-correct checkout: that state is the normal round
+    handoff, tolerated with a warning until the rotation runs. A head
+    that survives a SECOND round goes hard-red."""
     head = qmod._CHECK_FIRST[: rot.WINDOW]
     swept = rot.load_swept()
-    never = [n for n in qmod.QUERIES if n not in swept]
-    # every head name is either never-swept (the normal rotation rule) or
-    # an explicit re-check; with debt remaining, require all never-swept
-    if len(never) >= rot.WINDOW:
-        stale = [n for n in head if n in swept]
-        assert stale == [], (
-            f"_CHECK_FIRST contains already-swept names while never-swept "
-            f"debt remains ({len(never)}): {stale}"
+    recheck = list(getattr(qmod, "_CHECK_FIRST_RECHECK", []))
+    ack = getattr(qmod, "_CHECK_FIRST_ACK_ROUND", 0)
+    state, stale = rot.staleness_verdict(
+        head, swept, recheck, ack, rot.latest_round()
+    )
+    if state == "fresh-drop":
+        import warnings
+
+        warnings.warn(
+            f"_CHECK_FIRST predates the newest CORRECTNESS round "
+            f"(ack={ack}); run tools/rotate_check_first.py --write. "
+            f"Swept head names: {stale}",
+            stacklevel=1,
+        )
+    else:
+        assert state == "ok", (
+            f"_CHECK_FIRST is stale (ack round {ack}, latest "
+            f"{rot.latest_round()}); already-swept non-recheck names in "
+            f"head: {stale} — run tools/rotate_check_first.py --write"
         )
     assert len(head) == len(set(head)) == rot.WINDOW
+
+
+def test_staleness_verdict_states():
+    """Unit-test each tripwire state (VERDICT r7 item 2: 'a unit test
+    for each state')."""
+    head = ["a", "b", "c"]
+    # current rotation, no swept names in head -> ok
+    assert rot.staleness_verdict(head, {"z"}, [], 7, 7) == ("ok", [])
+    # declared re-check is not drift
+    assert rot.staleness_verdict(head, {"a"}, ["a"], 7, 7) == ("ok", [])
+    # undeclared swept name while nominally current -> hand-drift, stale
+    assert rot.staleness_verdict(head, {"b"}, [], 7, 7) == ("stale", ["b"])
+    # exactly one new round landed, head now contains swept names ->
+    # fresh-drop (warn, not red)
+    assert rot.staleness_verdict(head, {"a", "b"}, [], 7, 8) == (
+        "fresh-drop",
+        ["a", "b"],
+    )
+    # one new round landed but head is still clean -> ok (nothing to do
+    # yet; rotation may legitimately be a no-op until sweep overlaps)
+    assert rot.staleness_verdict(head, {"z"}, [], 7, 8) == ("ok", [])
+    # head survived a second round -> hard red even if clean-looking
+    assert rot.staleness_verdict(head, {"a"}, [], 7, 9) == ("stale", ["a"])
+    assert rot.staleness_verdict(head, set(), [], 7, 9)[0] == "stale"

@@ -41,6 +41,46 @@ def load_swept() -> set[str]:
     return swept
 
 
+def latest_round() -> int:
+    """Highest N among CORRECTNESS_r{N}.json files (0 if none)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", f))
+    ]
+    return max(rounds, default=0)
+
+
+def staleness_verdict(
+    head: list[str],
+    swept: set[str],
+    recheck: list[str],
+    ack_round: int,
+    latest: int,
+) -> tuple[str, list[str]]:
+    """Classify the committed head against the CORRECTNESS state.
+
+    Returns (state, stale_names) where state is one of:
+      - "ok":         head is current — no swept names besides the
+                      explicitly recorded re-checks.
+      - "fresh-drop": exactly ONE new CORRECTNESS round landed since the
+                      head was written (the normal round-boundary window,
+                      before rotation has run). Tolerated with a warning —
+                      a freshly delivered driver file must not red an
+                      untouched, fully-correct checkout (VERDICT r7 item 2).
+      - "stale":      the head survived a second round without rotation,
+                      OR it is nominally current but contains swept names
+                      that were never declared as re-checks (hand-drift).
+    """
+    stale = [n for n in head if n in swept and n not in set(recheck)]
+    if latest > ack_round + 1:
+        return "stale", stale
+    if latest == ack_round + 1:
+        return ("fresh-drop", stale) if stale else ("ok", stale)
+    return ("stale", stale) if stale else ("ok", stale)
+
+
 def next_head(
     prioritize: list[str],
     swept: set[str] | None = None,
@@ -88,12 +128,18 @@ def next_head(
     return head
 
 
-def rewrite(head: list[str]) -> None:
+SENTINEL = "# end _CHECK_FIRST block (regenerated by rotate_check_first.py)"
+
+
+def rewrite(head: list[str], recheck: list[str]) -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(repo, "angelo_bravo_etl_task_spark", "queries.py")
     src = open(path).read()
     start = src.index("_CHECK_FIRST: list[str] = [")
-    end = src.index("\n]\n", start) + len("\n]")
+    if SENTINEL in src:
+        end = src.index(SENTINEL, start) + len(SENTINEL)
+    else:  # first write with metadata: old block ends at the list's ]
+        end = src.index("\n]\n", start) + len("\n]")
     lines = [
         "_CHECK_FIRST: list[str] = [",
         "    # regenerated by tools/rotate_check_first.py — the next 50",
@@ -102,6 +148,15 @@ def rewrite(head: list[str]) -> None:
     ]
     lines += [f'    "{n}",' for n in head]
     lines.append("]")
+    lines.append("# Highest CORRECTNESS_r{N}.json acknowledged when the head")
+    lines.append("# above was rotated; the round-boundary tripwire")
+    lines.append("# (tests/test_evidence_doc.py) tolerates exactly ONE newer")
+    lines.append("# round before going red.")
+    lines.append(f"_CHECK_FIRST_ACK_ROUND: int = {latest_round()}")
+    lines.append("# Already-swept names deliberately kept in the head for")
+    lines.append("# re-certification (--prioritize); not hand-drift.")
+    lines.append(f"_CHECK_FIRST_RECHECK: list[str] = {recheck!r}")
+    lines.append(SENTINEL)
     open(path, "w").write(src[:start] + "\n".join(lines) + src[end:])
 
 
@@ -113,7 +168,8 @@ def main() -> None:
     pri = [n for n in args.prioritize.split(",") if n]
     head = next_head(pri)
     if args.write:
-        rewrite(head)
+        recheck = sorted(set(pri) & load_swept())
+        rewrite(head, recheck)
         print(f"# wrote {len(head)} names to queries.py::_CHECK_FIRST",
               file=sys.stderr)
     print(" ".join(head))
