@@ -67,9 +67,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-ANSI oracle SQL per query (omitted for hash-function-specific
-    ops — d3_minhash_lsh, d4_simhash, x2_lsh_topk — which get the weaker
-    rows-only check and are unit-tested on planted fixtures instead)."""
+    """DuckDB-ANSI oracle SQL per query. Omitted only for
+    hash-function-specific ops (d3_minhash_lsh, d4_simhash, x2_lsh_topk,
+    x4_ivf_topk, hh2_heavy_hitters_sketch, a4_hll_rollup) whose outputs
+    are sketch/hash internals with no portable SQL equivalent — those get
+    the weaker rows-only check and are unit-tested on planted fixtures.
+    The former rows-only a2/qt2 now emit law-certified outputs with real
+    oracles (verdict r7 item 6)."""
     from angelo_bravo_etl_task_spark.queries import all_oracles
 
     return all_oracles()

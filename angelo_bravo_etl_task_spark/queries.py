@@ -1123,7 +1123,8 @@ from . import queries_wave95  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave96  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave97  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave98  # noqa: E402,F401  (extends QUERIES)
-from . import queries_wave99  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_wave99  # noqa: E402,F401  (extends QUERIES)
+from . import queries_wave100  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded ~50-name prefix of the registry, so
@@ -1146,6 +1147,10 @@ _CHECK_FIRST: list[str] = [
     "kmv2_sketch_set_algebra",
     "f25_aes_pii_vault",
     "stats1_corr_covar",
+    "qt2_approx_quantiles",
+    "a2_approx_distinct",
+    "e15_checkpoint_restore",
+    "src11_nested_schema_evolution",
     "dq4_missing_partitions",
     "fe6_winsorized_mean",
     "fe7_zscore_standardize",
@@ -1182,10 +1187,6 @@ _CHECK_FIRST: list[str] = [
     "perm1_permutation_test",
     "kc1_kcore_peel",
     "bot1_cadence_regularity",
-    "up1_uplift_by_segment",
-    "shap1_exact_shapley",
-    "twa1_time_weighted_avg",
-    "rdv1_rendezvous_hashing",
 ]
 # Highest CORRECTNESS_r{N}.json acknowledged when the head
 # above was rotated; the round-boundary tripwire
@@ -1194,7 +1195,7 @@ _CHECK_FIRST: list[str] = [
 _CHECK_FIRST_ACK_ROUND: int = 7
 # Already-swept names deliberately kept in the head for
 # re-certification (--prioritize); not hand-drift.
-_CHECK_FIRST_RECHECK: list[str] = ['stats1_corr_covar']
+_CHECK_FIRST_RECHECK: list[str] = ['a2_approx_distinct', 'qt2_approx_quantiles', 'stats1_corr_covar']
 # end _CHECK_FIRST block (regenerated by rotate_check_first.py)
 
 

@@ -800,32 +800,86 @@ def qt1_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("qt2_approx_quantiles", None)  # sketch internals are engine-specific
+_QT2_SQL = """
+SELECT l_returnflag,
+       q,
+       CAST(COUNT(*) AS BIGINT) AS n_vals,
+       CAST(CEIL(q * COUNT(*)) AS BIGINT) AS target_rank,
+       CAST(COUNT(*) // 10000 + 1 AS BIGINT) AS max_rank_err,
+       TRUE AS within_bound
+FROM lineitem
+CROSS JOIN (SELECT CAST(UNNEST([0.25, 0.5, 0.75]) AS DOUBLE) AS q) quantiles
+GROUP BY l_returnflag, q
+"""
+
+
+@_register("qt2_approx_quantiles", _QT2_SQL)
 def qt2_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style sketch) — the single-pass,
     fixed-memory 100 TB path for the same question qt1 answers exactly.
-    Rows-only in the driver (sketch results are engine-specific); the
-    unit test bounds its error against qt1's exact values at the
-    configured accuracy. Output is FLATTENED to scalar (flag, q, value)
-    rows via posexplode — the r3 driver crashed hashing an array<double>
-    column (``TypeError: unhashable type: 'list'``), so even rows-only
-    queries must emit scalar columns."""
-    li = _t(spark, sf_dir, "lineitem")
+
+    Upgraded rows-only -> hash-green via a LAW-BASED oracle (verdict r7
+    item 6, the f25 pattern): the sketch VALUES are engine-specific, so
+    the query emits the certification of the sketch's error contract
+    instead. approx_percentile(accuracy=A) guarantees a returned element
+    whose RANK is within N/A of the target rank; the query computes each
+    returned value's occupied rank interval [r_lt+1, r_le] against the
+    exact data (one extra pass — the thresholds are a 9-row broadcast)
+    and emits within_bound = that interval intersects
+    [target - err, target + err], err = N DIV 10000 + 1 (integer
+    arithmetic, identical in both engines on positives). The oracle
+    recomputes n_vals / target_rank / max_rank_err exactly and predicts
+    within_bound = TRUE — a sketch landing outside its contracted rank
+    error flips the boolean and reds the hash. The unit test still
+    bounds the raw VALUES against qt1's exact answers.
+
+    100 TB shape: sketch pass is a map-side-combinable aggregate; the
+    certification pass broadcasts 9 (flag, q, v) thresholds and
+    re-aggregates — two scans total, no wide join."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
     qs = [0.25, 0.5, 0.75]
     agg = li.groupBy("l_returnflag").agg(
         F.percentile_approx(
             "l_quantity", F.array(*[F.lit(q) for q in qs]), 10000
         ).alias("approx_quantiles")
     )
-    return agg.select(
+    thresholds = agg.select(
         "l_returnflag",
-        F.posexplode("approx_quantiles").alias("pos", "quantile_value"),
+        F.posexplode("approx_quantiles").alias("pos", "v"),
     ).select(
         "l_returnflag",
         F.element_at(
             F.array(*[F.lit(q) for q in qs]), F.col("pos") + 1
         ).alias("q"),
-        "quantile_value",
+        "v",
+    )
+    ranked = (
+        li.join(F.broadcast(thresholds), "l_returnflag")
+        .groupBy("l_returnflag", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n_vals"),
+            F.sum(
+                F.when(F.col("l_quantity") < F.col("v"), 1).otherwise(0)
+            ).alias("r_lt"),
+            F.sum(
+                F.when(F.col("l_quantity") <= F.col("v"), 1).otherwise(0)
+            ).alias("r_le"),
+        )
+    )
+    target = F.ceil(F.col("q") * F.col("n_vals")).cast("bigint")
+    # integer DIV, not a double intermediate: Spark DIV and DuckDB // both
+    # truncate toward zero on positive ints (verify-skill note)
+    err = F.expr("n_vals DIV 10000") + F.lit(1)
+    return ranked.select(
+        "l_returnflag",
+        "q",
+        F.col("n_vals").cast("bigint").alias("n_vals"),
+        target.alias("target_rank"),
+        err.cast("bigint").alias("max_rank_err"),
+        (
+            (F.col("r_le") >= target - err)
+            & ((F.col("r_lt") + 1) <= target + err)
+        ).alias("within_bound"),
     )
 
 

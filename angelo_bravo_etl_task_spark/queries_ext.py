@@ -547,16 +547,53 @@ def x3_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("a2_approx_distinct", None)  # HLL sketch ≠ DuckDB's sketch → rows-only
+_A2_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT l_orderkey) * 8 // 100 + 1 AS BIGINT)
+         AS tolerance,
+       TRUE AS within_tolerance
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@_register("a2_approx_distinct", _A2_SQL)
 def a2_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB path where exact
-    COUNT(DISTINCT) would shuffle every key. Rows-only check (sketch
-    internals are engine-specific); the unit test asserts the estimate is
-    within the configured rsd of the exact count."""
+    COUNT(DISTINCT) would shuffle every key.
+
+    Upgraded rows-only -> hash-green via a LAW-BASED oracle (verdict r7
+    item 6, the f25 pattern): the HLL estimate itself is engine-specific,
+    so the query emits the certification of its error contract instead.
+    With rsd=0.02, a healthy sketch lands within 4 sigma = 8% of the
+    exact count (flake probability negligible; a broken sketch is off by
+    orders of magnitude). tolerance = exact*8 DIV 100 + 1 in integer
+    arithmetic (identical truncation in both engines on positives; +1
+    covers small groups). The oracle recomputes exact_orders / n_rows /
+    tolerance and predicts within_tolerance = TRUE — an estimate outside
+    its contract flips the boolean and reds the hash. The unit test
+    still bounds the raw estimate against a3's exact counts.
+
+    100 TB shape: ONE pass — approx_count_distinct is a fixed-size
+    mergeable sketch (map-side combined), count_distinct(l_orderkey)
+    rides the same aggregate; at true scale the exact side is the
+    expensive one and exists here only to certify the sketch."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    tol = F.expr("exact_orders * 8 DIV 100") + F.lit(1)
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "n_rows",
+        tol.cast("bigint").alias("tolerance"),
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders")) <= tol
+        ).alias("within_tolerance"),
     )
 
 

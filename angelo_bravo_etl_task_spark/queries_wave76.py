@@ -188,10 +188,15 @@ def e13_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # failure; the merge below is NOT idempotent (counts add), so a
         # replayed batch_id must be skipped or the fold double-counts —
         # the same dedup-by-batch-id every real CDC apply-loop carries.
-        # The batch is marked merged only AFTER the fold completes: a
-        # batch whose first attempt died mid-collect is re-processed on
-        # replay (at-least-once upgraded to exactly-once by the guard),
-        # while a successfully-applied batch is never double-counted.
+        # The batch is marked merged only AFTER the fold completes, so no
+        # COMPLETED batch is ever double-applied; an INCOMPLETE batch is
+        # retried in full (at-least-once with completed-batch dedup, not
+        # true exactly-once — a retry of an attempt that died after
+        # partially mutating external state would re-apply its rows).
+        # Here that window is closed structurally: all mutations happen
+        # AFTER collect() returns, on local dicts, so a failed attempt
+        # mutates nothing. A real sink gets exactly-once only by staging
+        # into a transaction committed atomically with the batch marker.
         if batch_id in merged_batches:
             return
         partial = (

@@ -24,6 +24,19 @@ from angelo_bravo_etl_task_spark.queries import QUERIES  # noqa: E402
 from angelo_bravo_etl_task_spark.session import get_spark  # noqa: E402
 
 
+def settle_samples(samples: list[float]) -> tuple[float, bool]:
+    """Recorded time + whether it is median-backed, from 1-3 sorted-able
+    samples. ADVICE r7: with only 2 samples, samples[len//2] is the MAX
+    of two, not a median — that inflated value must not be advertised in
+    median_of (bench_delta hard-fails on median-backed regressions).
+    Partial remeasures record the MIN (least-noise estimator) and stay
+    single-run-advisory."""
+    s = sorted(samples)
+    if len(s) >= 3:
+        return s[len(s) // 2], True
+    return s[0], False
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     warmup_dir = "/root/testdata/sf0.001"
@@ -101,17 +114,23 @@ def main() -> None:
     # "median_of" so round-over-round deltas on the expensive tail are
     # meaningful. The registry tail stays single-run (its times are small
     # and sum-dominated by the median-guarded head).
-    R6_OUTLIERS = [
-        "mb2_association_rules", "d7_lsh_dedup_e2e", "d6_dup_clusters",
-        "tc1_triangle_count", "kmv1_distinct_sketch", "hdr1_log_histogram",
-    ]
+    # Adaptive membership (verdict r7 item 4): any query whose single-run
+    # time swung >1.5x round-over-round joins the median set for the next
+    # bench. tools/bench_delta.py --write-median-set maintains the file;
+    # it is seeded with the r6 outliers and r7's knap1/seq1 swings.
+    median_set_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_median_set.json")
+    try:
+        KNOWN_OUTLIERS = json.load(open(median_set_path))["queries"]
+    except (OSError, ValueError, KeyError):
+        KNOWN_OUTLIERS = []
     top10 = sorted(
         (n for n, t in timings.items() if t >= 0),
         key=lambda n: timings[n], reverse=True,
     )[:10]
     remeasure = [
         n for n in dict.fromkeys(
-            ["px1_loinc_i2b2_pipeline"] + top10 + R6_OUTLIERS
+            ["px1_loinc_i2b2_pipeline"] + top10 + KNOWN_OUTLIERS
         )
         if timings.get(n, -1.0) >= 0
     ]
@@ -124,10 +143,14 @@ def main() -> None:
             except Exception as exc:
                 print(f"# bench rerun error {name}: {exc}",
                       file=sys.stderr, flush=True)
-        samples.sort()
-        timings[name] = samples[len(samples) // 2]
-        median_of[name] = len(samples)
-        print(f"# median {name}: {timings[name]}s of {samples}",
+        t, median_backed = settle_samples(samples)
+        timings[name] = t
+        if median_backed:
+            median_of[name] = len(samples)
+        else:
+            print(f"# partial remeasure {name}: kept min of {samples} "
+                  f"(not median-backed)", file=sys.stderr, flush=True)
+        print(f"# median {name}: {timings[name]}s of {sorted(samples)}",
               file=sys.stderr, flush=True)
 
     ok = [t for t in timings.values() if t >= 0]

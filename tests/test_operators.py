@@ -414,16 +414,30 @@ def test_pii_redaction_roundtrip(spark):
 
 
 def test_a2_estimate_within_rsd_of_a3_exact(spark, sf_dir):
-    """The HLL estimate (a2, rows-only in the driver) must land within its
-    configured relative standard deviation of the exact distinct counts its
-    oracle-checked twin (a3) computes — tying the unchecked sketch to a
-    checked ground truth. 4 sigma keeps flake probability negligible while
-    still catching a broken sketch (which is off by orders of magnitude)."""
+    """The HLL estimate must land within its configured relative standard
+    deviation of the exact distinct counts its oracle-checked twin (a3)
+    computes — tying the sketch to checked ground truth. 4 sigma keeps
+    flake probability negligible while still catching a broken sketch
+    (off by orders of magnitude). The registered a2 no longer emits the
+    raw estimate (upgraded to a law-certified hash-green output, verdict
+    r7 item 6), so the estimate is computed inline here, and the
+    registered query's within_tolerance certification must be all-TRUE
+    and agree with a3's exact counts."""
+    from pyspark.sql import functions as F
+
     from angelo_bravo_etl_task_spark.queries import QUERIES
+    from angelo_bravo_etl_task_spark.sources.readers import load_table
 
     approx = {
         r["l_returnflag"]: r["approx_orders"]
-        for r in QUERIES["a2_approx_distinct"][0](spark, sf_dir).collect()
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias(
+                "approx_orders"
+            )
+        )
+        .collect()
     }
     exact = {
         r["l_returnflag"]: r["exact_orders"]
@@ -434,6 +448,15 @@ def test_a2_estimate_within_rsd_of_a3_exact(spark, sf_dir):
         assert abs(approx[flag] - ex) <= max(4 * 0.02 * ex, 1), (
             flag, approx[flag], ex
         )
+
+    cert = {
+        r["l_returnflag"]: r
+        for r in QUERIES["a2_approx_distinct"][0](spark, sf_dir).collect()
+    }
+    assert set(cert) == set(exact)
+    for flag, ex in exact.items():
+        assert cert[flag]["exact_orders"] == ex
+        assert cert[flag]["within_tolerance"], cert[flag]
 
 
 def test_profile_columns_single_pass_and_hostile_names(spark):

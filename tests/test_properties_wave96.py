@@ -24,11 +24,19 @@ def _replay(sf_dir):
     ).to_pylist()
     per_doc = []
     for r in docs:
-        toks = [
-            t
-            for t in re.split(r"\s+", (r["text"] or "").strip().lower())
-            if t
-        ]
+        # ADVICE r7: Python's \s is Unicode-aware while Spark's Java
+        # regex \s and DuckDB's RE2 \s are ASCII-only — a document with
+        # NBSP/U+2028 would tokenize differently in the replay even
+        # though the two engines agree. flags=re.ASCII mirrors engine
+        # semantics. lower() stays FULL Unicode: Spark's UTF8String
+        # lowercase and DuckDB's utf8proc LOWER are both Unicode-aware,
+        # so an ASCII-restricted lower would diverge the other way on
+        # accented text. No .strip(): Python's is Unicode-aware, Spark's
+        # F.trim is space-only, and the `if t` filter already drops the
+        # empties ASCII edge-whitespace produces — unicode edge
+        # whitespace stays attached to its token in ALL THREE, matching.
+        text = (r["text"] or "").lower()
+        toks = [t for t in re.split(r"\s+", text, flags=re.ASCII) if t]
         if r["doc_id"] % 97 == 0:
             toks = toks[:1]
         nb = max(len(toks) - 1, 0)

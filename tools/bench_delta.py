@@ -46,6 +46,11 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=1.3)
     ap.add_argument("--min-sec", type=float, default=0.5,
                     help="ignore queries faster than this in BOTH runs")
+    ap.add_argument("--write-median-set", action="store_true",
+                    help="add single-run queries that swung >1.5x in "
+                         "EITHER direction to bench_median_set.json so "
+                         "the next bench.py run measures them "
+                         "median-of-3 (verdict r7 item 4)")
     args = ap.parse_args()
 
     old = _load(args.old) if args.old else _load_git("HEAD")
@@ -59,12 +64,15 @@ def main() -> None:
           f"new: sum={new.get('sum_all_queries_sec')}s "
           f"px1={new.get('value')}s")
     hard = []
+    swung = []  # single-run >1.5x movers, either direction
     for name in sorted(set(oq) & set(nq)):
         a, b = oq[name], nq[name]
         if a is None or b is None or a < 0 or b < 0:
             continue
         if max(a, b) < args.min_sec:
             continue
+        if name not in n_med and max(a, b) > 1.5 * min(a, b):
+            swung.append(name)
         if b > args.threshold * a:
             kind = "median" if name in n_med else "single-run"
             print(f"REGRESSION {name}: {a}s -> {b}s "
@@ -73,6 +81,16 @@ def main() -> None:
                 hard.append(name)
         elif a > args.threshold * b:
             print(f"improved   {name}: {a}s -> {b}s ({b / a:.2f}x)")
+    if args.write_median_set and swung:
+        path = os.path.join(REPO, "bench_median_set.json")
+        doc = json.load(open(path))
+        added = [n for n in swung if n not in set(doc["queries"])]
+        if added:
+            doc["queries"].extend(added)
+            with open(path, "w") as fh:
+                json.dump(doc, fh, indent=2)
+                fh.write("\n")
+            print(f"median set += {added}")
     gone = sorted(set(oq) - set(nq))
     added = sorted(set(nq) - set(oq))
     if gone:
