@@ -1124,7 +1124,8 @@ from . import queries_wave96  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave97  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave98  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave99  # noqa: E402,F401  (extends QUERIES)
-from . import queries_wave100  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_wave100  # noqa: E402,F401  (extends QUERIES)
+from . import queries_wave101  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded ~50-name prefix of the registry, so
@@ -1151,6 +1152,8 @@ _CHECK_FIRST: list[str] = [
     "a2_approx_distinct",
     "e15_checkpoint_restore",
     "src11_nested_schema_evolution",
+    "e16_dedup_state_restart",
+    "e17_bounded_backfill",
     "dq4_missing_partitions",
     "fe6_winsorized_mean",
     "fe7_zscore_standardize",
@@ -1185,8 +1188,6 @@ _CHECK_FIRST: list[str] = [
     "zipf1_rank_frequency",
     "qt4_percentile_cont",
     "perm1_permutation_test",
-    "kc1_kcore_peel",
-    "bot1_cadence_regularity",
 ]
 # Highest CORRECTNESS_r{N}.json acknowledged when the head
 # above was rotated; the round-boundary tripwire
