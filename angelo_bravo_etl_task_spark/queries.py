@@ -1125,7 +1125,8 @@ from . import queries_wave97  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave98  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave99  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave100  # noqa: E402,F401  (extends QUERIES)
-from . import queries_wave101  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_wave101  # noqa: E402,F401  (extends QUERIES)
+from . import queries_wave102  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded ~50-name prefix of the registry, so
@@ -1154,6 +1155,8 @@ _CHECK_FIRST: list[str] = [
     "src11_nested_schema_evolution",
     "e16_dedup_state_restart",
     "e17_bounded_backfill",
+    "src12_corrupt_parquet",
+    "src13_ignore_missing_files",
     "dq4_missing_partitions",
     "fe6_winsorized_mean",
     "fe7_zscore_standardize",
@@ -1186,8 +1189,6 @@ _CHECK_FIRST: list[str] = [
     "stats3_join_card_estimate",
     "geo6_shoelace_measures",
     "zipf1_rank_frequency",
-    "qt4_percentile_cont",
-    "perm1_permutation_test",
 ]
 # Highest CORRECTNESS_r{N}.json acknowledged when the head
 # above was rotated; the round-boundary tripwire
