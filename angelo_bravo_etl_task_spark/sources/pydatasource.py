@@ -20,8 +20,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -100,3 +102,77 @@ class RangeSensorStreamDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType):
         return RangeSensorStreamReader(self.options)
+
+
+class _CommitMsg(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class RowLogWriter(DataSourceWriter):
+    """Per-task writer half of the two-phase commit protocol: each task
+    writes an UNCOMMITTED ``.jsonl.tmp`` file and reports it in its
+    commit message; only the DRIVER's commit() publishes the file list
+    into ``_manifest.json``. A reader that honors the manifest never
+    sees a torn write — the exact protocol every real table format
+    (and Spark's own FileOutputCommitter) implements."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("rowlog sink requires option('path', ...)")
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        name = f"task-{pid}-{_uuid.uuid4().hex}.jsonl.tmp"
+        n = 0
+        with open(_os.path.join(self.path, name), "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _CommitMsg(name, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os as _os
+
+        files = sorted(
+            (m.filename, m.n_rows) for m in messages if m is not None
+        )
+        manifest = {
+            "files": [f for f, _ in files],
+            "total_rows": sum(n for _, n in files),
+        }
+        with open(_os.path.join(self.path, "_manifest.json"), "w") as fh:
+            _json.dump(manifest, fh)
+
+    def abort(self, messages):
+        import os as _os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    _os.remove(_os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+
+class RowLogSinkDataSource(DataSource):
+    """Batch-write half of the Python DataSource surface (src7 reads,
+    src9 stream-reads, THIS writes) — pure-Python V2 connector with a
+    manifest-based two-phase commit."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rowlog_sink"
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return RowLogWriter(self.options)
