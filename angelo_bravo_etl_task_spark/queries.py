@@ -1127,7 +1127,8 @@ from . import queries_wave99  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave100  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave101  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave102  # noqa: E402,F401  (extends QUERIES)
-from . import queries_wave103  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_wave103  # noqa: E402,F401  (extends QUERIES)
+from . import queries_wave104  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded ~50-name prefix of the registry, so
@@ -1159,6 +1160,7 @@ _CHECK_FIRST: list[str] = [
     "src12_corrupt_parquet",
     "src13_ignore_missing_files",
     "src14_python_datasource_writer",
+    "obs2_stream_observe",
     "dq4_missing_partitions",
     "fe6_winsorized_mean",
     "fe7_zscore_standardize",
@@ -1189,7 +1191,6 @@ _CHECK_FIRST: list[str] = [
     "cal2_business_days",
     "mrk1_merkle_fingerprint",
     "stats3_join_card_estimate",
-    "geo6_shoelace_measures",
 ]
 # Highest CORRECTNESS_r{N}.json acknowledged when the head
 # above was rotated; the round-boundary tripwire
