@@ -821,13 +821,59 @@ def d2_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.normalized_dedup(d, "text", "doc_id")
 
 
-@_register("d3_minhash_lsh", None)  # hash-function-specific → rows-only check
+# d3's oracle: exact word-3-gram Jaccard pairs at >= 0.6 via an inverted
+# gram index (never all-pairs) — the same ground-truth construction d7's
+# oracle uses. jaccard = int/int division of identical set sizes, so the
+# DOUBLE is bit-identical across engines (the d5 precedent).
+_D3_SQL = f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(
+                 range(1, greatest(len(string_split({{norm}}, ' ')) - 3, 0) + 2),
+                 i -> array_to_string(list_slice(string_split({{norm}}, ' '),
+                                                 i, i + 2), ' ')),
+               s -> length(s) > 0)) AS grams
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(grams) AS g FROM sh
+    ), sizes AS (
+      SELECT doc_id, len(grams) AS n FROM sh
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.id_a, s.id_b,
+           CAST(s.c AS DOUBLE) / (ca.n + cb.n - s.c) AS jaccard
+    FROM shared s
+    JOIN sizes ca ON s.id_a = ca.doc_id
+    JOIN sizes cb ON s.id_b = cb.doc_id
+    WHERE CAST(s.c AS DOUBLE) / (ca.n + cb.n - s.c) >= 0.6
+    """.format(
+    norm=(
+        "trim(regexp_replace(regexp_replace(lower(text),"
+        " '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+)
+
+
+@_register("d3_minhash_lsh", _D3_SQL)
 def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs (banded signatures). No SQL
-    oracle: depends on xxhash64 internals; validated by unit tests on
-    planted near-duplicates instead."""
-    d = _t(spark, sf_dir, "documents")
-    return D.minhash_lsh_candidates(d, "text", "doc_id", num_hashes=32, bands=8)
+    """MinHash+LSH near-dup pairs, exact-confirmed — upgraded rows-only ->
+    hash-green via a LAW-BASED oracle (verdict r7 item 6). The banded LSH
+    candidates (64 hashes x 16 bands, the d7 construction whose recall at
+    j >= 0.6 was verified exhaustively at sf0.001/0.01/0.1: the data's pair
+    Jaccards are >= 0.75 with nothing in (0.35, 0.75), so the banding curve
+    has no boundary mass to lose) are confirmed by exact word-3-gram
+    Jaccard at 0.6. Candidates ⊇ exact pairs and the confirm removes false
+    positives, so the output EQUALS the SQL-computable ground truth — the
+    sketch machinery stays in the measured path, its recall contract is
+    what the driver hashes. Scale shape unchanged: signature map →
+    (band, band_hash) equi-join → two shingle equi-joins; never all-pairs."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = D.minhash_lsh_candidates(d, "text", "doc_id")
+    return D.jaccard_pairs(d, cand, "text", "doc_id", threshold=0.6)
 
 
 @_register("d4_simhash", None)  # hash-function-specific → rows-only check
@@ -875,16 +921,79 @@ def x1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("x2_lsh_topk", None)  # LSH recall is approximate → rows-only check
+# x2's oracle: the exact brute-force top-5 per query (x1's bit-exact fold)
+# aggregated per query, plus the per-query recall-floor law the LSH run
+# must certify. FLOOR(sim*10000 + 0.5) sidesteps engine round() semantics:
+# both engines floor the SAME IEEE double.
+_X2_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 50),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             list_reduce(list_transform(list_zip(q.qv, c.cv),
+                                        x -> x[1] * x[2]),
+                         (acc, v) -> acc + v)
+             / (sqrt(list_reduce(list_transform(q.qv, v -> v * v), (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(c.cv, v -> v * v), (a, b) -> a + b)))
+             AS cosine_sim
+      FROM q, c WHERE q.query_id <> c.neighbor_id
+    ), top5 AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id,
+           MIN(CASE WHEN rank = 1 THEN neighbor_id END) AS nn_id,
+           CAST(SUM(CAST(FLOOR(cosine_sim * 10000 + 0.5) AS BIGINT))
+                AS BIGINT) AS top5_sim_sum_x1e4,
+           TRUE AS overlap_ge_1
+    FROM top5 WHERE rank <= 5 GROUP BY query_id
+    """
+
+
+@_register("x2_lsh_topk", _X2_SQL)
 def x2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed approximate top-k (the 100 TB path: equi-join
-    on signature instead of an all-pairs product). Rows-only check; recall
-    vs brute force is asserted in unit tests."""
+    """Hyperplane-LSH approximate top-k, recall-certified — upgraded
+    rows-only -> hash-green via a LAW-BASED oracle (verdict r7 item 6).
+    The LSH neighbor set itself is hash-function-internal, so the query
+    emits, per query vector: the exact nearest neighbor and the exact
+    top-5 similarity mass (both brute-force, the x1 construction proven
+    bit-exact against DuckDB) plus the LSH recall-floor certificate —
+    ``overlap_ge_1`` = the multi-table LSH (6 planes x 24 tables) found at
+    least one true top-5 neighbor for this query. Measured floor across
+    sf0.001/0.01/0.1: min per-query overlap 1-2, mean recall 0.65-0.78
+    (asserted in tests/test_operators.py on the raw operator). An LSH
+    regression that loses a whole query's bucket flips the boolean and
+    reds the driver hash. Scale shape: the LSH side is the 100 TB path
+    (equi-join on (table, signature) buckets, cost ∝ true collisions);
+    the brute-force side exists to certify it, exactly like a2's exact
+    count certifies the HLL sketch."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 50)
-    return SIM.lsh_topk(
-        queries, emb, dim=64, k=5, num_planes=6, num_tables=24
-    ).select("query_id", "neighbor_id", "cosine_sim", "rank")
+    bf = SIM.brute_force_topk(queries, emb, k=5)
+    appx = (
+        SIM.lsh_topk(queries, emb, dim=64, k=5, num_planes=6, num_tables=24)
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        bf.join(appx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.min(
+                F.when(F.col("rank") == 1, F.col("neighbor_id"))
+            ).alias("nn_id"),
+            F.sum(
+                F.floor(F.col("cosine_sim") * 10000 + F.lit(0.5))
+            ).cast("bigint").alias("top5_sim_sum_x1e4"),
+            (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) >= 1).alias(
+                "overlap_ge_1"
+            ),
+        )
+    )
 
 
 @_register(
@@ -1128,7 +1237,8 @@ from . import queries_wave100  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave101  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave102  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave103  # noqa: E402,F401  (extends QUERIES)
-from . import queries_wave104  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_wave104  # noqa: E402,F401  (extends QUERIES)
+from . import queries_wave105  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded ~50-name prefix of the registry, so
@@ -1185,6 +1295,17 @@ _CHECK_FIRST: list[str] = [
     "cv1_group_kfold",
     "pmi1_collocations",
     "rrf1_rank_fusion",
+    # wave-105 rows-only retirements: the five law-based oracle upgrades
+    # plus the new SimHash precision certificate ride THIS round's sweep
+    # (re-certifying the shape change immediately, the stats1 lesson from
+    # ADVICE r7); the six never-swept names they displace follow at
+    # positions 51+ and lead the round-9 rotation.
+    "d3_minhash_lsh",
+    "x2_lsh_topk",
+    "x4_ivf_topk",
+    "a4_hll_rollup",
+    "hh2_heavy_hitters_sketch",
+    "d11_simhash_precision",
     "tm1_seasonal_decompose",
     "stats2_analyze_tables",
     "cf1_item_item",
@@ -1199,7 +1320,13 @@ _CHECK_FIRST: list[str] = [
 _CHECK_FIRST_ACK_ROUND: int = 7
 # Already-swept names deliberately kept in the head for
 # re-certification (--prioritize); not hand-drift.
-_CHECK_FIRST_RECHECK: list[str] = ['a2_approx_distinct', 'qt2_approx_quantiles', 'stats1_corr_covar']
+_CHECK_FIRST_RECHECK: list[str] = [
+    'a2_approx_distinct', 'qt2_approx_quantiles', 'stats1_corr_covar',
+    # wave-105 law-based oracle upgrades of formerly rows-only queries —
+    # swept rows-only in r1, re-certifying their new hash-green shapes
+    'd3_minhash_lsh', 'x2_lsh_topk', 'x4_ivf_topk', 'a4_hll_rollup',
+    'hh2_heavy_hitters_sketch',
+]
 # end _CHECK_FIRST block (regenerated by rotate_check_first.py)
 
 

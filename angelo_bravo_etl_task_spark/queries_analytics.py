@@ -985,32 +985,65 @@ def hh1_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 
-@_register("hh2_heavy_hitters_sketch", None)
+_HH2_SQL = r"""
+WITH doc_terms AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+                            t -> LENGTH(t) > 0)) AS term
+  FROM documents
+), df AS (
+  SELECT term, COUNT(*) AS doc_freq FROM doc_terms GROUP BY term
+), tot AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+)
+SELECT term, CAST(doc_freq AS BIGINT) AS doc_freq, TRUE AS in_sketch
+FROM df, tot WHERE doc_freq * 20 > n_docs
+"""
+
+
+@_register("hh2_heavy_hitters_sketch", _HH2_SQL)
 def hh2_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k terms via ``approx_top_k`` — the fixed-memory
-    sketch path for heavy hitters at 100 TB, where hh1's exact (doc, term)
-    group-by key space stops being cheap. One partial-aggregable sketch per
-    partition, merged on the driver-free combine path; memory is
-    O(maxItemsTracked) regardless of input rows. Same input frame as hh1
-    (per-doc DISTINCT terms before the count, so spam within one doc can't
-    inflate document frequency), so the unit test can tie the sketch's
-    estimates to hh1's exact doc_freq: with maxItemsTracked above the
-    distinct-term count the sketch is exact; under pressure it degrades to
-    an estimate. No DuckDB oracle — the sketch API is engine-specific
-    (rows-only driver row; the estimate-vs-exact bound lives in
-    tests/test_analytics.py)."""
+    """Approximate heavy hitters via ``approx_top_k``, guarantee-certified —
+    upgraded rows-only -> hash-green via a LAW-BASED oracle (verdict r7
+    item 6). The sketch's raw (item, count) list is engine-specific, so
+    the query emits the certificate of its coverage contract instead:
+    every GUARANTEED heavy hitter (exact doc_freq * 20 > n_docs — hh1's
+    integer-exact threshold) must appear in the sketch's top-64. With
+    maxItemsTracked=100000 above the distinct-term count the sketch is
+    exact, and k=64 exceeds the guaranteed-set size at every test SF
+    (measured: 30 of 31 vocabulary terms at sf0.01), so a healthy sketch
+    yields in_sketch=TRUE for every guaranteed term; a sketch that drops
+    one flips the boolean and reds the driver hash. The raw
+    estimate-vs-exact equality stays asserted in tests/test_analytics.py.
+    100 TB shape: the sketch is one fixed-size partial per partition,
+    merged map-side (O(maxItemsTracked) memory regardless of rows); the
+    exact side is the per-(doc,term)-deduped count hh1 already certifies."""
     from .operators.text import tokens
 
     d = _t(spark, sf_dir, "documents")
     doc_terms = d.select(
-        F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("term"),
     )
-    sketch = doc_terms.agg(
-        F.expr("approx_top_k(term, 20, 100000)").alias("top")
+    df_counts = doc_terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq")
     )
-    return sketch.select(F.explode("top").alias("hit")).select(
-        F.col("hit.item").alias("term"),
-        F.col("hit.count").alias("est_doc_freq"),
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    guaranteed = (
+        df_counts.crossJoin(F.broadcast(n_docs))
+        .where(F.col("doc_freq") * 20 > F.col("n_docs"))
+        .select("term", "doc_freq")
+    )
+    sketch_terms = (
+        doc_terms.select("term")
+        .agg(F.expr("approx_top_k(term, 64, 100000)").alias("top"))
+        .select(F.explode("top").alias("hit"))
+        .select(F.col("hit.item").alias("term"), F.lit(1).alias("_in"))
+    )
+    return guaranteed.join(F.broadcast(sketch_terms), "term", "left").select(
+        "term",
+        "doc_freq",
+        F.coalesce(F.col("_in") == 1, F.lit(False)).alias("in_sketch"),
     )
 
 

@@ -974,30 +974,56 @@ def x6_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 
-@_register("a4_hll_rollup", None)  # engine-specific sketch bytes → rows-only
+_A4_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(COUNT(DISTINCT user_id) * 8 // 100 + 1 AS BIGINT) AS tolerance,
+       TRUE AS within_tolerance
+FROM events GROUP BY event_type
+"""
+
+
+@_register("a4_hll_rollup", _A4_SQL)
 def a4_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical distinct-count rollup over MERGEABLE HLL sketches: build
     one sketch per (event_type, hour) partial — the shape a streaming or
     daily batch job persists — then roll up to per-type totals by MERGING
-    sketches (hll_union_agg), never re-reading raw data. This is the sketch
-    sibling of mv1's incremental aggregate maintenance and ts2's rollup
-    cascade: union is associative and commutative, so partials merge in any
-    order, across days or across a 1000-executor tree. Estimate error is
-    bounded (~1.6% rsd at default lgConfigK=12) and asserted against the
-    exact a3-style count in unit tests; no DuckDB oracle because the sketch
-    encoding is engine-specific (rows-only driver row)."""
+    sketches (hll_union_agg), never re-reading raw data. Union is
+    associative and commutative, so partials merge in any order, across
+    days or across a 1000-executor tree.
+
+    Upgraded rows-only -> hash-green via a LAW-BASED oracle (verdict r7
+    item 6, the a2 pattern): the sketch bytes and estimate are
+    engine-specific, so the query emits the certificate of the MERGED
+    estimate's error contract — |merged_estimate - exact| <= 8% (integer
+    tolerance, identical truncation both engines; lgConfigK=12 is ~1.6%
+    rsd, so 8% is ~5 sigma — and the sketch is exact in sparse mode at
+    test-SF cardinalities). A rollup that loses or double-merges a
+    partial lands far outside the tolerance and reds the hash. The raw
+    estimate-vs-exact closeness stays asserted in tests/test_analytics.py."""
     ev = _t(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour")
     ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    merged = hourly.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_users")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    tol = (F.expr("exact_users * 8 DIV 100") + F.lit(1)).cast("bigint")
     return (
-        hourly.groupBy("event_type")
-        .agg(
-            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias(
-                "est_users"
-            )
+        merged.join(exact, "event_type")
+        .withColumn("tolerance", tol)
+        .select(
+            "event_type",
+            "exact_users",
+            "tolerance",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                <= F.col("tolerance")
+            ).alias("within_tolerance"),
         )
-        .orderBy("event_type")
     )
 
 

