@@ -536,3 +536,24 @@ def test_d11_simhash_precision_certificate(spark, sf_dir):
         out = w105.d11_simhash_precision(spark, td).collect()
     assert len(out) == 1
     assert out[0].precision_ok is True and out[0].n_docs == 2
+
+
+def test_sdd1_semantic_dedup_invariants(spark, sf_dir):
+    """SemDeDup invariants the hash compare can't distinguish from luck:
+    every planted clone (vec_id >= 1_000_000) is dropped, every clone's
+    SOURCE survives and shares the clone's cell, and cells partition the
+    augmented corpus totally (one row per vector)."""
+    from angelo_bravo_etl_task_spark.sources.readers import load_table
+
+    rows = QUERIES["sdd1_semantic_dedup"][0](spark, sf_dir).collect()
+    n_base = load_table(spark, sf_dir, "embeddings").count()
+    by_id = {r.vec_id: r for r in rows}
+    clones = [r for r in rows if r.vec_id >= 1_000_000]
+    assert clones, "planted clones missing — dup branch vacuous"
+    assert len(rows) == n_base + len(clones)
+    assert len(by_id) == len(rows), "assignment must be total and unique"
+    for c in clones:
+        assert not c.is_kept, f"clone {c.vec_id} survived"
+        src = by_id[c.vec_id - 1_000_000]
+        assert src.cell_id == c.cell_id, "clone strayed from source cell"
+        assert src.is_kept, f"source {src.vec_id} was dropped"

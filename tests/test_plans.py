@@ -397,6 +397,9 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # broadcasts the 1-row n_docs scalar (hh1's shape); d11 crosses
         # two 1-row certificate scalars
         "x2_lsh_topk", "hh2_heavy_hitters_sketch", "d11_simhash_precision",
+        # sdd1's assignment crossJoin broadcasts the coarse-centroid frame
+        # (IVF's shape — |C| ≈ √N, tiny by construction)
+        "sdd1_semantic_dedup",
         "q22_idle_customers", "ts1_gap_fill", "sk1_salted_join",
         "cur1_corpus_datasheet",
         # bloom1's two cross joins broadcast the 1-row filter-size scalar
