@@ -291,3 +291,183 @@ def lsh_topk(
         k,
         alias="rank",
     )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int = 64,
+    k: int = 5,
+    m: int = 8,
+    n_codewords: int = 16,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) — the memory-compression
+    rung of the family (brute=x1, LSH=lsh_topk, IVF=ivf_topk, scalar
+    int8=x7): each vector is stored as ``m`` byte-sized codes (here 8 codes
+    over 16-codeword books = 8 bytes per 64-dim vector, a 32x compression),
+    queries score candidates through a per-query LOOKUP TABLE instead of
+    full dot products, and a short exact rerank restores precision.
+
+    Deterministic codebooks: subspace s's codewords are the s-th slices of
+    the first ``n_codewords`` corpus vectors (production trains per-subspace
+    k-means; determinism is what the oracle harness needs and the pipeline
+    shape is identical). Everything is JVM-side higher-order functions:
+
+    1. codebook: ONE row, array[m][n_codewords][dim/m], broadcast;
+    2. encode: per corpus vector, per subspace, argmin-L2 codeword
+       (fixed left-fold, tie-break lower codeword id);
+    3. LUT: per query, LUT[s][j] = dot(query_s, codeword[s][j]) — m*n
+       doubles per query, computed ONCE;
+    4. ADC score: sum over s of LUT[s][code_s] — m array lookups per
+       (query, candidate) pair, no per-pair dot product; approximate
+       cosine divides by ||q|| * ||decoded||;
+    5. rerank: top-``rerank`` ADC candidates per query get EXACT cosine,
+       then exact top-k (deterministic tie-break neighbor id).
+
+    100 TB shape: the codebook and query LUTs broadcast (m*n_codewords
+    doubles each); the corpus side carries only the 8-byte codes through
+    the scan — the point of PQ is that the big side never materializes
+    floats until the bounded rerank join."""
+    sub = dim // m
+    cb = (
+        corpus.where(F.col(id_col) < n_codewords)
+        .select(F.col(id_col).alias("_j"), F.col(vec_col).alias("_v"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_j"), F.col("_v")))
+            ).alias("_ds")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.transform(
+                    F.col("_ds"),
+                    lambda d: F.transform(
+                        F.slice(d["_v"], s * sub + 1, sub),
+                        lambda x: x.cast("double"),
+                    ),
+                ),
+            ).alias("_cb")
+        )
+    )
+
+    def _l2(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def _argmin_code(vec: Column, s: Column) -> Column:
+        # fold over codeword ids 0..n-1 with a (best_j, best_d) struct;
+        # strict < keeps the LOWEST id on ties
+        sub_v = F.transform(
+            F.slice(vec, s * sub + 1, sub), lambda x: x.cast("double")
+        )
+        init = F.struct(
+            F.lit(-1).alias("j"), F.lit(float("inf")).alias("d")
+        )
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_codewords - 1)),
+            init,
+            lambda acc, j: F.when(
+                _l2(sub_v, F.col("_cb")[s][j]) < acc["d"],
+                F.struct(
+                    j.alias("j"), _l2(sub_v, F.col("_cb")[s][j]).alias("d")
+                ),
+            ).otherwise(acc),
+        )["j"]
+
+    enc = (
+        _spread(corpus.select(F.col(id_col), F.col(vec_col)))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: _argmin_code(F.col(vec_col), s),
+            ).alias("_codes"),
+            # decoded norm^2 = sum_s ||codeword[s][code_s]||^2, resolved
+            # below once _codes exists
+            F.col("_cb"),
+        )
+        .select(
+            "neighbor_id",
+            "_codes",
+            F.sqrt(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    F.lit(0.0),
+                    lambda acc, s: acc
+                    + F.aggregate(
+                        F.transform(
+                            F.col("_cb")[s][F.col("_codes")[s]],
+                            lambda x: x * x,
+                        ),
+                        F.lit(0.0),
+                        lambda a, v: a + v,
+                    ),
+                )
+            ).alias("_dnorm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        )
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            "_qv",
+            norm(F.col("_qv")).alias("_qnorm"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.transform(
+                    F.col("_cb")[s],
+                    lambda cw: dot(
+                        F.slice(F.col("_qv"), s * sub + 1, sub), cw
+                    ),
+                ),
+            ).alias("_lut"),
+        )
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc + F.col("_lut")[s][F.col("_codes")[s]],
+    )
+    scored = (
+        enc.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "_qv",
+            (adc / (F.col("_qnorm") * F.col("_dnorm"))).alias("_approx"),
+        )
+    )
+    cand = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("_approx").desc(), F.col("neighbor_id").asc()],
+        rerank,
+        alias="_crank",
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    reranked = cand.join(c, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("_qv"), F.col("_cv")).alias("cosine_sim"),
+    )
+    return top_k_per_group(
+        reranked,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+        alias="rank",
+    )

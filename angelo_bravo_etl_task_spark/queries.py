@@ -1239,7 +1239,8 @@ from . import queries_wave102  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave103  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave104  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave105  # noqa: E402,F401  (extends QUERIES)
-from . import queries_wave106  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_wave106  # noqa: E402,F401  (extends QUERIES)
+from . import queries_wave107  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded ~50-name prefix of the registry, so
@@ -1308,6 +1309,7 @@ _CHECK_FIRST: list[str] = [
     "hh2_heavy_hitters_sketch",
     "d11_simhash_precision",
     "sdd1_semantic_dedup",
+    "x11_pq_topk",
     "tm1_seasonal_decompose",
     "stats2_analyze_tables",
     "cf1_item_item",

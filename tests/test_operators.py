@@ -534,3 +534,36 @@ def test_sh1_shards_are_curriculum_ordered_and_capped(spark, sf_dir):
     ranges = sorted((r.lo, r.hi) for r in per_file)
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, (ranges,)
+
+
+def test_pq_topk_codes_recall_and_determinism(spark, sf_dir):
+    """PQ pipeline invariants: recall vs brute force clears the measured
+    floor (random embeddings are PQ's worst case), and the result set is
+    deterministic across runs (fixed codebooks + tie-breaks)."""
+    from angelo_bravo_etl_task_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(queries, emb, k=5).collect()
+    }
+    rows = SIM.pq_topk(
+        queries, emb, dim=64, k=5, m=8, n_codewords=32, rerank=100
+    ).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.5, f"recall {recall}"
+    # per-query k results, exact cosine carried through the rerank
+    per_q: dict[int, int] = {}
+    for r in rows:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+        assert -1.0 <= r["cosine_sim"] <= 1.0
+    assert set(per_q.values()) == {5}
+    rerun = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.pq_topk(
+            queries, emb, dim=64, k=5, m=8, n_codewords=32, rerank=100
+        ).collect()
+    }
+    assert rerun == approx
