@@ -1240,7 +1240,8 @@ from . import queries_wave103  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave104  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave105  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave106  # noqa: E402,F401  (extends QUERIES)
-from . import queries_wave107  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_wave107  # noqa: E402,F401  (extends QUERIES)
+from . import queries_wave108  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded ~50-name prefix of the registry, so
@@ -1310,6 +1311,7 @@ _CHECK_FIRST: list[str] = [
     "d11_simhash_precision",
     "sdd1_semantic_dedup",
     "x11_pq_topk",
+    "e18_txn_foreachbatch",
     "tm1_seasonal_decompose",
     "stats2_analyze_tables",
     "cf1_item_item",

@@ -196,7 +196,9 @@ def e13_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Here that window is closed structurally: all mutations happen
         # AFTER collect() returns, on local dicts, so a failed attempt
         # mutates nothing. A real sink gets exactly-once only by staging
-        # into a transaction committed atomically with the batch marker.
+        # into a transaction committed atomically with the batch marker —
+        # e18_txn_foreachbatch (wave 108) builds exactly that and proves
+        # it against a real mid-apply crash.
         if batch_id in merged_batches:
             return
         partial = (
