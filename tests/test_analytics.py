@@ -557,3 +557,38 @@ def test_sdd1_semantic_dedup_invariants(spark, sf_dir):
         src = by_id[c.vec_id - 1_000_000]
         assert src.cell_id == c.cell_id, "clone strayed from source cell"
         assert src.is_kept, f"source {src.vec_id} was dropped"
+
+
+def test_shuf1_is_balanced_fresh_permutation(spark, sf_dir):
+    """Epoch shuffle laws: per (epoch, shard) positions are dense 1..n,
+    shards are balanced within a relative bound (hash uniformity), and
+    the two epochs produce genuinely different orders."""
+    rows = QUERIES["shuf1_epoch_shuffle"][0](spark, sf_dir).collect()
+    n_docs = len({r.doc_id for r in rows})
+    assert len(rows) == 2 * n_docs
+    by_cell: dict[tuple, list] = {}
+    for r in rows:
+        by_cell.setdefault((r.epoch, r.shard), []).append(r.position)
+    for (ep, sh), ps in by_cell.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), (ep, sh)
+    sizes = [len(ps) for ps in by_cell.values()]
+    mean = sum(sizes) / len(sizes)
+    assert max(sizes) < 2 * mean and min(sizes) > mean / 2, sizes
+    order = {}
+    for r in rows:
+        order.setdefault(r.epoch, {})[r.doc_id] = (r.shard, r.position)
+    moved = sum(
+        1 for d in order[0] if order[0][d] != order[1][d]
+    )
+    assert moved > n_docs * 0.8, f"epochs barely differ: {moved}/{n_docs}"
+
+
+def test_wmk1_canary_recall_and_precision(spark, sf_dir):
+    """Audit laws: exactly the planted canaries come back, all flagged,
+    ids in the canary range — no false positive on any real document."""
+    from angelo_bravo_etl_task_spark.queries_wave110 import _N_CANARIES
+
+    rows = QUERIES["wmk1_canary_audit"][0](spark, sf_dir).collect()
+    assert len(rows) == _N_CANARIES
+    assert all(r.is_canary and r.doc_id >= 9000000 for r in rows)
+    assert len({r.fingerprint for r in rows}) == _N_CANARIES

@@ -403,6 +403,8 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # x11's crossJoins broadcast the 1-row PQ codebook and the bounded
         # query-LUT frame; the brute-force certificate side is x1's shape
         "x11_pq_topk",
+        # shuf1 crosses the corpus with the 2-row epoch literal frame
+        "shuf1_epoch_shuffle",
         "q22_idle_customers", "ts1_gap_fill", "sk1_salted_join",
         "cur1_corpus_datasheet",
         # bloom1's two cross joins broadcast the 1-row filter-size scalar
