@@ -1244,7 +1244,8 @@ from . import queries_wave107  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave108  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave109  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave110  # noqa: E402,F401  (extends QUERIES)
-from . import queries_wave111  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_wave111  # noqa: E402,F401  (extends QUERIES)
+from . import queries_wave112  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded ~50-name prefix of the registry, so
@@ -1319,6 +1320,7 @@ _CHECK_FIRST: list[str] = [
     "shuf1_epoch_shuffle",
     "wmk1_canary_audit",
     "var2_variant_shredding",
+    "src16_python_stream_writer",
     "tm1_seasonal_decompose",
     "stats2_analyze_tables",
     "cf1_item_item",

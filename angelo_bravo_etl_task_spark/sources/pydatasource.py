@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -176,3 +177,75 @@ class RowLogSinkDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool):
         return RowLogWriter(self.options)
+
+
+class RowLogStreamWriter(DataSourceStreamWriter):
+    """Streaming half of the two-phase commit (wave 112): identical task
+    protocol to :class:`RowLogWriter` (uncommitted per-task files, commit
+    message carries the name), but the DRIVER publishes one
+    ``_manifest-<batchId>.json`` PER MICRO-BATCH. Replaying a batch
+    overwrites its own manifest — commit is idempotent per batch id, so
+    a restarted stream cannot double-publish; aborted attempts remove
+    their task files and publish nothing."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("rowlog stream sink requires option('path')")
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        name = f"task-{pid}-{_uuid.uuid4().hex}.jsonl.tmp"
+        n = 0
+        with open(_os.path.join(self.path, name), "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _CommitMsg(name, n)
+
+    def commit(self, messages, batchId):
+        import json as _json
+        import os as _os
+
+        files = sorted(
+            (m.filename, m.n_rows) for m in messages if m is not None
+        )
+        manifest = {
+            "batch_id": batchId,
+            "files": [f for f, _ in files],
+            "total_rows": sum(n for _, n in files),
+        }
+        with open(
+            _os.path.join(self.path, f"_manifest-{batchId}.json"), "w"
+        ) as fh:
+            _json.dump(manifest, fh)
+
+    def abort(self, messages, batchId):
+        import os as _os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    _os.remove(_os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+
+class RowLogStreamSinkDataSource(DataSource):
+    """Streaming-write face of the pure-Python V2 connector — with this
+    the matrix is complete: src7 batch read, src9 stream read, src14
+    batch write, src16 STREAM write."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rowlog_stream_sink"
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return RowLogStreamWriter(self.options)
