@@ -1245,7 +1245,8 @@ from . import queries_wave108  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave109  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave110  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave111  # noqa: E402,F401  (extends QUERIES)
-from . import queries_wave112  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_wave112  # noqa: E402,F401  (extends QUERIES)
+from . import queries_wave113  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded ~50-name prefix of the registry, so
@@ -1321,6 +1322,7 @@ _CHECK_FIRST: list[str] = [
     "wmk1_canary_audit",
     "var2_variant_shredding",
     "src16_python_stream_writer",
+    "mm8_contrastive_alignment",
     "tm1_seasonal_decompose",
     "stats2_analyze_tables",
     "cf1_item_item",

@@ -592,3 +592,16 @@ def test_wmk1_canary_recall_and_precision(spark, sf_dir):
     assert len(rows) == _N_CANARIES
     assert all(r.is_canary and r.doc_id >= 9000000 for r in rows)
     assert len({r.fingerprint for r in rows}) == _N_CANARIES
+
+
+def test_mm8_alignment_has_real_variation(spark, sf_dir):
+    """The contrastive eval must be non-vacuous: every pair gets exactly
+    one rank, retrieval@1 is high but NOT total (the planted mix is
+    tuned so some pairs lose), and ranks stay within the batch."""
+    rows = QUERIES["mm8_contrastive_alignment"][0](spark, sf_dir).collect()
+    assert len(rows) == 64
+    ranks = [r.true_rank for r in rows]
+    assert all(1 <= r <= 64 for r in ranks)
+    at1 = sum(1 for r in rows if r.correct_at_1)
+    assert 32 <= at1 < 64, f"retrieval@1 {at1}/64 — vacuous or broken"
+    assert all((r.true_rank == 1) == r.correct_at_1 for r in rows)

@@ -405,6 +405,9 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "x11_pq_topk",
         # shuf1 crosses the corpus with the 2-row epoch literal frame
         "shuf1_epoch_shuffle",
+        # mm8's in-batch B x B similarity matrix: both sides bounded to
+        # one 64-pair batch, candidate side broadcast
+        "mm8_contrastive_alignment",
         "q22_idle_customers", "ts1_gap_fill", "sk1_salted_join",
         "cur1_corpus_datasheet",
         # bloom1's two cross joins broadcast the 1-row filter-size scalar
