@@ -1247,7 +1247,8 @@ from . import queries_wave110  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave111  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave112  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave113  # noqa: E402,F401  (extends QUERIES)
-from . import queries_wave114  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_wave114  # noqa: E402,F401  (extends QUERIES)
+from . import queries_wave115  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded ~50-name prefix of the registry, so
@@ -1325,6 +1326,7 @@ _CHECK_FIRST: list[str] = [
     "src16_python_stream_writer",
     "mm8_contrastive_alignment",
     "dv1_deletion_vectors",
+    "rtf1_runtime_bloom_filter",
     "tm1_seasonal_decompose",
     "stats2_analyze_tables",
     "cf1_item_item",
