@@ -1249,7 +1249,8 @@ from . import queries_wave112  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave113  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave114  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave115  # noqa: E402,F401  (extends QUERIES)
-from . import queries_wave116  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_wave116  # noqa: E402,F401  (extends QUERIES)
+from . import queries_wave117  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded ~50-name prefix of the registry, so
@@ -1329,6 +1330,8 @@ _CHECK_FIRST: list[str] = [
     "dv1_deletion_vectors",
     "rtf1_runtime_bloom_filter",
     "d12_soft_dedup_weights",
+    "tt1_manifest_time_travel",
+    "fe8_group_median_impute",
     "tm1_seasonal_decompose",
     "stats2_analyze_tables",
     "cf1_item_item",
