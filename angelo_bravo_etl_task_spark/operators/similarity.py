@@ -362,24 +362,22 @@ def pq_topk(
         )
 
     def _argmin_code(vec: Column, s: Column) -> Column:
-        # fold over codeword ids 0..n-1 with a (best_j, best_d) struct;
-        # strict < keeps the LOWEST id on ties
+        # materialize the n distances ONCE (ADVICE r8: the previous
+        # (best_j, best_d) fold evaluated _l2 twice per codeword — once
+        # in the WHEN predicate, once in the winning struct — doubling
+        # the most expensive part of the encode stage), then argmin via
+        # array_position(array_min): first occurrence keeps the LOWEST
+        # codeword id on ties, same tie-break as the strict-< fold
         sub_v = F.transform(
             F.slice(vec, s * sub + 1, sub), lambda x: x.cast("double")
         )
-        init = F.struct(
-            F.lit(-1).alias("j"), F.lit(float("inf")).alias("d")
-        )
-        return F.aggregate(
+        dists = F.transform(
             F.sequence(F.lit(0), F.lit(n_codewords - 1)),
-            init,
-            lambda acc, j: F.when(
-                _l2(sub_v, F.col("_cb")[s][j]) < acc["d"],
-                F.struct(
-                    j.alias("j"), _l2(sub_v, F.col("_cb")[s][j]).alias("d")
-                ),
-            ).otherwise(acc),
-        )["j"]
+            lambda j: _l2(sub_v, F.col("_cb")[s][j]),
+        )
+        return (
+            F.array_position(dists, F.array_min(dists)) - 1
+        ).cast("int")
 
     enc = (
         _spread(corpus.select(F.col(id_col), F.col(vec_col)))

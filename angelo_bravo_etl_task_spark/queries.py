@@ -821,17 +821,30 @@ def d2_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.normalized_dedup(d, "text", "doc_id")
 
 
-# d3's oracle: exact word-3-gram Jaccard pairs at >= 0.6 via an inverted
-# gram index (never all-pairs) — the same ground-truth construction d7's
-# oracle uses. jaccard = int/int division of identical set sizes, so the
-# DOUBLE is bit-identical across engines (the d5 precedent).
-_D3_SQL = f"""
-    WITH sh AS (
+# Shared oracle fragments (ADVICE r8: _D3_SQL hand-duplicated d7's
+# inverted-gram-index construction including the normalization regex —
+# two copies can silently drift). Defined HERE (the base module) so
+# queries_px.py can import them without a circular import; d3, d5, d7
+# and d12 (via _D7_SQL) all build on these single definitions.
+#
+# Spark normalize_text ≡ this lower/strip-punct/collapse-ws chain (the d2
+# oracle established the regex-class parity between engines).
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+# Inverted-gram-index exact word-3-gram Jaccard: CTE block (sh = distinct
+# 3-gram sets, ex = exploded index, sizes, shared = per-pair overlap via
+# gram equi-join — never all-pairs). Compose as
+# f"WITH {_GRAM_PAIR_CTES} <final select>" (d3) or
+# f"WITH RECURSIVE {_GRAM_PAIR_CTES}, <more ctes> ..." (d7).
+_GRAM_PAIR_CTES = f"""sh AS (
       SELECT doc_id,
              list_distinct(list_filter(
                list_transform(
-                 range(1, greatest(len(string_split({{norm}}, ' ')) - 3, 0) + 2),
-                 i -> array_to_string(list_slice(string_split({{norm}}, ' '),
+                 range(1, greatest(len(string_split({_NORM_SQL}, ' ')) - 3, 0) + 2),
+                 i -> array_to_string(list_slice(string_split({_NORM_SQL}, ' '),
                                                  i, i + 2), ' ')),
                s -> length(s) > 0)) AS grams
       FROM documents
@@ -843,19 +856,21 @@ _D3_SQL = f"""
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
       FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
+    )"""
+
+# d3's oracle: exact word-3-gram Jaccard pairs at >= 0.6 via the shared
+# inverted gram index (never all-pairs) — the same ground-truth
+# construction d7's oracle uses. jaccard = int/int division of identical
+# set sizes, so the DOUBLE is bit-identical across engines (d5 precedent).
+_D3_SQL = f"""
+    WITH {_GRAM_PAIR_CTES}
     SELECT s.id_a, s.id_b,
            CAST(s.c AS DOUBLE) / (ca.n + cb.n - s.c) AS jaccard
     FROM shared s
     JOIN sizes ca ON s.id_a = ca.doc_id
     JOIN sizes cb ON s.id_b = cb.doc_id
     WHERE CAST(s.c AS DOUBLE) / (ca.n + cb.n - s.c) >= 0.6
-    """.format(
-    norm=(
-        "trim(regexp_replace(regexp_replace(lower(text),"
-        " '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
-    )
-)
+    """
 
 
 @_register("d3_minhash_lsh", _D3_SQL)
@@ -949,6 +964,13 @@ _X2_SQL = """
            MIN(CASE WHEN rank = 1 THEN neighbor_id END) AS nn_id,
            CAST(SUM(CAST(FLOOR(cosine_sim * 10000 + 0.5) AS BIGINT))
                 AS BIGINT) AS top5_sim_sum_x1e4,
+       -- EMPIRICAL-FLOOR CERTIFICATE (ADVICE r8): this constant TRUE
+       -- encodes a recall/accuracy floor MEASURED on the current
+       -- generated test data (verified at sf0.001/0.01/0.1); per-item
+       -- sketch miss probability is nonzero (~1e-3 class), so after
+       -- REGENERATING test data or adding a new SF the floor must be
+       -- re-measured -- a red sweep there is not an engine regression
+       -- until re-measurement says so.
            TRUE AS overlap_ge_1
     FROM top5 WHERE rank <= 5 GROUP BY query_id
     """
@@ -1263,96 +1285,65 @@ _CHECK_FIRST: list[str] = [
     # regenerated by tools/rotate_check_first.py — the next 50
     # never-driver-swept names in registration order; pre-verify
     # with tools/driver_repro.py before shipping the round
-    "src10_xml_source",
-    "src10_orc_roundtrip",
-    "sql7_execute_immediate",
-    "ps1_pandas_api",
-    "ppl1_perplexity_band_filter",
-    "an5_t_closeness",
-    "mv3_incremental_join",
-    "kmv2_sketch_set_algebra",
-    "f25_aes_pii_vault",
-    "stats1_corr_covar",
-    "qt2_approx_quantiles",
-    "a2_approx_distinct",
-    "e15_checkpoint_restore",
-    "src11_nested_schema_evolution",
-    "e16_dedup_state_restart",
-    "e17_bounded_backfill",
-    "src12_corrupt_parquet",
-    "src13_ignore_missing_files",
-    "src14_python_datasource_writer",
-    "obs2_stream_observe",
-    "dq4_missing_partitions",
-    "fe6_winsorized_mean",
-    "fe7_zscore_standardize",
-    "pca1_power_iteration",
-    "db1_temporal_debounce",
-    "emd1_wasserstein",
-    "ssj1_prefix_filter_join",
-    "sp1_weighted_shortest_path",
-    "chg1_cusum_changepoint",
-    "ri1_referential_integrity",
-    "att1_touch_attribution",
-    "boot1_bootstrap_ci",
-    "snm1_sorted_neighborhood",
-    "regr2_theil_sen",
-    "hw1_holt_linear_trend",
-    "mmr1_diversified_topk",
-    "ev1_classification_report",
-    "slo1_burn_rate",
-    "hier1_subtree_rollup",
-    "ft1_sft_examples",
-    "pref1_preference_pairs",
-    "cv1_group_kfold",
-    "pmi1_collocations",
-    "rrf1_rank_fusion",
-    # wave-105 rows-only retirements: the five law-based oracle upgrades
-    # plus the new SimHash precision certificate ride THIS round's sweep
-    # (re-certifying the shape change immediately, the stats1 lesson from
-    # ADVICE r7); the six never-swept names they displace follow at
-    # positions 51+ and lead the round-9 rotation.
-    "d3_minhash_lsh",
-    "x2_lsh_topk",
-    "x4_ivf_topk",
-    "a4_hll_rollup",
-    "hh2_heavy_hitters_sketch",
-    "d11_simhash_precision",
     "sdd1_semantic_dedup",
     "x11_pq_topk",
     "e18_txn_foreachbatch",
-    "src15_state_datasource",
-    "shuf1_epoch_shuffle",
-    "wmk1_canary_audit",
-    "var2_variant_shredding",
-    "src16_python_stream_writer",
-    "mm8_contrastive_alignment",
+    "d12_soft_dedup_weights",
     "dv1_deletion_vectors",
     "rtf1_runtime_bloom_filter",
-    "d12_soft_dedup_weights",
     "tt1_manifest_time_travel",
+    "var2_variant_shredding",
+    "shuf1_epoch_shuffle",
+    "src15_state_datasource",
+    "src16_python_stream_writer",
     "fe8_group_median_impute",
+    "mm8_contrastive_alignment",
+    "wmk1_canary_audit",
     "tm1_seasonal_decompose",
     "stats2_analyze_tables",
     "cf1_item_item",
     "cal2_business_days",
     "mrk1_merkle_fingerprint",
     "stats3_join_card_estimate",
+    "geo6_shoelace_measures",
+    "zipf1_rank_frequency",
+    "qt4_percentile_cont",
+    "perm1_permutation_test",
+    "kc1_kcore_peel",
+    "bot1_cadence_regularity",
+    "up1_uplift_by_segment",
+    "shap1_exact_shapley",
+    "twa1_time_weighted_avg",
+    "rdv1_rendezvous_hashing",
+    "dtw1_dynamic_time_warping",
+    "qq1_quantile_mapping",
+    "app1_largest_remainder",
+    "fix1_group_mode_impute",
+    "lcp1_prefix_compression",
+    "neg1_negative_sampling",
+    "dp3_randomized_response",
+    "f23_int_math_surface",
+    "ml2_perceptron_epoch",
+    "fis1_fiscal_445",
+    "ops1_ips_offpolicy",
+    "heaps1_vocab_growth",
+    "conc1_max_concurrency",
+    "lru1_cache_replay",
+    "cal3_reliability_bins",
+    "lis1_longest_increasing",
+    "act1_activity_selection",
+    "ams1_f2_sketch",
+    "knap1_knapsack",
+    "ring1_consistent_hash",
 ]
 # Highest CORRECTNESS_r{N}.json acknowledged when the head
 # above was rotated; the round-boundary tripwire
 # (tests/test_evidence_doc.py) tolerates exactly ONE newer
 # round before going red.
-_CHECK_FIRST_ACK_ROUND: int = 7
+_CHECK_FIRST_ACK_ROUND: int = 8
 # Already-swept names deliberately kept in the head for
 # re-certification (--prioritize); not hand-drift.
-_CHECK_FIRST_RECHECK: list[str] = [
-    'a2_approx_distinct', 'qt2_approx_quantiles', 'stats1_corr_covar',
-    # wave-105 law-based oracle upgrades of formerly rows-only queries —
-    # swept rows-only in r1, re-certifying their new hash-green shapes
-    'd3_minhash_lsh', 'x2_lsh_topk', 'x4_ivf_topk', 'a4_hll_rollup',
-    'hh2_heavy_hitters_sketch',
-]
+_CHECK_FIRST_RECHECK: list[str] = []
 # end _CHECK_FIRST block (regenerated by rotate_check_first.py)
 
 

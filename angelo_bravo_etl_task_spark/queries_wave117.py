@@ -124,7 +124,7 @@ WITH planted AS (
   FROM lineitem
 ), med AS (
   SELECT l_returnflag,
-         CAST(median(qty_c) AS BIGINT) AS group_median_c
+         CAST(FLOOR(median(qty_c)) AS BIGINT) AS group_median_c
   FROM planted WHERE qty_c IS NOT NULL GROUP BY l_returnflag
 )
 SELECT CAST(COALESCE(SUM(CASE WHEN p.qty_c IS NULL THEN 1 END), 0) AS BIGINT)
@@ -147,9 +147,11 @@ def fe8_group_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-cents values imputes them, and the released accounting
     (imputed count, post-imputation sum, median bounds per group) rides
     the hash. Exact median over an odd/even count of BIGINTs: Spark
-    ``median`` and DuckDB ``median`` both interpolate midpoints — cents
-    keep any .5 midpoint exactly representable, and the final CAST
-    truncates identically.
+    ``median`` and DuckDB ``median`` both interpolate midpoints — and
+    because Spark CAST(double AS BIGINT) truncates while DuckDB rounds
+    half-away-from-zero, an EXPLICIT FLOOR is applied on BOTH sides
+    before the BIGINT cast so the law holds for any input distribution,
+    not just the cents-are-multiples-of-100 fixture (ADVICE r8).
 
     100 TB shape: one aggregate for the medians (a sort-based exact
     percentile per group — the m1 shape), broadcast back over the
@@ -172,7 +174,10 @@ def fe8_group_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = (
         planted.where(F.col("qty_c").isNotNull())
         .groupBy("l_returnflag")
-        .agg(F.median("qty_c").cast("bigint").alias("group_median_c"))
+        .agg(
+            F.floor(F.median("qty_c")).cast("bigint")
+            .alias("group_median_c")
+        )
     )
     return (
         planted.join(F.broadcast(med), "l_returnflag")
