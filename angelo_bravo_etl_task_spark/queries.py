@@ -1272,7 +1272,8 @@ from . import queries_wave113  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave114  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave115  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave116  # noqa: E402,F401  (extends QUERIES)
-from . import queries_wave117  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_wave117  # noqa: E402,F401  (extends QUERIES)
+from . import queries_wave118  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded ~50-name prefix of the registry, so
@@ -1299,6 +1300,8 @@ _CHECK_FIRST: list[str] = [
     "fe8_group_median_impute",
     "mm8_contrastive_alignment",
     "wmk1_canary_audit",
+    "merge1_merge_into_dv",
+    "skew2_aqe_split",
     "tm1_seasonal_decompose",
     "stats2_analyze_tables",
     "cf1_item_item",
@@ -1333,8 +1336,6 @@ _CHECK_FIRST: list[str] = [
     "lis1_longest_increasing",
     "act1_activity_selection",
     "ams1_f2_sketch",
-    "knap1_knapsack",
-    "ring1_consistent_hash",
 ]
 # Highest CORRECTNESS_r{N}.json acknowledged when the head
 # above was rotated; the round-boundary tripwire

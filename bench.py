@@ -157,6 +157,24 @@ def main() -> None:
         print(f"# median {name}: {timings[name]}s of {sorted(samples)}",
               file=sys.stderr, flush=True)
 
+    # Environment markers (verdict r8 item 2, adjudicated in
+    # bench_isolation.json: the r7->r8 heavy-tail drift is a MACHINE-era
+    # effect, not suite aging — fresh JVMs on an idle machine reproduce
+    # the r8 times). Recording load/mem in every bench artifact lets the
+    # next round separate "same era" from "machine changed again".
+    env_markers: dict = {}
+    try:
+        env_markers["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    try:
+        for _line in open("/proc/meminfo"):
+            if _line.startswith("MemAvailable:"):
+                env_markers["mem_available_kb"] = int(_line.split()[1])
+                break
+    except OSError:
+        pass
+
     ok = [t for t in timings.values() if t >= 0]
     total = round(sum(ok), 3)
     flagship = timings.get("px1_loinc_i2b2_pipeline")
@@ -178,6 +196,7 @@ def main() -> None:
         # where a tail-window capture preserves them.
         "queries": timings,
         "median_of": median_of,
+        "env": env_markers,
         "sf": sf,
         "n_queries": len(timings),
         "sum_all_queries_sec": total,
