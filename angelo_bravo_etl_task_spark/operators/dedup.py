@@ -288,7 +288,7 @@ def _minhash_signature_arrow(num_hashes: int = 64):
     return minhash_from_hashes
 
 
-def minhash_lsh_candidates(
+def banded_minhash(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -297,20 +297,13 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     use_arrow: bool = True,
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash-LSH.
+    """Per-document banded MinHash signatures: (id, band, band_hash).
 
-    rows = num_hashes/bands; P(candidate) ≈ 1-(1-j^rows)^bands for Jaccard j.
-    Defaults (64 hashes, 16 bands × 4 rows) catch j ≳ 0.5 reliably.
-
-    Scale shape: signature build is a pure map; banding explodes each doc
-    into ``bands`` rows; the self-join on (band, band_hash) is an equi-join
-    whose cost is bounded by real collisions. Returns (id_a, id_b) with
-    id_a < id_b, distinct.
-
-    ``use_arrow`` picks the vectorized signature path (default; bit-exact
-    with the expression path — tests/test_minhash_parity.py); the pure
-    Column expression is kept as the executable spec and for environments
-    without Arrow.
+    The shared build stage of both the symmetric self-join
+    (:func:`minhash_lsh_candidates`) and the asymmetric probe-vs-index
+    join (:func:`lsh_probe_candidates`). At 100 TB this frame IS the
+    near-dup index a production pipeline persists (bucketed by
+    (band, band_hash)); here it is built inline per query.
     """
     rows = num_hashes // bands
     # staged projections so the shingle hashes materialize ONCE per row (a
@@ -335,19 +328,19 @@ def minhash_lsh_candidates(
                 ]
             ).alias("_sig"),
         )
-    # Eager local checkpoint of the per-DOC signatures: the self-join would
-    # otherwise (a) launch BOTH join sides concurrently, each computing the
-    # full signature pipeline (persist() alone is lazy — the two sides race
-    # before the cache fills), and (b) let constraint inference push the
-    # whole signature expression into the file scan as an IsNotNull filter —
-    # single-partition and pre-repartition. Checkpointing materializes once,
-    # truncates lineage, and the blocks are GC'd by the ContextCleaner when
-    # the frame drops out of scope (no unpersist bookkeeping). Checkpoint
-    # BEFORE the bands× explode — banding is a trivial JVM map, cheaper
-    # recomputed per join side than stored. Signatures are tiny next to the
-    # text — safe at any scale.
+    # Eager local checkpoint of the per-DOC signatures: a downstream join
+    # would otherwise (a) launch BOTH join sides concurrently, each
+    # computing the full signature pipeline (persist() alone is lazy — the
+    # two sides race before the cache fills), and (b) let constraint
+    # inference push the whole signature expression into the file scan as
+    # an IsNotNull filter — single-partition and pre-repartition.
+    # Checkpointing materializes once, truncates lineage, and the blocks
+    # are GC'd by the ContextCleaner when the frame drops out of scope (no
+    # unpersist bookkeeping). Checkpoint BEFORE the bands× explode —
+    # banding is a trivial JVM map, cheaper recomputed per join side than
+    # stored. Signatures are tiny next to the text — safe at any scale.
     sig = sig.localCheckpoint(eager=True)
-    banded = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -365,6 +358,35 @@ def minhash_lsh_candidates(
             )
         ).alias("bh"),
     ).select(id_col, "bh.band", "bh.band_hash")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    rows = num_hashes/bands; P(candidate) ≈ 1-(1-j^rows)^bands for Jaccard j.
+    Defaults (64 hashes, 16 bands × 4 rows) catch j ≳ 0.5 reliably.
+
+    Scale shape: signature build is a pure map; banding explodes each doc
+    into ``bands`` rows; the self-join on (band, band_hash) is an equi-join
+    whose cost is bounded by real collisions. Returns (id_a, id_b) with
+    id_a < id_b, distinct.
+
+    ``use_arrow`` picks the vectorized signature path (default; bit-exact
+    with the expression path — tests/test_minhash_parity.py); the pure
+    Column expression is kept as the executable spec and for environments
+    without Arrow.
+    """
+    banded = banded_minhash(
+        df, text_col, id_col, num_hashes, bands, shingle_n, use_arrow
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -378,6 +400,52 @@ def minhash_lsh_candidates(
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def lsh_probe_candidates(
+    probe: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Asymmetric banded-LSH candidates: probe docs vs an indexed corpus.
+
+    The INCREMENTAL dedup shape: a (small) delta of new documents is
+    checked against a (huge) existing corpus without the corpus ever
+    self-joining — the equi-join on (band, band_hash) touches only the
+    index buckets the probe's band hashes actually hit. At 100 TB the
+    index side is a PRECOMPUTED, persisted banded-signature table
+    (bucketed by band_hash so the probe join is shuffle-free on the
+    corpus side); cost is O(|delta| · bands) probe rows × bucket hit
+    size, independent of corpus row count. Returns distinct
+    (probe_id, index_id) pairs; ids may overlap between frames — the
+    caller guarantees disjointness (incremental pipelines key deltas
+    into fresh id space).
+    """
+    bp = banded_minhash(
+        probe, text_col, id_col, num_hashes, bands, shingle_n, use_arrow
+    ).alias("p")
+    bi = banded_minhash(
+        index, text_col, id_col, num_hashes, bands, shingle_n, use_arrow
+    ).alias("i")
+    return (
+        bp.join(
+            bi,
+            on=[
+                F.col("p.band") == F.col("i.band"),
+                F.col("p.band_hash") == F.col("i.band_hash"),
+            ],
+        )
+        .select(
+            F.col(f"p.{id_col}").alias("probe_id"),
+            F.col(f"i.{id_col}").alias("index_id"),
         )
         .distinct()
     )

@@ -834,20 +834,27 @@ _NORM_SQL = (
     " '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
 )
 
-# Inverted-gram-index exact word-3-gram Jaccard: CTE block (sh = distinct
-# 3-gram sets, ex = exploded index, sizes, shared = per-pair overlap via
-# gram equi-join — never all-pairs). Compose as
-# f"WITH {_GRAM_PAIR_CTES} <final select>" (d3) or
-# f"WITH RECURSIVE {_GRAM_PAIR_CTES}, <more ctes> ..." (d7).
-_GRAM_PAIR_CTES = f"""sh AS (
-      SELECT doc_id,
+def _grams_select(src: str) -> str:
+    """SELECT producing (doc_id, grams) — the distinct word-3-gram set per
+    document of ``src`` (any relation with doc_id + text columns). The one
+    definition of the gram construction every dedup oracle builds on."""
+    return f"""SELECT doc_id,
              list_distinct(list_filter(
                list_transform(
                  range(1, greatest(len(string_split({_NORM_SQL}, ' ')) - 3, 0) + 2),
                  i -> array_to_string(list_slice(string_split({_NORM_SQL}, ' '),
                                                  i, i + 2), ' ')),
                s -> length(s) > 0)) AS grams
-      FROM documents
+      FROM {src}"""
+
+
+# Inverted-gram-index exact word-3-gram Jaccard: CTE block (sh = distinct
+# 3-gram sets, ex = exploded index, sizes, shared = per-pair overlap via
+# gram equi-join — never all-pairs). Compose as
+# f"WITH {_GRAM_PAIR_CTES} <final select>" (d3) or
+# f"WITH RECURSIVE {_GRAM_PAIR_CTES}, <more ctes> ..." (d7).
+_GRAM_PAIR_CTES = f"""sh AS (
+      {_grams_select("documents")}
     ), ex AS (
       SELECT doc_id, unnest(grams) AS g FROM sh
     ), sizes AS (
@@ -1273,7 +1280,8 @@ from . import queries_wave114  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave115  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave116  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave117  # noqa: E402,F401  (extends QUERIES)
-from . import queries_wave118  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_wave118  # noqa: E402,F401  (extends QUERIES)
+from . import queries_wave119  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded ~50-name prefix of the registry, so
@@ -1302,6 +1310,10 @@ _CHECK_FIRST: list[str] = [
     "wmk1_canary_audit",
     "merge1_merge_into_dv",
     "skew2_aqe_split",
+    "d13_incremental_dedup",
+    "kn1_kneser_ney",
+    "kappa1_agreement",
+    "unpivot1_wide_to_long",
     "tm1_seasonal_decompose",
     "stats2_analyze_tables",
     "cf1_item_item",
@@ -1332,10 +1344,6 @@ _CHECK_FIRST: list[str] = [
     "heaps1_vocab_growth",
     "conc1_max_concurrency",
     "lru1_cache_replay",
-    "cal3_reliability_bins",
-    "lis1_longest_increasing",
-    "act1_activity_selection",
-    "ams1_f2_sketch",
 ]
 # Highest CORRECTNESS_r{N}.json acknowledged when the head
 # above was rotated; the round-boundary tripwire

@@ -182,36 +182,49 @@ def merge1_merge_into_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("file_id", "price_c")
         .unionByName(appended.select("file_id", "price_c"))
     )
-    acct = live.groupBy("file_id").agg(
-        F.count(F.lit(1)).alias("live_rows"),
-        F.sum("price_c").cast("bigint").alias("live_price_sum_c"),
-    )
-    dvc = dv.groupBy("file_id").agg(F.count(F.lit(1)).alias("dv_marked"))
-    ins = appended.groupBy("file_id").agg(
-        F.coalesce(
-            F.sum(F.when(F.col("op") == "U", 1)), F.lit(0)
-        ).cast("bigint").alias("updated_rows"),
-        F.coalesce(
-            F.sum(F.when(F.col("op") == "I", 1)), F.lit(0)
-        ).cast("bigint").alias("inserted_rows"),
-    )
-    return (
-        acct.join(dvc, "file_id", "left")
-        .join(ins, "file_id", "left")
-        .select(
-            "file_id",
-            "live_rows",
-            F.coalesce(F.col("dv_marked"), F.lit(0))
-            .cast("bigint")
-            .alias("dv_marked"),
-            F.coalesce(F.col("updated_rows"), F.lit(0))
-            .cast("bigint")
-            .alias("updated_rows"),
-            F.coalesce(F.col("inserted_rows"), F.lit(0))
-            .cast("bigint")
-            .alias("inserted_rows"),
-            "live_price_sum_c",
+    # Per-file accounting as ONE tagged union + ONE groupBy instead of
+    # three per-file aggregates joined back together: (a) one shuffle,
+    # not three plus two joins; (b) the appended file's constant
+    # file_id=4 would constant-fold a join key into a non-equi predicate
+    # and plan a BroadcastNestedLoopJoin (found by the registry-wide
+    # plan sweep) — with a union there is no join to degrade.
+    tagged = (
+        live.select("file_id", F.lit("live").alias("tag"), "price_c")
+        .unionByName(
+            dv.select(
+                "file_id",
+                F.lit("dv").alias("tag"),
+                F.lit(0).cast("bigint").alias("price_c"),
+            )
         )
+        .unionByName(
+            appended.select(
+                "file_id",
+                F.concat(F.lit("app_"), F.col("op")).alias("tag"),
+                F.lit(0).cast("bigint").alias("price_c"),
+            )
+        )
+    )
+    is_tag = lambda t: F.when(F.col("tag") == t, 1)  # noqa: E731
+    return tagged.groupBy("file_id").agg(
+        F.coalesce(F.sum(is_tag("live")), F.lit(0))
+        .cast("bigint")
+        .alias("live_rows"),
+        F.coalesce(F.sum(is_tag("dv")), F.lit(0))
+        .cast("bigint")
+        .alias("dv_marked"),
+        F.coalesce(F.sum(is_tag("app_U")), F.lit(0))
+        .cast("bigint")
+        .alias("updated_rows"),
+        F.coalesce(F.sum(is_tag("app_I")), F.lit(0))
+        .cast("bigint")
+        .alias("inserted_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("tag") == "live", F.col("price_c"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("live_price_sum_c"),
     )
 
 

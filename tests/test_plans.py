@@ -470,6 +470,10 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "slo1_burn_rate",
         # pmi1 broadcasts the 1-row corpus token total
         "pmi1_collocations",
+        # kn1 broadcasts the 1-row bigram-type count (pmi1's shape);
+        # kappa1 broadcasts the 1-row corpus means frame
+        "kn1_kneser_ney",
+        "kappa1_agreement",
         # stats3 assembles each output row from three 1-row aggregate
         # frames (left stats, right stats, actual join count)
         "stats3_join_card_estimate",
