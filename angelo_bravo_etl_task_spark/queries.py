@@ -1281,7 +1281,8 @@ from . import queries_wave115  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave116  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave117  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave118  # noqa: E402,F401  (extends QUERIES)
-from . import queries_wave119  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_wave119  # noqa: E402,F401  (extends QUERIES)
+from . import queries_wave120  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded ~50-name prefix of the registry, so
@@ -1314,6 +1315,9 @@ _CHECK_FIRST: list[str] = [
     "kn1_kneser_ney",
     "kappa1_agreement",
     "unpivot1_wide_to_long",
+    "gq1_gopher_repetition",
+    "fim1_fill_in_middle",
+    "dom1_source_caps",
     "tm1_seasonal_decompose",
     "stats2_analyze_tables",
     "cf1_item_item",
@@ -1341,9 +1345,6 @@ _CHECK_FIRST: list[str] = [
     "ml2_perceptron_epoch",
     "fis1_fiscal_445",
     "ops1_ips_offpolicy",
-    "heaps1_vocab_growth",
-    "conc1_max_concurrency",
-    "lru1_cache_replay",
 ]
 # Highest CORRECTNESS_r{N}.json acknowledged when the head
 # above was rotated; the round-boundary tripwire
