@@ -1282,7 +1282,8 @@ from . import queries_wave116  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave117  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave118  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave119  # noqa: E402,F401  (extends QUERIES)
-from . import queries_wave120  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_wave120  # noqa: E402,F401  (extends QUERIES)
+from . import queries_wave121  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded ~50-name prefix of the registry, so
@@ -1318,6 +1319,8 @@ _CHECK_FIRST: list[str] = [
     "gq1_gopher_repetition",
     "fim1_fill_in_middle",
     "dom1_source_caps",
+    "chat1_template_lint",
+    "trunc1_context_budget",
     "tm1_seasonal_decompose",
     "stats2_analyze_tables",
     "cf1_item_item",
@@ -1343,8 +1346,6 @@ _CHECK_FIRST: list[str] = [
     "dp3_randomized_response",
     "f23_int_math_surface",
     "ml2_perceptron_epoch",
-    "fis1_fiscal_445",
-    "ops1_ips_offpolicy",
 ]
 # Highest CORRECTNESS_r{N}.json acknowledged when the head
 # above was rotated; the round-boundary tripwire
