@@ -474,6 +474,10 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # kappa1 broadcasts the 1-row corpus means frame
         "kn1_kneser_ney",
         "kappa1_agreement",
+        # dom1 broadcasts the 1-row (n_sources, n_total) stats frame;
+        # trunc1 broadcasts the 3-row data-derived budget frame
+        "dom1_source_caps",
+        "trunc1_context_budget",
         # stats3 assembles each output row from three 1-row aggregate
         # frames (left stats, right stats, actual join count)
         "stats3_join_card_estimate",
