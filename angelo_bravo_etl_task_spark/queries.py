@@ -1283,7 +1283,8 @@ from . import queries_wave117  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave118  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave119  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave120  # noqa: E402,F401  (extends QUERIES)
-from . import queries_wave121  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_wave121  # noqa: E402,F401  (extends QUERIES)
+from . import queries_wave122  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded ~50-name prefix of the registry, so
@@ -1321,6 +1322,8 @@ _CHECK_FIRST: list[str] = [
     "dom1_source_caps",
     "chat1_template_lint",
     "trunc1_context_budget",
+    "x12_lsh_planted_recall",
+    "exch1_reused_exchange",
     "tm1_seasonal_decompose",
     "stats2_analyze_tables",
     "cf1_item_item",
@@ -1344,8 +1347,6 @@ _CHECK_FIRST: list[str] = [
     "lcp1_prefix_compression",
     "neg1_negative_sampling",
     "dp3_randomized_response",
-    "f23_int_math_surface",
-    "ml2_perceptron_epoch",
 ]
 # Highest CORRECTNESS_r{N}.json acknowledged when the head
 # above was rotated; the round-boundary tripwire

@@ -478,6 +478,10 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # trunc1 broadcasts the 3-row data-derived budget frame
         "dom1_source_caps",
         "trunc1_context_budget",
+        # exch1 crossJoins the broadcast 1-row best-year frame (the
+        # scalar shape); the point of the query is its ReusedExchange
+        # assertion
+        "exch1_reused_exchange",
         # stats3 assembles each output row from three 1-row aggregate
         # frames (left stats, right stats, actual join count)
         "stats3_join_card_estimate",
