@@ -1284,7 +1284,8 @@ from . import queries_wave118  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave119  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave120  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave121  # noqa: E402,F401  (extends QUERIES)
-from . import queries_wave122  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_wave122  # noqa: E402,F401  (extends QUERIES)
+from . import queries_wave123  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded ~50-name prefix of the registry, so
@@ -1324,6 +1325,7 @@ _CHECK_FIRST: list[str] = [
     "trunc1_context_budget",
     "x12_lsh_planted_recall",
     "exch1_reused_exchange",
+    "sd1_substring_dedup",
     "tm1_seasonal_decompose",
     "stats2_analyze_tables",
     "cf1_item_item",
@@ -1346,7 +1348,6 @@ _CHECK_FIRST: list[str] = [
     "fix1_group_mode_impute",
     "lcp1_prefix_compression",
     "neg1_negative_sampling",
-    "dp3_randomized_response",
 ]
 # Highest CORRECTNESS_r{N}.json acknowledged when the head
 # above was rotated; the round-boundary tripwire
