@@ -112,10 +112,13 @@ def sdd1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # planting clones — a real-id collision would be replayed identically
     # by the oracle and certify garbage
     _max_id = emb.agg(F.max("vec_id")).first()[0]
-    assert _max_id is not None and _max_id < 1_000_000, (
-        f"sdd1 clone offset 1_000_000 collides with real vec_id space "
-        f"(max={_max_id}); raise the offset on BOTH engine and oracle"
-    )
+    # explicit raise, not `assert`: invariant guards must survive
+    # `python -O` (ADVICE r9)
+    if _max_id is None or _max_id >= 1_000_000:
+        raise RuntimeError(
+            f"sdd1 clone offset 1_000_000 collides with real vec_id space "
+            f"(max={_max_id}); raise the offset on BOTH engine and oracle"
+        )
     cent = (
         emb.where(F.col("vec_id") % 100 == 0)
         .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("_cv"))

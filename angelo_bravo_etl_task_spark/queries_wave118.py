@@ -161,21 +161,23 @@ def merge1_merge_into_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file_id", "pos", "k", "op", "new_price_c"
     )
     dv = matched.where(F.col("op").isin("D", "U")).select("file_id", "pos")
-    appended = with_row_number(
+    # The appended file's physical positions are narrative-only (no
+    # released column reads them), so the engine side does NOT compute
+    # them — a global single-partition row_number here would be a wasted
+    # sort/exchange if Catalyst failed to prune it (ADVICE r9). The
+    # oracle's position arithmetic stays self-contained in the SQL.
+    appended = (
         matched.where(F.col("op") == "U")
         .select("k", "op", "new_price_c")
         .unionByName(
             delta.where(F.col("op") == "I").select("k", "op", "new_price_c")
-        ),
-        [],
-        [F.col("k").asc()],
-        "pos",
-    ).select(
-        F.lit(4).cast("bigint").alias("file_id"),
-        F.col("pos").cast("bigint").alias("pos"),
-        "k",
-        F.col("new_price_c").alias("price_c"),
-        "op",
+        )
+        .select(
+            F.lit(4).cast("bigint").alias("file_id"),
+            "k",
+            F.col("new_price_c").alias("price_c"),
+            "op",
+        )
     )
     live = (
         base.join(F.broadcast(dv), ["file_id", "pos"], "left_anti")
@@ -352,10 +354,13 @@ def skew2_aqe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         # marker only exists in the final adaptive plan
         rows = out.collect()
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "skew=true" in plan, (
-            "AQE did not split the planted skewed partition:\n"
-            + plan[:2000]
-        )
+        # explicit raise, not `assert`: plan certifications must survive
+        # `python -O` (ADVICE r9)
+        if "skew=true" not in plan:
+            raise RuntimeError(
+                "AQE did not split the planted skewed partition:\n"
+                + plan[:2000]
+            )
         return spark.createDataFrame(
             rows,
             "status string, n_rows bigint, qty_sum_c bigint, "

@@ -99,6 +99,15 @@ def d13_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import jaccard_pairs, lsh_probe_candidates
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # bounded 1-row agg: guard the clone-offset invariant before planting
+    # (the sdd1 pattern, ADVICE r9) — a real-id collision would be
+    # replayed identically by the oracle and certify garbage
+    _max_id = d.agg(F.max("doc_id")).first()[0]
+    if _max_id is None or _max_id >= 1_000_000:
+        raise RuntimeError(
+            f"d13 clone offset 1_000_000 collides with real doc_id space "
+            f"(max={_max_id}); raise the offset on BOTH engine and oracle"
+        )
     corpus = d.where(F.col("doc_id") % 10 != 0)
     clones = corpus.where(F.col("doc_id") % 37 == 0).select(
         (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"

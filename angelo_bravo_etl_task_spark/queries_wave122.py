@@ -63,6 +63,14 @@ def x12_lsh_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # bounded 1-row agg: guard the clone-offset invariant before planting
+    # (the sdd1 pattern, ADVICE r9)
+    _max_id = emb.agg(F.max("vec_id")).first()[0]
+    if _max_id is None or _max_id >= 2_000_000:
+        raise RuntimeError(
+            f"x12 clone offset 2_000_000 collides with real vec_id space "
+            f"(max={_max_id}); raise the offset on BOTH engine and oracle"
+        )
     queries = emb.where(F.col("vec_id") < 50)
     clones = queries.select(
         (F.col("vec_id") + F.lit(2000000)).alias("vec_id"), "embedding"
@@ -158,10 +166,13 @@ def exch1_reused_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert ("ReusedExchange" in plan) or ("ReusedQueryStage" in plan), (
-        "the twice-referenced aggregate did not reuse its exchange:\n"
-        + plan[:2000]
-    )
+    # explicit raise, not `assert`: plan certifications must survive
+    # `python -O` (ADVICE r9)
+    if "ReusedExchange" not in plan and "ReusedQueryStage" not in plan:
+        raise RuntimeError(
+            "the twice-referenced aggregate did not reuse its exchange:\n"
+            + plan[:2000]
+        )
     return spark.createDataFrame(
         rows,
         "yr bigint, total_c bigint, n_orders bigint, best_yr bigint,"

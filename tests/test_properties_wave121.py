@@ -17,8 +17,15 @@ def test_chat1_all_violation_classes_fire(spark, sf_dir):
     # the %23 corruption breaks alternation AND the ending in the same
     # convs — the two counters must agree exactly by construction
     assert r["n_repeat_role"] == r["n_bad_ending"]
-    # planted slices are disjoint, so valid + violators = total
-    assert r["n_valid"] + r["n_repeat_role"] + r["n_empty_turn"] == r["n_convs"]
+    # Every conv is valid or fires >=1 of {repeat_role, empty_turn}
+    # (bad_ending only co-fires with repeat_role by construction), so the
+    # sum covers n_convs from below; it may exceed it only by the overlap
+    # between the two classes (a naturally whitespace-only doc inside a
+    # %23 conv counts in both — possible under data regeneration, so the
+    # exact disjoint identity is NOT asserted; ADVICE r9).
+    covered = r["n_valid"] + r["n_repeat_role"] + r["n_empty_turn"]
+    assert covered >= r["n_convs"]
+    assert covered <= r["n_convs"] + min(r["n_repeat_role"], r["n_empty_turn"])
     assert r["n_valid"] > r["n_convs"] // 2, "valid must be the majority"
     assert r["first_repeat_conv"] == 0  # conv 0 is %23 == 0
     assert r["first_empty_conv"] == 29
