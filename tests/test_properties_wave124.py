@@ -1,0 +1,81 @@
+"""Wave-124 properties: sd2's rewrite laws (canonical survival,
+conservation, planted-slice outcomes) and px7's merge-state laws
+(clone absorption, id uniqueness, state composition)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from angelo_bravo_etl_task_spark.queries_wave124 import (
+    px7_incremental_corpus,
+    sd2_substring_rewrite,
+)
+
+_MD5_EMPTY = hashlib.md5(b"").hexdigest()
+
+
+def test_sd2_rewrite_laws(spark, sf_dir):
+    rows = {r["doc_id"]: r for r in sd2_substring_rewrite(spark, sf_dir).collect()}
+    boiler_text = " ".join(f"boiler{i}" for i in range(1, 13))
+    boiler_md5 = hashlib.md5(boiler_text.encode()).hexdigest()
+    # conservation at every doc
+    for r in rows.values():
+        assert r["kept_tokens"] + r["removed_tokens"] == r["n_toks"], r
+        assert 0 <= r["kept_tokens"] <= r["n_toks"], r
+    # doc 0 is the canonical keeper (min doc_id for every boiler window
+    # hash by construction): survives INTACT
+    r0 = rows[0]
+    assert r0["n_toks"] == 12
+    assert r0["kept_tokens"] == 12 and r0["removed_tokens"] == 0
+    assert r0["clean_md5"] == boiler_md5
+    # every other %61 doc IS the boilerplate -> rewrites to empty
+    others61 = [r for d, r in rows.items() if d % 61 == 0 and d != 0]
+    assert others61, "need at least one non-canonical %61 doc"
+    for r in others61:
+        assert r["kept_tokens"] == 0, r
+        assert r["clean_md5"] == _MD5_EMPTY, r
+    # %13 (non-%61) docs lose at least their 12-token planted prefix
+    # (>= not ==: natural text may also carry genuine cross-doc repeats
+    # under data regeneration — the chat1 disjointness lesson)
+    pre13 = [r for d, r in rows.items() if d % 13 == 0 and d % 61 != 0]
+    assert pre13, "need at least one prefixed %13 doc"
+    for r in pre13:
+        assert r["removed_tokens"] >= 12, r
+        assert r["n_toks"] >= 12, r
+    # the boilerplate tokens survive in exactly one document corpus-wide:
+    # total kept boiler mass == doc 0's 12
+    # (natural docs never contain 'boilerN' tokens by construction)
+    assert sum(1 for r in rows.values() if r["clean_md5"] == boiler_md5) == 1
+
+
+def test_px7_merge_state_laws(spark, sf_dir):
+    out = px7_incremental_corpus(spark, sf_dir).collect()
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids)), "post-merge state has duplicate ids"
+    # planted clones (id >= 1_000_000) were all ABSORBED, never inserted
+    assert all(i < 1_000_000 for i in ids)
+    by_id = {r["doc_id"]: r for r in out}
+    # every %37 corpus doc absorbed at least its own clone
+    clone_sources = [
+        d for d in by_id
+        if d % 10 != 0 and d % 37 == 0 and by_id[d]["is_new"] == 0
+    ]
+    assert clone_sources, "need at least one clone-source corpus doc"
+    for d in clone_sources:
+        assert by_id[d]["absorbed"] >= 1, (d, by_id[d])
+    # inserted rows are exactly the novel deltas: new ids are %10 == 0,
+    # absorbed == 0
+    for r in out:
+        if r["is_new"] == 1:
+            assert r["doc_id"] % 10 == 0, r
+            assert r["absorbed"] == 0, r
+        else:
+            assert r["doc_id"] % 10 != 0, r
+    # absorbed mass == matched delta docs: every clone matched (identical
+    # text => jaccard 1.0), so the mass covers the clone count from below
+    n_corpus = sum(1 for r in out if r["is_new"] == 0)
+    n_inserted = sum(1 for r in out if r["is_new"] == 1)
+    n_clones = len(clone_sources)
+    total_absorbed = sum(r["absorbed"] for r in out)
+    assert total_absorbed >= n_clones
+    assert n_corpus >= 1 and n_inserted >= 1
