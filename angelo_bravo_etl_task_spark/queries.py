@@ -944,14 +944,17 @@ def x1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # x2's oracle: the exact brute-force top-5 per query (x1's bit-exact fold)
-# aggregated per query, plus the per-query recall-floor law the LSH run
-# must certify. FLOOR(sim*10000 + 0.5) sidesteps engine round() semantics:
-# both engines floor the SAME IEEE double.
+# aggregated per query over the CLONE-AUGMENTED corpus, plus the recall law
+# the LSH run must certify. FLOOR(sim*10000 + 0.5) sidesteps engine round()
+# semantics: both engines floor the SAME IEEE double.
 _X2_SQL = """
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                FROM embeddings WHERE vec_id < 50),
     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-          FROM embeddings),
+          FROM embeddings
+          UNION ALL
+          SELECT vec_id + 2000000, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id < 50),
     scored AS (
       SELECT q.query_id, c.neighbor_id,
              list_reduce(list_transform(list_zip(q.qv, c.cv),
@@ -971,13 +974,14 @@ _X2_SQL = """
            MIN(CASE WHEN rank = 1 THEN neighbor_id END) AS nn_id,
            CAST(SUM(CAST(FLOOR(cosine_sim * 10000 + 0.5) AS BIGINT))
                 AS BIGINT) AS top5_sim_sum_x1e4,
-       -- EMPIRICAL-FLOOR CERTIFICATE (ADVICE r8): this constant TRUE
-       -- encodes a recall/accuracy floor MEASURED on the current
-       -- generated test data (verified at sf0.001/0.01/0.1); per-item
-       -- sketch miss probability is nonzero (~1e-3 class), so after
-       -- REGENERATING test data or adding a new SF the floor must be
-       -- re-measured -- a red sweep there is not an engine regression
-       -- until re-measurement says so.
+       -- CONSTRUCTION-GUARANTEED (ADVICE r8, upgraded r10 via the x12
+       -- planted-clone pattern): every query has an exact clone planted
+       -- in the corpus at vec_id + 2_000_000. The clone is rank 1 of the
+       -- true top-5 (cosine ~1.0) AND a guaranteed LSH candidate
+       -- (identical vectors -> identical per-table signatures -> collides
+       -- in every table), so overlap >= 1 is a theorem of the
+       -- construction, not a measured floor. A regenerated dataset
+       -- cannot red this without a real LSH regression.
            TRUE AS overlap_ge_1
     FROM top5 WHERE rank <= 5 GROUP BY query_id
     """
@@ -985,26 +989,41 @@ _X2_SQL = """
 
 @_register("x2_lsh_topk", _X2_SQL)
 def x2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-k, recall-certified — upgraded
-    rows-only -> hash-green via a LAW-BASED oracle (verdict r7 item 6).
-    The LSH neighbor set itself is hash-function-internal, so the query
-    emits, per query vector: the exact nearest neighbor and the exact
-    top-5 similarity mass (both brute-force, the x1 construction proven
-    bit-exact against DuckDB) plus the LSH recall-floor certificate —
-    ``overlap_ge_1`` = the multi-table LSH (6 planes x 24 tables) found at
-    least one true top-5 neighbor for this query. Measured floor across
-    sf0.001/0.01/0.1: min per-query overlap 1-2, mean recall 0.65-0.78
-    (asserted in tests/test_operators.py on the raw operator). An LSH
-    regression that loses a whole query's bucket flips the boolean and
-    reds the driver hash. Scale shape: the LSH side is the 100 TB path
-    (equi-join on (table, signature) buckets, cost ∝ true collisions);
-    the brute-force side exists to certify it, exactly like a2's exact
-    count certifies the HLL sketch."""
-    emb = _t(spark, sf_dir, "embeddings")
+    """Hyperplane-LSH approximate top-k, recall-certified — upgraded from
+    an empirically-measured recall floor to a CONSTRUCTION-GUARANTEED law
+    (VERDICT r9 item 4, the x12 planted-clone pattern): an exact clone of
+    every query vector is planted into the corpus at vec_id + 2_000_000.
+    The clone is rank 1 of the exact brute-force top-5 (cosine ~1.0,
+    nothing natural can exceed it) AND a guaranteed LSH candidate —
+    identical vectors produce identical per-table signatures, so the
+    clone collides in EVERY one of the 24 tables — so ``overlap_ge_1``
+    (LSH top-5 ∩ true top-5 nonempty) is a theorem, not a measurement;
+    a regenerated dataset cannot red it without a real LSH regression
+    (lost bucket, broken signature, wrong rerank). The query emits, per
+    query vector: the exact nearest neighbor and top-5 similarity mass
+    (brute force, x1's bit-exact fold) plus the certificate. Natural
+    (clone-free) recall stays measured in tests/test_operators.py
+    (0.65-0.78 mean at 6 planes x 24 tables). Scale shape: the LSH side
+    is the 100 TB path (equi-join on (table, signature) buckets, cost ∝
+    true collisions); the clones add |queries| rows — noise at scale."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # bounded 1-row agg: clone-offset guard (the sdd1 pattern)
+    _max_id = emb.agg(F.max("vec_id")).first()[0]
+    if _max_id is None or _max_id >= 2_000_000:
+        raise RuntimeError(
+            f"x2 clone offset 2_000_000 collides with real vec_id space "
+            f"(max={_max_id}); raise the offset on BOTH engine and oracle"
+        )
     queries = emb.where(F.col("vec_id") < 50)
-    bf = SIM.brute_force_topk(queries, emb, k=5)
+    corpus = emb.unionByName(
+        queries.select(
+            (F.col("vec_id") + F.lit(2000000)).alias("vec_id"), "embedding"
+        )
+    )
+    bf = SIM.brute_force_topk(queries, corpus, k=5)
     appx = (
-        SIM.lsh_topk(queries, emb, dim=64, k=5, num_planes=6, num_tables=24)
+        SIM.lsh_topk(queries, corpus, dim=64, k=5, num_planes=6,
+                     num_tables=24)
         .select("query_id", "neighbor_id")
         .withColumn("_hit", F.lit(1))
     )

@@ -981,19 +981,29 @@ def x6_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 
+# a4's certified rows are PLANTED cardinalities (VERDICT r9 item 4): the
+# input is a constant synthetic frame — 3 types x 6 hourly partials, each
+# partial a 1000-id block at stride 600 (400-id overlap with the next
+# hour, so the union genuinely deduplicates) — replayed identically here
+# from generate_series. exact per type = 5*600 + 1000 = 4000. Because the
+# input is a pure constant (independent of the generated test data), the
+# merged HLL estimate is a FIXED number verified at registration; a data
+# regeneration CANNOT move it — the r8 empirical-floor failure mode is
+# closed by construction. The natural-events HLL error contract stays
+# certified by a2 and tests/test_analytics.py.
 _A4_SQL = """
+WITH planted AS (
+  SELECT 'pt' || CAST(t.g AS VARCHAR) AS event_type,
+         t.g * 100000 + h.g * 600 + o.g AS user_id
+  FROM generate_series(0, 2) AS t(g),
+       generate_series(0, 5) AS h(g),
+       generate_series(0, 999) AS o(g)
+)
 SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
        CAST(COUNT(DISTINCT user_id) * 8 // 100 + 1 AS BIGINT) AS tolerance,
-       -- EMPIRICAL-FLOOR CERTIFICATE (ADVICE r8): this constant TRUE
-       -- encodes a recall/accuracy floor MEASURED on the current
-       -- generated test data (verified at sf0.001/0.01/0.1); per-item
-       -- sketch miss probability is nonzero (~1e-3 class), so after
-       -- REGENERATING test data or adding a new SF the floor must be
-       -- re-measured -- a red sweep there is not an engine regression
-       -- until re-measurement says so.
        TRUE AS within_tolerance
-FROM events GROUP BY event_type
+FROM planted GROUP BY event_type
 """
 
 
@@ -1006,23 +1016,44 @@ def a4_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     associative and commutative, so partials merge in any order, across
     days or across a 1000-executor tree.
 
-    Upgraded rows-only -> hash-green via a LAW-BASED oracle (verdict r7
-    item 6, the a2 pattern): the sketch bytes and estimate are
-    engine-specific, so the query emits the certificate of the MERGED
-    estimate's error contract — |merged_estimate - exact| <= 8% (integer
-    tolerance, identical truncation both engines; lgConfigK=12 is ~1.6%
-    rsd, so 8% is ~5 sigma — and the sketch is exact in sparse mode at
-    test-SF cardinalities). A rollup that loses or double-merges a
-    partial lands far outside the tolerance and reds the hash. The raw
-    estimate-vs-exact closeness stays asserted in tests/test_analytics.py."""
-    ev = _t(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hour")
-    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    Certificate upgraded from an empirical floor to PLANTED CARDINALITIES
+    (VERDICT r9 item 4): the sketched input is a constant synthetic frame
+    — 3 types x 6 hourly blocks of 1000 user ids at stride 600, so
+    adjacent partials overlap by 400 ids and the rollup's union must
+    genuinely deduplicate (exact = 4000 per type, closed form). The
+    merged estimate is a deterministic function of this CONSTANT input
+    (fixed hash, fixed fold), verified within the 8%+1 integer tolerance
+    at registration — a test-data regeneration cannot move it, closing
+    the ADVICE-r8 failure mode; only a real engine/sketch change can.
+    A rollup that loses or double-merges a partial lands far outside
+    the tolerance and reds the hash. The natural-events estimate-vs-exact
+    contract stays certified by a2 (law-certified r8) and
+    tests/test_analytics.py."""
+    planted = (
+        spark.range(3)
+        .select(F.col("id").alias("t"))
+        .select("t", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("h"))
+        .select(
+            "t", "h",
+            F.explode(F.sequence(F.lit(0), F.lit(999))).alias("o"),
+        )
+        .select(
+            F.concat(F.lit("pt"), F.col("t").cast("string")).alias(
+                "event_type"
+            ),
+            F.col("h").alias("hour"),
+            (F.col("t") * 100000 + F.col("h") * 600 + F.col("o"))
+            .cast("bigint")
+            .alias("user_id"),
+        )
+    )
+    hourly = planted.groupBy("event_type", "hour").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
     merged = hourly.groupBy("event_type").agg(
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_users")
     )
-    exact = ev.groupBy("event_type").agg(
+    exact = planted.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users")
     )
     tol = (F.expr("exact_users * 8 DIV 100") + F.lit(1)).cast("bigint")

@@ -253,13 +253,16 @@ def d5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # x4's oracle: identical certificate shape to x2's (exact brute-force
-# per-query top-5 aggregate + the IVF recall-floor law). See _X2_SQL in
-# queries.py for the bit-exactness notes.
+# per-query top-5 aggregate over the clone-augmented corpus + the IVF
+# recall law). See _X2_SQL in queries.py for the bit-exactness notes.
 _X4_SQL = """
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                FROM embeddings WHERE vec_id < 50),
     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-          FROM embeddings),
+          FROM embeddings
+          UNION ALL
+          SELECT vec_id + 2000000, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id < 50),
     scored AS (
       SELECT q.query_id, c.neighbor_id,
              list_reduce(list_transform(list_zip(q.qv, c.cv),
@@ -279,13 +282,16 @@ _X4_SQL = """
            MIN(CASE WHEN rank = 1 THEN neighbor_id END) AS nn_id,
            CAST(SUM(CAST(FLOOR(cosine_sim * 10000 + 0.5) AS BIGINT))
                 AS BIGINT) AS top5_sim_sum_x1e4,
-       -- EMPIRICAL-FLOOR CERTIFICATE (ADVICE r8): this constant TRUE
-       -- encodes a recall/accuracy floor MEASURED on the current
-       -- generated test data (verified at sf0.001/0.01/0.1); per-item
-       -- sketch miss probability is nonzero (~1e-3 class), so after
-       -- REGENERATING test data or adding a new SF the floor must be
-       -- re-measured -- a red sweep there is not an engine regression
-       -- until re-measurement says so.
+       -- CONSTRUCTION-GUARANTEED (ADVICE r8, upgraded r10 via the x12
+       -- planted-clone pattern): every query has an exact clone planted
+       -- in the corpus at vec_id + 2_000_000. The clone is rank 1 of
+       -- the true top-5 (cosine ~1.0) AND a guaranteed IVF candidate:
+       -- an identical vector scores identical IEEE cell similarities,
+       -- so the clone's assigned cell IS the query's rank-1 probed cell
+       -- (same fold, same tie-break). overlap >= 1 is a theorem of the
+       -- construction; a regenerated dataset cannot red it without a
+       -- real IVF regression (lost cell, broken assignment, wrong
+       -- rerank).
            TRUE AS overlap_ge_1
     FROM top5 WHERE rank <= 5 GROUP BY query_id
     """
@@ -293,26 +299,41 @@ _X4_SQL = """
 
 @_register("x4_ivf_topk", _X4_SQL)
 def x4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-k, recall-certified — upgraded
-    rows-only -> hash-green via a LAW-BASED oracle (verdict r7 item 6),
-    the same certificate shape as x2: per query vector the exact nearest
-    neighbor and exact top-5 similarity mass (brute force, bit-exact vs
-    DuckDB) plus ``overlap_ge_1`` — the IVF probe (deterministic coarse
-    centroids = every 100th vector, nprobe=8) found at least one true
-    top-5 neighbor. nprobe=8 is the floor-holding setting across
-    sf0.001/0.01/0.1 (measured min per-query overlap 1, mean recall
-    0.69-1.0); at production scale nprobe scales with |C| ≈ √N cells.
-    Scale shape: centroids broadcast, corpus assignment is a map-side
-    crossJoin with the tiny centroid frame, candidate join equi on
-    cell_id — the scored set is ∝ probed-cell membership, never Q x N."""
+    """IVF-bucketed approximate top-k, recall-certified — upgraded from
+    an empirically-measured recall floor to a CONSTRUCTION-GUARANTEED law
+    (VERDICT r9 item 4, the x12 planted-clone pattern, same shape as x2):
+    an exact clone of every query vector is planted into the corpus at
+    vec_id + 2_000_000. The clone is rank 1 of the exact brute-force
+    top-5 (cosine ~1.0), and because an identical vector produces
+    IDENTICAL IEEE cell similarities under the same fold and tie-break,
+    the clone's assigned cell is exactly the query's rank-1 probed cell —
+    always within the nprobe=8 probe set — so the clone is a guaranteed
+    IVF candidate and ``overlap_ge_1`` is a theorem, not a measurement.
+    Natural (clone-free) recall stays measured in the x8 recall query and
+    tests (mean 0.69-1.0 at nprobe=8). Scale shape: centroids broadcast,
+    corpus assignment is a map-side crossJoin with the tiny centroid
+    frame, candidate join equi on cell_id — the scored set is ∝
+    probed-cell membership, never Q x N; clones add |queries| rows."""
     from .operators.similarity import brute_force_topk, ivf_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # bounded 1-row agg: clone-offset guard (the sdd1 pattern)
+    _max_id = emb.agg(F.max("vec_id")).first()[0]
+    if _max_id is None or _max_id >= 2_000_000:
+        raise RuntimeError(
+            f"x4 clone offset 2_000_000 collides with real vec_id space "
+            f"(max={_max_id}); raise the offset on BOTH engine and oracle"
+        )
     centroids = emb.where(F.col("vec_id") % 100 == 0)
     queries = emb.where(F.col("vec_id") < 50)
-    bf = brute_force_topk(queries, emb, k=5)
+    corpus = emb.unionByName(
+        queries.select(
+            (F.col("vec_id") + F.lit(2000000)).alias("vec_id"), "embedding"
+        )
+    )
+    bf = brute_force_topk(queries, corpus, k=5)
     appx = (
-        ivf_topk(queries, emb, centroids, k=5, nprobe=8)
+        ivf_topk(queries, corpus, centroids, k=5, nprobe=8)
         .select("query_id", "neighbor_id")
         .withColumn("_hit", F.lit(1))
     )
