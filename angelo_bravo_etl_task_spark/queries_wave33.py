@@ -245,11 +245,24 @@ def qq1_quantile_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents")
     )
-    tr = tgt.select(
-        "cents",
-        F.row_number().over(Window.orderBy("cents")).cast("bigint").alias(
-            "tr_rank"
-        ),
+    # The target ranking is the m1-style two-pass: group by VALUE first,
+    # then one cumulative window over the AGGREGATED value frame — the
+    # global window never sorts raw customer rows (round-10 fix: the
+    # original ranked the full table in one partition; flagged by the
+    # registry-wide global-window audit). The value at rank k of the raw
+    # multiset is the value whose cumulative-count interval contains k,
+    # so the released mapping is IDENTICAL.
+    wcum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tr = (
+        tgt.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("_cc"))
+        .select(
+            "cents",
+            F.col("_cc").cast("bigint").alias("_cc"),
+            F.sum("_cc").over(wcum).cast("bigint").alias("_cum"),
+        )
     )
     m = tgt.agg(F.count(F.lit(1)).alias("m"))
     wanted = sr.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(m)).select(
@@ -259,8 +272,12 @@ def qq1_quantile_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (1 + F.expr("((r - 1) * (m - 1)) div (n - 1)")).alias("target_idx"),
     )
-    return wanted.join(
-        tr, wanted["target_idx"] == tr["tr_rank"]
+    # rank-containment lookup: the broadcast side is the aggregated-source
+    # frame (|click days| rows), the sanctioned bounded-spine shape
+    return F.broadcast(wanted).join(
+        tr,
+        (wanted["target_idx"] > tr["_cum"] - tr["_cc"])
+        & (wanted["target_idx"] <= tr["_cum"]),
     ).select("day", "x", "r", "n", "target_idx", F.col("cents").alias("mapped_cents"))
 
 

@@ -615,6 +615,11 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # kmv2 crosses two 1-row k-th-minimum scalars into the 1-row
         # theta, then broadcasts theta — all scalar-subquery shapes
         "kmv2_sketch_set_algebra",
+        # qq1's rank-containment lookup broadcasts the aggregated-source
+        # frame (|click days| rows) onto the grouped target-value frame —
+        # the bounded-spine shape (round-10 global-window fix traded the
+        # full-table rank window for this bounded non-equi join)
+        "qq1_quantile_mapping",
     }
     import re
 
@@ -636,6 +641,79 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
             offenders.append(name)
     assert offenders == [], offenders
+
+
+def test_registry_wide_no_unbounded_global_windows(spark, sf_dir):
+    """Sweep EVERY registered batch query's OPTIMIZED logical plan for
+    global (unpartitioned) Window nodes whose input subtree is not
+    provably bounded (VERDICT r9 item 3 — the BNLJ sweep's sibling for
+    the other silent scale-killer: a single-partition sort of a
+    fact-sized frame). `plans/window_audit.py` proves boundedness
+    mechanically when every leaf-ward path below the window hits an
+    Aggregate / Limit / literal relation first; windows over persisted
+    (InMemoryRelation) or otherwise opaque frames need a hand audit and
+    an allowlist entry carrying a one-line boundedness justification.
+    Any NEW unbounded global window fails here with its plan."""
+    import re
+
+    from angelo_bravo_etl_task_spark.plans.window_audit import (
+        unbounded_global_windows,
+    )
+    from angelo_bravo_etl_task_spark.queries import all_queries
+
+    # Audited sites (round-10 hand audit of the mechanical sweep's 9
+    # residual flags; qq1 was the 10th and was FIXED instead — its target
+    # ranking now runs over the grouped-value frame):
+    allowed = {
+        # rem_rank window runs over the persisted per-segment votes frame
+        # (|market segments| rows); the persist's InMemoryRelation hides
+        # the Aggregate from the mechanical audit
+        "app1_largest_remainder",
+        # ordered prefix-sum over the document frame is the greedy
+        # budget-selection METHOD; docstring documents ord1's two-level
+        # sharded decomposition as the 100 TB path
+        "bud1_token_budget_selection",
+        # SNM's single global sort-rank IS the algorithm (sort once, pair
+        # within w rank positions); docstring documents the range-
+        # partition variant at scale
+        "snm1_sorted_neighborhood",
+        # both medians rank the persisted PAIRS/RESIDUALS frames, which
+        # are |aggregated days|^2/2 and |days| rows (30-day series);
+        # persist hides the Aggregate lineage from the audit
+        "regr2_theil_sen",
+        # deterministic epoch-shuffle rank over the kept SFT set — the
+        # reproducible-training-order verb; ord1's decomposition is the
+        # documented scale path
+        "ft1_sft_examples",
+        # demo emits exact GLOBAL source ranks for the fused top-20; the
+        # docstring pins the production shape (per-ranker top-k pools via
+        # TakeOrderedAndProject, so fusion frames are pool-sized)
+        "rrf1_rank_fusion",
+        # rank-index over the bounded %11 demo slice gives RANSAC's draw
+        # a stable point index; hypotheses stay a 10-row spine
+        "ransac1_robust_line",
+        # systematic sampling's cumulative weight axis — one prefix sum
+        # over the corpus frame; docstring documents ord1's two-level
+        # sharded prefix sum as the 100 TB form
+        "wt1_systematic_sample",
+        # recall-audit demo over the bounded %3 slice (the d5/d9
+        # oracle-demo shape, already BNLJ-allowlisted)
+        "d10_minhash_recall",
+    }
+
+    def is_streaming(name: str) -> bool:
+        p = name.split("_")[0]
+        return bool(re.fullmatch(r"e\d+", p)) or p in {"st1", "px3"}
+
+    offenders = {}
+    for name in all_queries():
+        if is_streaming(name) or name in allowed:
+            continue
+        df = QUERIES[name][0](spark, sf_dir)
+        offs = unbounded_global_windows(df)
+        if offs:
+            offenders[name] = offs
+    assert offenders == {}, offenders
 
 
 def test_round5_plan_shapes(spark, sf_dir):
