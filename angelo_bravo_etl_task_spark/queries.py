@@ -1305,7 +1305,8 @@ from . import queries_wave120  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave121  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave122  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave123  # noqa: E402,F401  (extends QUERIES)
-from . import queries_wave124  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_wave124  # noqa: E402,F401  (extends QUERIES)
+from . import queries_wave125  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded ~50-name prefix of the registry, so
@@ -1318,65 +1319,65 @@ _CHECK_FIRST: list[str] = [
     # regenerated by tools/rotate_check_first.py — the next 50
     # never-driver-swept names in registration order; pre-verify
     # with tools/driver_repro.py before shipping the round
-    "sdd1_semantic_dedup",
-    "x11_pq_topk",
-    "e18_txn_foreachbatch",
-    "d12_soft_dedup_weights",
-    "dv1_deletion_vectors",
-    "rtf1_runtime_bloom_filter",
-    "tt1_manifest_time_travel",
-    "var2_variant_shredding",
-    "shuf1_epoch_shuffle",
-    "src15_state_datasource",
-    "src16_python_stream_writer",
-    "fe8_group_median_impute",
-    "mm8_contrastive_alignment",
-    "wmk1_canary_audit",
-    "merge1_merge_into_dv",
-    "skew2_aqe_split",
-    "d13_incremental_dedup",
-    "kn1_kneser_ney",
-    "kappa1_agreement",
-    "unpivot1_wide_to_long",
-    "gq1_gopher_repetition",
-    "fim1_fill_in_middle",
-    "dom1_source_caps",
-    "chat1_template_lint",
-    "trunc1_context_budget",
-    "x12_lsh_planted_recall",
-    "exch1_reused_exchange",
-    "sd1_substring_dedup",
-    "tm1_seasonal_decompose",
-    "stats2_analyze_tables",
-    "cf1_item_item",
-    "cal2_business_days",
-    "mrk1_merkle_fingerprint",
-    "stats3_join_card_estimate",
-    "geo6_shoelace_measures",
-    "zipf1_rank_frequency",
-    "qt4_percentile_cont",
-    "perm1_permutation_test",
-    "kc1_kcore_peel",
-    "bot1_cadence_regularity",
-    "up1_uplift_by_segment",
-    "shap1_exact_shapley",
-    "twa1_time_weighted_avg",
-    "rdv1_rendezvous_hashing",
-    "dtw1_dynamic_time_warping",
-    "qq1_quantile_mapping",
-    "app1_largest_remainder",
-    "fix1_group_mode_impute",
-    "lcp1_prefix_compression",
-    "neg1_negative_sampling",
+    "x2_lsh_topk",
+    "x4_ivf_topk",
+    "a4_hll_rollup",
+    "sd2_substring_rewrite",
+    "px7_incremental_corpus",
+    "mrl1_matryoshka_topk",
+    "bon1_best_of_n",
+    "dp3_randomized_response",
+    "f23_int_math_surface",
+    "ml2_perceptron_epoch",
+    "fis1_fiscal_445",
+    "ops1_ips_offpolicy",
+    "heaps1_vocab_growth",
+    "conc1_max_concurrency",
+    "lru1_cache_replay",
+    "cal3_reliability_bins",
+    "lis1_longest_increasing",
+    "act1_activity_selection",
+    "ams1_f2_sketch",
+    "knap1_knapsack",
+    "ring1_consistent_hash",
+    "cms1_count_min",
+    "iso1_isotonic_pava",
+    "cpm1_critical_path",
+    "sec1_secretary_rule",
+    "huff1_huffman_cost",
+    "band1_epsilon_greedy",
+    "cov1_greedy_set_cover",
+    "mgs1_misra_gries",
+    "wl1_weisfeiler_lehman",
+    "gs1_stable_matching",
+    "res1_reservoir_sample",
+    "kt1_kendall_tau",
+    "brier1_murphy_terms",
+    "dgim1_window_count_sketch",
+    "opt1_belady_cache",
+    "lfu1_cache_replay",
+    "mdq1_monotonic_deque",
+    "bh1_fdr_control",
+    "mst1_prim_spanning_tree",
+    "ransac1_robust_line",
+    "wp1_wordpiece_tokenize",
+    "bp1_bin_packing",
+    "morris1_approx_counter",
+    "jo1_join_order_dp",
+    "ca1_stencil_rounds",
+    "ecc1_hamming_correct",
+    "crdt1_gcounter_merge",
+    "io1_elevator_schedule",
+    "nm1_integer_sqrt",
 ]
 # Highest CORRECTNESS_r{N}.json acknowledged when the head
 # above was rotated; the round-boundary tripwire
 # (tests/test_evidence_doc.py) tolerates exactly ONE newer
 # round before going red.
-_CHECK_FIRST_ACK_ROUND: int = 8
+_CHECK_FIRST_ACK_ROUND: int = 9
 # Already-swept names deliberately kept in the head for
 # re-certification (--prioritize); not hand-drift.
-_CHECK_FIRST_RECHECK: list[str] = []
+_CHECK_FIRST_RECHECK: list[str] = ['a4_hll_rollup', 'x2_lsh_topk', 'x4_ivf_topk']
 # end _CHECK_FIRST block (regenerated by rotate_check_first.py)
 
 

@@ -98,6 +98,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--out", default="/tmp/driver_repro.json",
+                    help="report path (sharded sweeps pass per-shard files)")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -162,7 +164,7 @@ def main() -> None:
     print(f"\n{checked - len(hard_bad)}/{checked} driver-hash-safe "
           f"(+{len(rows_only)} rows-only ran clean); "
           f"hard-bad: {sorted(hard_bad)}")
-    with open("/tmp/driver_repro.json", "w") as f:
+    with open(args.out, "w") as f:
         json.dump(report, f, indent=1, default=str)
 
 
