@@ -1306,7 +1306,8 @@ from . import queries_wave121  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave122  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave123  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave124  # noqa: E402,F401  (extends QUERIES)
-from . import queries_wave125  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_wave125  # noqa: E402,F401  (extends QUERIES)
+from . import queries_wave126  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded ~50-name prefix of the registry, so
@@ -1326,6 +1327,7 @@ _CHECK_FIRST: list[str] = [
     "px7_incremental_corpus",
     "mrl1_matryoshka_topk",
     "bon1_best_of_n",
+    "lp1_label_propagation",
     "dp3_randomized_response",
     "f23_int_math_surface",
     "ml2_perceptron_epoch",
@@ -1368,7 +1370,6 @@ _CHECK_FIRST: list[str] = [
     "ecc1_hamming_correct",
     "crdt1_gcounter_merge",
     "io1_elevator_schedule",
-    "nm1_integer_sqrt",
 ]
 # Highest CORRECTNESS_r{N}.json acknowledged when the head
 # above was rotated; the round-boundary tripwire
