@@ -1307,7 +1307,8 @@ from . import queries_wave122  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave123  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave124  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave125  # noqa: E402,F401  (extends QUERIES)
-from . import queries_wave126  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_wave126  # noqa: E402,F401  (extends QUERIES)
+from . import queries_wave127  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded ~50-name prefix of the registry, so
@@ -1328,6 +1329,7 @@ _CHECK_FIRST: list[str] = [
     "mrl1_matryoshka_topk",
     "bon1_best_of_n",
     "lp1_label_propagation",
+    "px8_clean_pack_pipeline",
     "dp3_randomized_response",
     "f23_int_math_surface",
     "ml2_perceptron_epoch",
@@ -1369,7 +1371,6 @@ _CHECK_FIRST: list[str] = [
     "ca1_stencil_rounds",
     "ecc1_hamming_correct",
     "crdt1_gcounter_merge",
-    "io1_elevator_schedule",
 ]
 # Highest CORRECTNESS_r{N}.json acknowledged when the head
 # above was rotated; the round-boundary tripwire
