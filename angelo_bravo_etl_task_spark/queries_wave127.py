@@ -63,8 +63,11 @@ def px8_clean_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: sd2's contract (ONE window-hash shuffle + per-doc
     array surgery) plus ONE running-sum window PARTITIONED by source
-    (uniformly sized shards, never a global single-partition sort) and
-    one doc_id-keyed join for the source column. Reference parity: the
+    (uniform shards here; with few huge sources the per-source prefix
+    sum decomposes exactly like ord1's two-level bucket row numbering —
+    bucket within source, stitch boundary sums — the same note bud1/wt1
+    carry for their global prefixes) and one doc_id-keyed join for the
+    source column. Reference parity: the
     composed replacement for the reference's transform()+load() staging
     (Angelo_ETL_Task.py:150-374) in the training-data domain."""
     cleaned = sd2_cleaned_frame(spark, sf_dir)

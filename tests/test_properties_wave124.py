@@ -55,14 +55,22 @@ def test_px7_merge_state_laws(spark, sf_dir):
     # planted clones (id >= 1_000_000) were all ABSORBED, never inserted
     assert all(i < 1_000_000 for i in ids)
     by_id = {r["doc_id"]: r for r in out}
-    # every %37 corpus doc absorbed at least its own clone
+    # Clone sources exist; their clones are all absorbed SOMEWHERE — but
+    # not necessarily by their own source: the min-id match rule sends a
+    # clone to the SMALLEST corpus doc within jaccard >= 0.6 of its text,
+    # which a natural near-dup with a lower id wins (observed live at
+    # sf0.1: doc 1887's clone absorbed by a smaller near-dup — the
+    # chat1-class overfitted-identity lesson). Only absorption by SOME
+    # corpus doc is a law; per-source attribution is not.
     clone_sources = [
         d for d in by_id
         if d % 10 != 0 and d % 37 == 0 and by_id[d]["is_new"] == 0
     ]
     assert clone_sources, "need at least one clone-source corpus doc"
-    for d in clone_sources:
-        assert by_id[d]["absorbed"] >= 1, (d, by_id[d])
+    # only standing corpus docs can absorb
+    for r in out:
+        if r["absorbed"] > 0:
+            assert r["is_new"] == 0, r
     # inserted rows are exactly the novel deltas: new ids are %10 == 0,
     # absorbed == 0
     for r in out:
