@@ -52,16 +52,28 @@ IMAGE_FEATURES_SCHEMA = StructType(
 
 
 def _decode_image_bytes(data: bytes, fake: bool) -> tuple[int, int, int]:
-    """Decode image dimensions. STUB: no codec libs in this container.
+    """Decode image dimensions.
 
     fake=True derives deterministic (width, height, channels) from the
     payload digest so the distributed plumbing is fully testable.
+    fake=False uses Pillow when present, else raises — an import-try so
+    the real path lights up automatically if the environment ever gains
+    a codec (re-probed round 11, 2026-08-16: PIL/cv2/imageio all still
+    absent from this container, so the guard stands).
     """
     if not fake:
-        raise NotImplementedError(
-            "image codecs unavailable in this environment; pass fake=True "
-            "or plug a real decoder (PIL/OpenCV) here"
-        )
+        try:  # pragma: no cover - env-dependent real-codec path
+            import io
+
+            from PIL import Image
+
+            with Image.open(io.BytesIO(data or b"")) as im:
+                return im.width, im.height, len(im.getbands())
+        except ImportError:
+            raise NotImplementedError(
+                "image codecs unavailable in this environment; pass "
+                "fake=True or install a real decoder (PIL/OpenCV)"
+            )
     digest = hashlib.sha256(data or b"").digest()
     return 64 + digest[0] % 192, 64 + digest[1] % 192, 3
 

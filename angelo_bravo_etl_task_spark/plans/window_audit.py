@@ -27,6 +27,18 @@ reaching a leaf:
 ``LogicalRDD`` (checkpointed lineage) and file relations are UNBOUNDED:
 a checkpoint hides whatever produced it, so a global window directly
 over one must be audited by hand and allowlisted with a justification.
+
+Known gaps (ADVICE r10):
+
+- ``Range`` is bounded only when its ``numElements`` is below
+  :data:`_RANGE_BOUNDED_MAX` — ``spark.range(N)`` can be fact-sized
+  (a 1e9-row generated spine would otherwise pass silently); a Range
+  whose size cannot be read is treated as unbounded.
+- The walk does NOT descend into subquery plan expressions (scalar
+  subqueries / IN-subqueries carry their own plans inside expression
+  trees); a global window hidden inside one escapes this audit. No
+  registry query builds windows inside subquery expressions — revisit
+  if one ever does.
 """
 
 from __future__ import annotations
@@ -39,8 +51,12 @@ _BOUNDING = {
     "LocalLimit",
     "LocalRelation",
     "OneRowRelation",
-    "Range",
 }
+
+# A generated Range spine counts as bounded only below this many rows —
+# a single-partition sort of a larger spine is exactly the scale-killer
+# this audit exists to catch (ADVICE r10: spark.range(1e9) is a fact).
+_RANGE_BOUNDED_MAX = 1_000_000
 
 # Leaves (and leaf-like nodes) that carry unbounded, data-sized rows.
 _UNBOUNDED_LEAVES = {
@@ -64,6 +80,13 @@ def _is_bounded(node) -> bool:
     name = node.getClass().getSimpleName()
     if name in _BOUNDING:
         return True
+    if name == "Range":
+        try:
+            # py4j converts scala.math.BigInt to a Python int; str() also
+            # covers builds where it surfaces as a JavaObject
+            return int(str(node.numElements())) <= _RANGE_BOUNDED_MAX
+        except Exception:
+            return False  # unreadable size: conservative
     if name in _UNBOUNDED_LEAVES:
         return False
     kids = _children(node)

@@ -1000,10 +1000,13 @@ def x2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (LSH top-5 ∩ true top-5 nonempty) is a theorem, not a measurement;
     a regenerated dataset cannot red it without a real LSH regression
     (lost bucket, broken signature, wrong rerank). The query emits, per
-    query vector: the exact nearest neighbor and top-5 similarity mass
-    (brute force, x1's bit-exact fold) plus the certificate. Natural
-    (clone-free) recall stays measured in tests/test_operators.py
-    (0.65-0.78 mean at 6 planes x 24 tables). Scale shape: the LSH side
+    query vector: ``nn_id`` — which by construction IS the planted clone
+    (query_id + 2_000_000; it certifies the brute-force ranking and the
+    planting, NOT natural-data ranking — ADVICE r10), the top-5
+    similarity mass (x1's bit-exact fold; the clone contributes one
+    constant ~10000 term, ranks 2-5 carry the natural signal), plus the
+    certificate. Natural (clone-free) recall stays measured in
+    tests/test_operators.py (0.65-0.78 mean at 6 planes x 24 tables). Scale shape: the LSH side
     is the 100 TB path (equi-join on (table, signature) buckets, cost ∝
     true collisions); the clones add |queries| rows — noise at scale."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1322,65 +1325,65 @@ _CHECK_FIRST: list[str] = [
     # regenerated by tools/rotate_check_first.py — the next 50
     # never-driver-swept names in registration order; pre-verify
     # with tools/driver_repro.py before shipping the round
-    "x2_lsh_topk",
-    "x4_ivf_topk",
-    "a4_hll_rollup",
-    "sd2_substring_rewrite",
-    "px7_incremental_corpus",
-    "mrl1_matryoshka_topk",
-    "bon1_best_of_n",
-    "lp1_label_propagation",
-    "px8_clean_pack_pipeline",
-    "dp3_randomized_response",
-    "f23_int_math_surface",
-    "ml2_perceptron_epoch",
-    "fis1_fiscal_445",
-    "ops1_ips_offpolicy",
-    "heaps1_vocab_growth",
-    "conc1_max_concurrency",
-    "lru1_cache_replay",
-    "cal3_reliability_bins",
-    "lis1_longest_increasing",
-    "act1_activity_selection",
-    "ams1_f2_sketch",
-    "knap1_knapsack",
-    "ring1_consistent_hash",
-    "cms1_count_min",
-    "iso1_isotonic_pava",
-    "cpm1_critical_path",
-    "sec1_secretary_rule",
-    "huff1_huffman_cost",
-    "band1_epsilon_greedy",
-    "cov1_greedy_set_cover",
-    "mgs1_misra_gries",
-    "wl1_weisfeiler_lehman",
-    "gs1_stable_matching",
-    "res1_reservoir_sample",
-    "kt1_kendall_tau",
-    "brier1_murphy_terms",
-    "dgim1_window_count_sketch",
-    "opt1_belady_cache",
-    "lfu1_cache_replay",
-    "mdq1_monotonic_deque",
-    "bh1_fdr_control",
-    "mst1_prim_spanning_tree",
-    "ransac1_robust_line",
-    "wp1_wordpiece_tokenize",
-    "bp1_bin_packing",
-    "morris1_approx_counter",
-    "jo1_join_order_dp",
-    "ca1_stencil_rounds",
-    "ecc1_hamming_correct",
-    "crdt1_gcounter_merge",
+    "d14_simhash_recall",
+    "px9_table_maintenance",
+    "io1_elevator_schedule",
+    "nm1_integer_sqrt",
+    "pid1_autoscaler_replay",
+    "kad1_max_subarray",
+    "lz1_lz78_dictionary",
+    "mrk2_inclusion_proof",
+    "topo1_kahn_order",
+    "iban1_mod97_check",
+    "pq1_product_quantization",
+    "zo2_hilbert_locality",
+    "trn1_round_robin",
+    "ulid1_sortable_ids",
+    "mcpi1_monte_carlo_pi",
+    "w13_batch_session_window",
+    "f24_binary_encodings",
+    "vs1_version_ordering",
+    "modpow1_square_multiply",
+    "sieve1_relational_primes",
+    "gcd1_euclid",
+    "cyc1_rho_cycle",
+    "perm2_cycle_decomposition",
+    "collatz1_trajectories",
+    "cr1_ring_election",
+    "trap1_rain_water",
+    "edit1_certified_levenshtein",
+    "hmm1_viterbi",
+    "kmp1_failure_function",
+    "fen1_fenwick_tree",
+    "pas1_binomial_row",
+    "zeck1_zeckendorf",
+    "gray1_reflected_code",
+    "coin1_change_dp_vs_greedy",
+    "lps1_longest_palindrome",
+    "stats4_mergeable_moments",
+    "cv2_rolling_origin",
+    "tk2_mergeable_topk",
+    "w14_ntile_deciles",
+    "decay1_halflife_leaderboard",
+    "lbl1_leakage_free_labels",
+    "bm25_1_ranked_retrieval",
+    "il1_slot_interleave",
+    "apri1_support_lattice",
+    "an4_l_diversity",
+    "ssj2_shingle_prefix_join",
+    "rsv1_weighted_reservoir",
+    "prn1_manifest_pruning",
+    "enc1_encoding_stats",
+    "est1_join_cardinality",
 ]
 # Highest CORRECTNESS_r{N}.json acknowledged when the head
 # above was rotated; the round-boundary tripwire
 # (tests/test_evidence_doc.py) tolerates exactly ONE newer
 # round before going red.
-_CHECK_FIRST_ACK_ROUND: int = 9
+_CHECK_FIRST_ACK_ROUND: int = 10
 # Already-swept names deliberately kept in the head for
 # re-certification (--prioritize); not hand-drift.
-_CHECK_FIRST_RECHECK: list[str] = ['a4_hll_rollup', 'x2_lsh_topk', 'x4_ivf_topk']
+_CHECK_FIRST_RECHECK: list[str] = []
 # end _CHECK_FIRST block (regenerated by rotate_check_first.py)
 
 

@@ -309,8 +309,12 @@ def x4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the clone's assigned cell is exactly the query's rank-1 probed cell —
     always within the nprobe=8 probe set — so the clone is a guaranteed
     IVF candidate and ``overlap_ge_1`` is a theorem, not a measurement.
-    Natural (clone-free) recall stays measured in the x8 recall query and
-    tests (mean 0.69-1.0 at nprobe=8). Scale shape: centroids broadcast,
+    ``nn_id`` is therefore by construction the planted clone
+    (query_id + 2_000_000) — it certifies the brute-force ranking and
+    the planting, NOT natural-data ranking (ADVICE r10); the clone also
+    contributes one constant ~10000 term to the top-5 mass, ranks 2-5
+    carry the natural signal. Natural (clone-free) recall stays measured
+    in the x8 recall query and tests (mean 0.69-1.0 at nprobe=8). Scale shape: centroids broadcast,
     corpus assignment is a map-side crossJoin with the tiny centroid
     frame, candidate join equi on cell_id — the scored set is ∝
     probed-cell membership, never Q x N; clones add |queries| rows."""

@@ -186,6 +186,46 @@ def px7_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
     )
     delta = d.where(F.col("doc_id") % 10 == 0).unionByName(clones)
+    # PREMISE GUARD (ADVICE r10): the engine confirms LSH-probed
+    # candidates while the oracle confirms the exact gram-index pair
+    # set, so the hash match rests on a MEASURED property of the data —
+    # no (delta, corpus) pair's exact word-3-gram jaccard falls inside
+    # (0.35, 0.75), the band where 16-band/64-hash LSH recall is not
+    # ~certain (planted clones sit at 1.0, natural pairs at >= 0.75 or
+    # <= 0.35 on every generated SF). d13 carried this caveat as a
+    # comment; px7 enforces it at runtime: regenerated data violating
+    # the margin RAISES here (premise failure, not an engine bug)
+    # instead of red-hashing the driver sweep. Cost: one gram equi-join
+    # the size of the oracle's own confirm stage — the audit a nightly
+    # dedup loop should ship with anyway.
+    from .operators.dedup import shingles
+
+    dg = delta.select(
+        F.col("doc_id").alias("did"),
+        F.array_distinct(shingles(F.col("text"))).alias("_g"),
+    ).select("did", "_g", F.size("_g").alias("na"))
+    cg = corpus.select(
+        F.col("doc_id").alias("cid"),
+        F.array_distinct(shingles(F.col("text"))).alias("_g"),
+    ).select("cid", "_g", F.size("_g").alias("nb"))
+    dex = dg.select("did", "na", F.explode("_g").alias("g"))
+    cex = cg.select("cid", "nb", F.explode("_g").alias("g"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    n_gap = (
+        dex.join(cex, "g")
+        .groupBy("did", "cid", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where((jac > 0.35) & (jac < 0.75))
+        .agg(F.count(F.lit(1)))
+        .first()[0]
+    )
+    if n_gap:
+        raise RuntimeError(
+            f"px7 premise violated: {n_gap} (delta, corpus) pairs have "
+            f"exact gram jaccard inside (0.35, 0.75) — LSH recall is not "
+            f"construction-safe on this data; re-measure the margin "
+            f"before trusting a red sweep"
+        )
     cand = lsh_probe_candidates(delta, corpus).select(
         F.col("probe_id").alias("id_a"), F.col("index_id").alias("id_b")
     )

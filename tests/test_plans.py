@@ -3,6 +3,8 @@ must be visible in the physical plan, not just intended."""
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import functions as F
 
 from angelo_bravo_etl_task_spark.plans.audit import assert_plan, physical_plan
@@ -373,6 +375,29 @@ def test_dq2_rules_single_scan_each_side(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+@contextmanager
+def _transparent_checkpoints():
+    """ADVICE r10 (medium): an eager ``localCheckpoint`` truncates lineage
+    to a LogicalRDD BEFORE the registry-wide sweeps inspect the plan, so a
+    BNLJ or unbounded window UPSTREAM of the checkpoint silently escapes
+    the 'any new offender fails here' guarantee (found live: mrl1's
+    non-equi broadcast join hid behind the eager checkpoint on `scored`).
+    While the sweep CONSTRUCTS each query's frame, patch localCheckpoint
+    to identity so the full pre-checkpoint lineage is what gets audited.
+    Checkpoints are a performance/lineage-truncation tool, never a
+    semantics change, so the constructed plan is the honest union of
+    everything the query would execute. ``persist()`` is NOT patched: an
+    InMemoryRelation keeps its child plan visible to the audits."""
+    from pyspark.sql import DataFrame
+
+    orig = DataFrame.localCheckpoint
+    DataFrame.localCheckpoint = lambda self, eager=True: self
+    try:
+        yield
+    finally:
+        DataFrame.localCheckpoint = orig
+
+
 def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
     """Sweep EVERY registered batch query's physical plan: a
     BroadcastNestedLoopJoin or CartesianProduct is only acceptable where
@@ -620,6 +645,13 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # the bounded-spine shape (round-10 global-window fix traded the
         # full-table rank window for this bounded non-equi join)
         "qq1_quantile_mapping",
+        # mrl1's non-equi (query_id != neighbor_id) join broadcasts the
+        # bounded 30-query probe frame onto the corpus scan — x1's
+        # documented audit-sample shape; previously hidden from this
+        # sweep by the eager localCheckpoint on `scored` (ADVICE r10),
+        # now visible via _transparent_checkpoints and allowlisted with
+        # this justification
+        "mrl1_matryoshka_topk",
     }
     import re
 
@@ -633,13 +665,14 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         return bool(re.fullmatch(r"e\d+", p)) or p in {"st1", "px3"}
 
     offenders = []
-    for name in all_queries():
-        if is_streaming(name) or name in allowed:
-            continue
-        df = QUERIES[name][0](spark, sf_dir)
-        plan = physical_plan(df)
-        if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
-            offenders.append(name)
+    with _transparent_checkpoints():
+        for name in all_queries():
+            if is_streaming(name) or name in allowed:
+                continue
+            df = QUERIES[name][0](spark, sf_dir)
+            plan = physical_plan(df)
+            if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
+                offenders.append(name)
     assert offenders == [], offenders
 
 
@@ -706,13 +739,14 @@ def test_registry_wide_no_unbounded_global_windows(spark, sf_dir):
         return bool(re.fullmatch(r"e\d+", p)) or p in {"st1", "px3"}
 
     offenders = {}
-    for name in all_queries():
-        if is_streaming(name) or name in allowed:
-            continue
-        df = QUERIES[name][0](spark, sf_dir)
-        offs = unbounded_global_windows(df)
-        if offs:
-            offenders[name] = offs
+    with _transparent_checkpoints():
+        for name in all_queries():
+            if is_streaming(name) or name in allowed:
+                continue
+            df = QUERIES[name][0](spark, sf_dir)
+            offs = unbounded_global_windows(df)
+            if offs:
+                offenders[name] = offs
     assert offenders == {}, offenders
 
 

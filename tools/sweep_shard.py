@@ -71,6 +71,14 @@ def sweep_one_sf(sf_dir: str, shards: int) -> dict:
         if not chunk:
             continue
         out_path = f"/tmp/sweep_{sfname}_shard{i}.json"
+        # ADVICE r10: a shard that crashes before driver_repro writes its
+        # report must not silently merge a STALE per-shard file from a
+        # previous sweep — remove it up front, and treat a nonzero
+        # returncode as ERROR even if a (now fresh) file parses.
+        try:
+            os.remove(out_path)
+        except FileNotFoundError:
+            pass
         markers = _load_markers()
         t0 = time.perf_counter()
         proc = subprocess.run(
@@ -80,9 +88,12 @@ def sweep_one_sf(sf_dir: str, shards: int) -> dict:
         )
         elapsed = round(time.perf_counter() - t0, 1)
         try:
+            if proc.returncode != 0:
+                raise ValueError(f"returncode {proc.returncode}")
             report = json.load(open(out_path))
         except (OSError, ValueError):
-            report = {n: [f"ERROR: shard {i} crashed: "
+            report = {n: [f"ERROR: shard {i} crashed "
+                          f"(rc={proc.returncode}): "
                           f"{proc.stderr[-300:]}"] for n in chunk}
         merged.update(report)
         hard = sorted(
