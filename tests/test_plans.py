@@ -387,11 +387,19 @@ def _transparent_checkpoints():
     Checkpoints are a performance/lineage-truncation tool, never a
     semantics change, so the constructed plan is the honest union of
     everything the query would execute. ``persist()`` is NOT patched: an
-    InMemoryRelation keeps its child plan visible to the audits."""
-    from pyspark.sql import DataFrame
+    InMemoryRelation keeps its child plan visible to the audits.
+
+    The patch MUST land on ``pyspark.sql.classic.dataframe.DataFrame``:
+    instances are of that subclass, which overrides the abstract base's
+    method — patching ``pyspark.sql.DataFrame`` is a silent no-op (found
+    live: bt1's LogicalRDD survived the first version of this patch and
+    the window sweep flagged it)."""
+    from pyspark.sql.classic.dataframe import DataFrame
 
     orig = DataFrame.localCheckpoint
-    DataFrame.localCheckpoint = lambda self, eager=True: self
+    DataFrame.localCheckpoint = (
+        lambda self, eager=True, storageLevel=None: self
+    )
     try:
         yield
     finally:
@@ -652,6 +660,15 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # now visible via _transparent_checkpoints and allowlisted with
         # this justification
         "mrl1_matryoshka_topk",
+        # dsir1 broadcasts the 1-row (n_docs, total_score) mean-threshold
+        # scalar — ppl1/tx10's sanctioned scalar-subquery shape
+        "dsir1_importance_resampling",
+        # px10 broadcasts the 1-row learned-weight frame (wn, wb, wl)
+        # onto the candidate pairs — the scalar-subquery shape
+        "px10_entity_resolution",
+        # prc1 crosses the constant 3-row threshold spine onto the
+        # bounded pair frame — heaps1's cube-by-cutoff shape
+        "prc1_dedup_threshold_curve",
     }
     import re
 
