@@ -1314,7 +1314,8 @@ from . import queries_wave126  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave127  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave128  # noqa: E402,F401  (extends QUERIES)
 from . import queries_wave129  # noqa: E402,F401  (extends QUERIES)
-from . import queries_wave130  # noqa: E402,F401  (extends QUERIES; keep last)
+from . import queries_wave130  # noqa: E402,F401  (extends QUERIES)
+from . import queries_wave131  # noqa: E402,F401  (extends QUERIES; keep last)
 
 # Names surfaced FIRST by all_queries()/all_oracles(). The driver's
 # correctness sweep covers a bounded ~50-name prefix of the registry, so

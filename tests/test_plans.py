@@ -669,6 +669,9 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # prc1 crosses the constant 3-row threshold spine onto the
         # bounded pair frame — heaps1's cube-by-cutoff shape
         "prc1_dedup_threshold_curve",
+        # hub1's non-equi (qid != cid) join broadcasts the bounded 40-query
+        # probe panel onto the corpus scan — x1's documented audit shape
+        "hub1_embedding_hubness",
     }
     import re
 
