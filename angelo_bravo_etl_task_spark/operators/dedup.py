@@ -288,58 +288,42 @@ def _minhash_signature_arrow(num_hashes: int = 64):
     return minhash_from_hashes
 
 
-def banded_minhash(
+def gram_hashes_frame(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 64,
-    bands: int = 16,
     shingle_n: int = 3,
-    use_arrow: bool = True,
+    extra: list[Column] | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
-    """Per-document banded MinHash signatures: (id, band, band_hash).
+    """(id, [extra...], _bh) — distinct word-n-gram 64-bit hashes per doc,
+    spread across cores and (by default) eagerly checkpointed.
 
-    The shared build stage of both the symmetric self-join
-    (:func:`minhash_lsh_candidates`) and the asymmetric probe-vs-index
-    join (:func:`lsh_probe_candidates`). At 100 TB this frame IS the
-    near-dup index a production pipeline persists (bucketed by
-    (band, band_hash)); here it is built inline per query.
+    The normalize+tokenize+hash map over raw text is THE expensive stage of
+    every near-dup pipeline; queries that need grams more than once (LSH
+    signature build + exact-jaccard confirm + premise audits) share ONE
+    materialized pass through this frame instead of re-deriving the text
+    expression per consumer (guide §2.4/§5 — optimization r11). ``extra``
+    lets callers piggyback cheap projections of the same scan (e.g.
+    ``length(text)``) so the raw table is not re-scanned later.
     """
-    rows = num_hashes // bands
-    # staged projections so the shingle hashes materialize ONCE per row (a
-    # single nested expression would re-derive them for every one of the k
-    # permutations)
-    hashed = _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col),
-        shingle_hashes(F.col(text_col), shingle_n).alias("_bh"),
+    cols = [F.col(id_col)]
+    if extra:
+        cols.extend(extra)
+    out = _spread(df).select(
+        *cols, shingle_hashes(F.col(text_col), shingle_n).alias("_bh")
     )
-    if use_arrow:
-        sig = hashed.select(
-            F.col(id_col),
-            _minhash_signature_arrow(num_hashes)(F.col("_bh")).alias("_sig"),
-        )
-    else:
-        sig = hashed.select(
-            F.col(id_col),
-            F.array(
-                *[
-                    F.array_min(F.transform(F.col("_bh"), _permutation_mix(i)))
-                    for i in range(num_hashes)
-                ]
-            ).alias("_sig"),
-        )
-    # Eager local checkpoint of the per-DOC signatures: a downstream join
-    # would otherwise (a) launch BOTH join sides concurrently, each
-    # computing the full signature pipeline (persist() alone is lazy — the
-    # two sides race before the cache fills), and (b) let constraint
-    # inference push the whole signature expression into the file scan as
-    # an IsNotNull filter — single-partition and pre-repartition.
-    # Checkpointing materializes once, truncates lineage, and the blocks
-    # are GC'd by the ContextCleaner when the frame drops out of scope (no
-    # unpersist bookkeeping). Checkpoint BEFORE the bands× explode —
-    # banding is a trivial JVM map, cheaper recomputed per join side than
-    # stored. Signatures are tiny next to the text — safe at any scale.
-    sig = sig.localCheckpoint(eager=True)
+    return out.localCheckpoint(eager=True) if checkpoint else out
+
+
+def _band_explode(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, _sig) → (id, band, band_hash): bands× explode of the signature.
+
+    A trivial JVM map — cheaper recomputed per consumer than stored, which
+    is why callers checkpoint BEFORE this step, never after."""
+    rows = num_hashes // bands
     return sig.select(
         F.col(id_col),
         F.explode(
@@ -358,6 +342,89 @@ def banded_minhash(
             )
         ).alias("bh"),
     ).select(id_col, "bh.band", "bh.band_hash")
+
+
+def _signature_select(
+    hashed: DataFrame,
+    id_col: str,
+    bh_col: str,
+    num_hashes: int,
+    use_arrow: bool,
+) -> DataFrame:
+    if use_arrow:
+        return hashed.select(
+            F.col(id_col),
+            _minhash_signature_arrow(num_hashes)(F.col(bh_col)).alias("_sig"),
+        )
+    return hashed.select(
+        F.col(id_col),
+        F.array(
+            *[
+                F.array_min(F.transform(F.col(bh_col), _permutation_mix(i)))
+                for i in range(num_hashes)
+            ]
+        ).alias("_sig"),
+    )
+
+
+def banded_minhash_from_hashes(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    bh_col: str = "_bh",
+    num_hashes: int = 64,
+    bands: int = 16,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Banded signatures from a PRECOMPUTED gram-hash frame
+    (:func:`gram_hashes_frame`). No checkpoint here: the input frame is
+    already materialized, and the signature map runs once per consumer —
+    callers that fan a side out more than once checkpoint themselves."""
+    return _band_explode(
+        _signature_select(hashed, id_col, bh_col, num_hashes, use_arrow),
+        id_col,
+        num_hashes,
+        bands,
+    )
+
+
+def banded_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Per-document banded MinHash signatures: (id, band, band_hash).
+
+    The shared build stage of both the symmetric self-join
+    (:func:`minhash_lsh_candidates`) and the asymmetric probe-vs-index
+    join (:func:`lsh_probe_candidates`). At 100 TB this frame IS the
+    near-dup index a production pipeline persists (bucketed by
+    (band, band_hash)); here it is built inline per query.
+    """
+    # staged projections so the shingle hashes materialize ONCE per row (a
+    # single nested expression would re-derive them for every one of the k
+    # permutations)
+    hashed = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        shingle_hashes(F.col(text_col), shingle_n).alias("_bh"),
+    )
+    sig = _signature_select(hashed, id_col, "_bh", num_hashes, use_arrow)
+    # Eager local checkpoint of the per-DOC signatures: a downstream join
+    # would otherwise (a) launch BOTH join sides concurrently, each
+    # computing the full signature pipeline (persist() alone is lazy — the
+    # two sides race before the cache fills), and (b) let constraint
+    # inference push the whole signature expression into the file scan as
+    # an IsNotNull filter — single-partition and pre-repartition.
+    # Checkpointing materializes once, truncates lineage, and the blocks
+    # are GC'd by the ContextCleaner when the frame drops out of scope (no
+    # unpersist bookkeeping). Checkpoint BEFORE the bands× explode —
+    # banding is a trivial JVM map, cheaper recomputed per join side than
+    # stored. Signatures are tiny next to the text — safe at any scale.
+    sig = sig.localCheckpoint(eager=True)
+    return _band_explode(sig, id_col, num_hashes, bands)
 
 
 def minhash_lsh_candidates(
@@ -448,6 +515,113 @@ def lsh_probe_candidates(
             F.col(f"i.{id_col}").alias("index_id"),
         )
         .distinct()
+    )
+
+
+def minhash_lsh_candidates_from_hashes(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """:func:`minhash_lsh_candidates` over a PRECOMPUTED gram-hash frame
+    (:func:`gram_hashes_frame`) — same (id_a, id_b) pair set; the caller's
+    single text pass is shared with the confirm stage (optimization r11).
+    The signature frame still checkpoints before the self-join (it feeds
+    both sides)."""
+    sig = _signature_select(
+        hashed, id_col, "_bh", num_hashes, use_arrow
+    ).localCheckpoint(eager=True)
+    banded = _band_explode(sig, id_col, num_hashes, bands)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def lsh_probe_candidates_from_hashes(
+    probe_hashed: DataFrame,
+    index_hashed: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """:func:`lsh_probe_candidates` over PRECOMPUTED gram-hash frames
+    (:func:`gram_hashes_frame`) — same (probe_id, index_id) pair set, but
+    the caller's one text pass per side is shared with the confirm stage
+    and any audits instead of re-shingling here (optimization r11)."""
+    bp = banded_minhash_from_hashes(
+        probe_hashed, id_col, "_bh", num_hashes, bands, use_arrow
+    ).alias("p")
+    bi = banded_minhash_from_hashes(
+        index_hashed, id_col, "_bh", num_hashes, bands, use_arrow
+    ).alias("i")
+    return (
+        bp.join(
+            bi,
+            on=[
+                F.col("p.band") == F.col("i.band"),
+                F.col("p.band_hash") == F.col("i.band_hash"),
+            ],
+        )
+        .select(
+            F.col(f"p.{id_col}").alias("probe_id"),
+            F.col(f"i.{id_col}").alias("index_id"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs_from_hashes(
+    a_hashed: DataFrame,
+    b_hashed: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact gram Jaccard over candidate pairs, from PRECOMPUTED gram-hash
+    frames: ``id_a`` keys ``a_hashed``, ``id_b`` keys ``b_hashed``.
+
+    |A∩B|/|A∪B| over distinct 64-bit gram hashes equals the string-gram
+    jaccard of :func:`jaccard_pairs` except under an xxhash64 collision
+    *within one candidate pair's gram sets* (~|grams|²/2⁶⁴ — negligible and
+    deterministic; every caller is oracle-verified tri-SF). The win: no
+    second normalize+shingle pass over the corpus, and the joins carry
+    8-byte hash arrays instead of n-gram strings (guide §2.3)."""
+    out = (
+        candidates.join(
+            a_hashed.select(
+                F.col(id_col).alias("id_a"), F.col("_bh").alias("_sh_a")
+            ),
+            on="id_a",
+        )
+        .join(
+            b_hashed.select(
+                F.col(id_col).alias("id_b"), F.col("_bh").alias("_sh_b")
+            ),
+            on="id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return out.select("id_a", "id_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
     )
 
 

@@ -894,8 +894,13 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     what the driver hashes. Scale shape unchanged: signature map →
     (band, band_hash) equi-join → two shingle equi-joins; never all-pairs."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    cand = D.minhash_lsh_candidates(d, "text", "doc_id")
-    return D.jaccard_pairs(d, cand, "text", "doc_id", threshold=0.6)
+    # Optimization r11: ONE text pass (gram-hash frame) shared by the
+    # banded signatures and the exact confirm — before, candidates and
+    # confirm each re-shingled the corpus from raw text; the confirm now
+    # joins 8-byte gram hashes instead of n-gram strings (guide §2.3/§2.4).
+    h = D.gram_hashes_frame(d)
+    cand = D.minhash_lsh_candidates_from_hashes(h)
+    return D.jaccard_pairs_from_hashes(h, h, cand, threshold=0.6)
 
 
 @_register("d4_simhash", None)  # hash-function-specific → rows-only check

@@ -993,12 +993,21 @@ def d7_lsh_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1e-3 at j=0.77, ~1e-9 at j=0.97 — has no boundary mass to lose), and
     the exact confirm removes the few false candidates, so confirmed pairs
     == ground-truth pairs and the CC fixpoints agree."""
-    from .operators.dedup import jaccard_pairs, minhash_lsh_candidates
+    from .operators.dedup import (
+        gram_hashes_frame,
+        jaccard_pairs_from_hashes,
+        minhash_lsh_candidates_from_hashes,
+    )
     from .operators.graph import connected_components
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    cand = minhash_lsh_candidates(docs)
-    confirmed = jaccard_pairs(docs, cand, threshold=0.6).select("id_a", "id_b")
+    # Optimization r11: one shared text pass for candidates + confirm
+    # (see d3_minhash_lsh) — hash-array joins replace string-shingle joins.
+    h = gram_hashes_frame(docs)
+    cand = minhash_lsh_candidates_from_hashes(h)
+    confirmed = jaccard_pairs_from_hashes(h, h, cand, threshold=0.6).select(
+        "id_a", "id_b"
+    )
     comp = connected_components(confirmed, src="id_a", dst="id_b")
     return (
         docs.select("doc_id")

@@ -96,7 +96,11 @@ def d13_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the reference truncates + reloads its whole table
     per run (Angelo_ETL_Task.py:276-374); this is the operation that
     replaces that pattern at any real scale."""
-    from .operators.dedup import jaccard_pairs, lsh_probe_candidates
+    from .operators.dedup import (
+        gram_hashes_frame,
+        jaccard_pairs_from_hashes,
+        lsh_probe_candidates_from_hashes,
+    )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # bounded 1-row agg: guard the clone-offset invariant before planting
@@ -113,13 +117,18 @@ def d13_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
     )
     delta = d.where(F.col("doc_id") % 10 == 0).unionByName(clones)
-    cand = lsh_probe_candidates(delta, corpus).select(
+    # Optimization r11 (guide §2.3/§2.4): ONE normalize+tokenize+hash pass
+    # per side shared by the banded signatures and the exact confirm —
+    # before, the probe re-shingled both sides and the confirm re-shingled
+    # delta∪corpus from raw text (3 full text passes → 2 checkpointed
+    # hash passes; confirm joins 8-byte gram hashes, not n-gram strings).
+    dh = gram_hashes_frame(delta)
+    ch = gram_hashes_frame(corpus)
+    cand = lsh_probe_candidates_from_hashes(dh, ch).select(
         F.col("probe_id").alias("id_a"), F.col("index_id").alias("id_b")
     )
     confirmed = (
-        jaccard_pairs(
-            delta.unionByName(corpus), cand, threshold=0.6
-        )
+        jaccard_pairs_from_hashes(dh, ch, cand, threshold=0.6)
         .groupBy("id_a")
         .agg(F.min("id_b").alias("match_id"))
     )

@@ -171,7 +171,11 @@ def px7_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Angelo_ETL_Task.py:276-374) with the loop that works at any scale;
     composes d13 (queries_wave119.py) with merge1's MERGE semantics
     (queries_wave118.py)."""
-    from .operators.dedup import jaccard_pairs, lsh_probe_candidates
+    from .operators.dedup import (
+        gram_hashes_frame,
+        jaccard_pairs_from_hashes,
+        lsh_probe_candidates_from_hashes,
+    )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # bounded 1-row agg: clone-offset guard (the sdd1 pattern)
@@ -198,18 +202,33 @@ def px7_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of red-hashing the driver sweep. Cost: one gram equi-join
     # the size of the oracle's own confirm stage — the audit a nightly
     # dedup loop should ship with anyway.
-    from .operators.dedup import shingles
-
-    dg = delta.select(
+    #
+    # Optimization r11 (guide §2.3/§2.4/§5): ONE normalize+tokenize+hash
+    # pass per side, shared by the premise audit, the banded signatures,
+    # the exact confirm, AND the final projections (len_chars rides the
+    # same scan). Before: five full text passes (string-gram audit ×2,
+    # banded signature build ×2, string-shingle confirm over delta∪corpus)
+    # plus two extra parquet re-scans for the output lengths. The audit
+    # and confirm now join 8-byte gram hashes instead of n-gram strings —
+    # identical jaccards modulo in-pair xxhash64 collisions (~|grams|²/2⁶⁴;
+    # oracle-verified tri-SF).
+    len_chars = (
+        F.length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("bigint")
+        .alias("len_chars")
+    )
+    dh = gram_hashes_frame(delta, extra=[len_chars])
+    ch = gram_hashes_frame(corpus, extra=[len_chars])
+    dex = dh.select(
         F.col("doc_id").alias("did"),
-        F.array_distinct(shingles(F.col("text"))).alias("_g"),
-    ).select("did", "_g", F.size("_g").alias("na"))
-    cg = corpus.select(
+        F.size("_bh").alias("na"),
+        F.explode("_bh").alias("g"),
+    )
+    cex = ch.select(
         F.col("doc_id").alias("cid"),
-        F.array_distinct(shingles(F.col("text"))).alias("_g"),
-    ).select("cid", "_g", F.size("_g").alias("nb"))
-    dex = dg.select("did", "na", F.explode("_g").alias("g"))
-    cex = cg.select("cid", "nb", F.explode("_g").alias("g"))
+        F.size("_bh").alias("nb"),
+        F.explode("_bh").alias("g"),
+    )
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     n_gap = (
         dex.join(cex, "g")
@@ -226,11 +245,11 @@ def px7_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"construction-safe on this data; re-measure the margin "
             f"before trusting a red sweep"
         )
-    cand = lsh_probe_candidates(delta, corpus).select(
+    cand = lsh_probe_candidates_from_hashes(dh, ch).select(
         F.col("probe_id").alias("id_a"), F.col("index_id").alias("id_b")
     )
     confirmed = (
-        jaccard_pairs(delta.unionByName(corpus), cand, threshold=0.6)
+        jaccard_pairs_from_hashes(dh, ch, cand, threshold=0.6)
         .groupBy("id_a")
         .agg(F.min("id_b").alias("match_id"))
         .localCheckpoint(eager=True)  # feeds the absorb agg AND the anti-join
@@ -238,9 +257,9 @@ def px7_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorbed = confirmed.groupBy("match_id").agg(
         F.count(F.lit(1)).alias("n_absorbed")
     )
-    survivors = corpus.join(
+    survivors = ch.join(
         F.broadcast(absorbed),
-        corpus["doc_id"] == absorbed["match_id"],
+        ch["doc_id"] == absorbed["match_id"],
         "left",
     ).select(
         "doc_id",
@@ -248,20 +267,16 @@ def px7_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_absorbed"), F.lit(0))
         .cast("bigint")
         .alias("absorbed"),
-        F.length(F.coalesce(F.col("text"), F.lit("")))
-        .cast("bigint")
-        .alias("len_chars"),
+        "len_chars",
     )
-    inserts = delta.join(
+    inserts = dh.join(
         F.broadcast(confirmed),
-        delta["doc_id"] == confirmed["id_a"],
+        dh["doc_id"] == confirmed["id_a"],
         "left_anti",
     ).select(
         "doc_id",
         F.lit(1).cast("bigint").alias("is_new"),
         F.lit(0).cast("bigint").alias("absorbed"),
-        F.length(F.coalesce(F.col("text"), F.lit("")))
-        .cast("bigint")
-        .alias("len_chars"),
+        "len_chars",
     )
     return survivors.unionByName(inserts)

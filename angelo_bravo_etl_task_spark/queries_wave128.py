@@ -214,6 +214,10 @@ def px9_table_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "file_id", F.col("pos").cast("bigint").alias("pos"), "k", "price_c"
     )
+    # Optimization r11 (guide §5): the per-file writes below filter this
+    # frame once per file_id — checkpoint so the scan+window chain runs
+    # once, not once per output file (same for app/compacted below).
+    base = base.localCheckpoint(eager=True)
 
     root = tempfile.mkdtemp(prefix="sg_px9_")
     try:
@@ -275,7 +279,7 @@ def px9_table_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "file_id", F.col("pos").cast("bigint").alias("pos"),
             "k", "price_c",
-        )
+        ).localCheckpoint(eager=True)
         for fid in (4, 5):
             _write(app.where(F.col("file_id") == fid), f"F{fid}")
         _manifest(2, [f"F{i}" for i in range(6)], ["DV1"])
@@ -302,20 +306,41 @@ def px9_table_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "file_id", F.col("pos").cast("bigint").alias("pos"),
             "k", "price_c",
-        )
+        ).localCheckpoint(eager=True)
         for fid in (6, 7):
             _write(compacted.where(F.col("file_id") == fid), f"C{fid}")
         _manifest(4, ["C6", "C7"], [])
 
         # ---- time-travel reads of every version ------------------------
-        out: list[tuple[str, int, int, int]] = []
+        # ONE job for all four snapshot aggregates (optimization r11,
+        # guide §2.6/§5): the four 1-row read-backs were four sequential
+        # collect() jobs; a union of the per-version aggregates computes
+        # the same numbers in a single action. n_files stays
+        # manifest-side metadata.
+        file_counts: dict[str, int] = {}
+        per_version = []
         for v in (1, 2, 3, 4):
             df, n_files = _read_asof(v)
-            agg = df.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("price_c").alias("s"),
-            ).collect()[0]
-            out.append((f"v{v}", int(agg["n"]), int(agg["s"]), n_files))
+            file_counts[f"v{v}"] = n_files
+            per_version.append(
+                df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("price_c").alias("s"),
+                ).select(F.lit(f"v{v}").alias("stage"), "n", "s")
+            )
+        from functools import reduce as _reduce
+
+        snap = {
+            r["stage"]: r
+            for r in _reduce(
+                lambda a, b: a.unionByName(b), per_version
+            ).collect()
+        }
+        out: list[tuple[str, int, int, int]] = [
+            (f"v{v}", int(snap[f"v{v}"]["n"]), int(snap[f"v{v}"]["s"]),
+             file_counts[f"v{v}"])
+            for v in (1, 2, 3, 4)
+        ]
 
         # ---- expire v1..v3, vacuum orphans (gc1) -----------------------
         for v in (1, 2, 3):

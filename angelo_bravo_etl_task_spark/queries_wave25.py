@@ -98,17 +98,31 @@ def ssj1_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionAll(planted)
 
-    # bigrams in ONE narrow projection (adjacent-pair transform over the
-    # split array) — no positional self-join, no shuffle before the explode
+    # bigrams in ONE narrow projection (adjacent-pair zip over the split
+    # array) — no positional self-join, no shuffle before the explode.
+    # Optimization r11 (guide §2.3): every released column is a set SIZE
+    # (inter, uni), never a bigram string, so bigrams live as 64-bit
+    # HASHES end-to-end — one xxhash64 per token, one long-mix per
+    # adjacent pair, and every downstream shuffle (freq, rank, candidate
+    # self-join, verify) carries int64s instead of "tok tok" strings.
+    # Tokenization is UNCHANGED (raw split on ' ', no normalization, no
+    # empty-token filter — the oracle splits the same way); distinct-hash
+    # sets equal distinct-string sets modulo an in-doc xxhash64 collision
+    # (~|bigrams|²/2⁶⁴, oracle-verified tri-SF). The rarity tie-break
+    # becomes (df, hash) instead of (df, string): prefix-filter
+    # completeness holds under any consistent total order, and the exact
+    # verify keeps the released rows identical.
+    _toks = F.split(F.col("text"), " ")
+    _th = F.transform(_toks, lambda s: F.xxhash64(s))
+    _n1 = F.greatest(F.size(_th) - 1, F.lit(0))
     bg = corpus.select(
         "doc_id",
         F.explode(
             F.array_distinct(
-                F.expr(
-                    "transform(slice(split(text, ' '), 1,"
-                    " size(split(text, ' ')) - 1),"
-                    " (x, i) -> concat(x, ' ',"
-                    " element_at(split(text, ' '), i + 2)))"
+                F.zip_with(
+                    F.slice(_th, 1, _n1),
+                    F.slice(_th, 2, _n1),
+                    lambda a, b: F.xxhash64(a, b),
                 )
             )
         ).alias("bg"),
@@ -242,12 +256,29 @@ def sp1_weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hx("v", 4) % 5000).alias("v"),
         (hx("w", 2) % 9 + 1).alias("w"),
     ).where(F.col("u") != F.col("v"))
+    # Both edge directions from ONE pass (optimization r11): the previous
+    # unionAll(raw.select(v, u, w)) branch re-scanned events and recomputed
+    # all three md5 derivations a second time (map-side work that
+    # ReuseExchange cannot deduplicate — there is no exchange below the
+    # union). Exploding a 2-element array of the forward/reverse structs
+    # emits exactly the same rows with the hashes computed once
+    # (guide section 2.4; same rows -> same GROUP BY u,v minima).
     edges = (
-        raw.unionAll(
-            raw.select(
-                F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
-            )
+        raw.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("u"), F.col("v"), F.col("w")
+                    ),
+                    F.struct(
+                        F.col("v").alias("u"),
+                        F.col("u").alias("v"),
+                        F.col("w"),
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.u", "e.v", "e.w")
         .groupBy("u", "v")
         .agg(F.min("w").alias("w"))
         .persist()

@@ -83,7 +83,12 @@ def pmi1_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p.x", "p.y")
     cx = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     cxy = bi.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
-    n = uni.agg(F.count(F.lit(1)).alias("n_tokens"))
+    # n_tokens = sum of the per-word counts: derived from cx instead of a
+    # THIRD scan+split+explode of documents (optimization r11, guide
+    # section 2.4 — the old uni.agg(count) re-read and re-tokenized the
+    # whole corpus just to count tokens already counted in cx). Exact
+    # equality: sum_word c(word) == count(tokens) by definition.
+    n = cx.agg(F.sum("c").alias("n_tokens"))
     scored = (
         cxy.where(F.col("c_xy") >= 5)
         .join(F.broadcast(cx.select(F.col("word").alias("x"), F.col("c").alias("c_x"))), "x")

@@ -111,13 +111,26 @@ def ssj2_shingle_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix shingle with bounded buckets; the verify join shuffles on
     doc_id. ceil(0.6n) = (6n+9) DIV 10 keeps prefix lengths integer-
     identical on both engines."""
-    from .operators.dedup import shingles
+    from .operators.dedup import shingle_hashes
     from .operators.partitioning import spread
 
+    # Optimization r11 (guide §2.3): every released column is a set SIZE
+    # (n_a, n_b, n_common) or a ratio of sizes (jaccard), never a gram
+    # string — so the whole pipeline runs on 64-bit gram HASHES
+    # (shingle_hashes: one xxhash64 per token + (n-1) long-mix passes, no
+    # shingle-string materialization). The df-ordering tie-break becomes
+    # (c, gram_hash) instead of (c, gram): prefix-filter completeness
+    # holds under ANY consistent total order (each doc indexes its first
+    # n − ⌈τ·n⌉ + 1 grams in the SAME order), and verification is exact
+    # set arithmetic either way, so the released rows are unchanged
+    # (identical modulo an in-doc xxhash64 collision, ~|grams|²/2⁶⁴ —
+    # oracle-verified tri-SF). Shuffles now carry int64s, not n-gram
+    # strings: the freq join, the prefix self-join and the verify join
+    # all shrink by ~an order of magnitude in bytes.
     d = spread(_t(spark, sf_dir, "documents"))
     sh = (
         d.select(
-            "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("grams")
+            "doc_id", shingle_hashes(F.col("text"), 3).alias("grams")
         )
         .where(F.size("grams") > 0)
         .withColumn("n", F.size("grams").cast("bigint"))

@@ -164,14 +164,35 @@ def px6_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
 
-    w_assign = Window.partitionBy("doc_id", "chunk_idx").orderBy(
-        d2(F.col("v"), F.col("cv")), "cid"
+    # IVF assignment as a MAP-SIDE argmin (optimization r11): the previous
+    # form exploded emb x cent through a BroadcastNestedLoopJoin (|chunks| x
+    # |centroids| rows), shuffled every pair into a per-chunk window and
+    # sorted each group just to keep rank 1. The centroid table is by
+    # construction dimension-sized (doc_id % 50 == 0, chunk 0), so it
+    # collapses to ONE row carrying an array<struct(cid, cv)>; each chunk
+    # row then folds over that array and keeps min(struct(d2, cid)) —
+    # lexicographic struct ordering IS the old ORDER BY (d2, cid) tiebreak,
+    # and d2 stays the bit-shared left fold, so the chosen cid is identical.
+    # Plan effect: BNLJ keeps a 1-ROW build side, the pair materialization,
+    # the per-pair Exchange and the per-chunk Sort all disappear
+    # (guide section 2.4 "remove shuffles outright" / 3.3 explode-after).
+    cents1 = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                d2(F.col("v"), c["cv"]).alias("d"), c["cid"].alias("cid")
+            ),
+        )
     )
     assign_ = (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("rnk", F.row_number().over(w_assign))
-        .where(F.col("rnk") == 1)
-        .select("doc_id", "chunk_idx", "v", "cid")
+        emb.crossJoin(F.broadcast(cents1))
+        .select("doc_id", "chunk_idx", "v", best["cid"].alias("cid"))
+        # assign_ feeds both the probe-query selection and the retrieval
+        # join; persisting stops the embed+argmin map work running twice
+        .persist()
     )
     queries = assign_.where(
         F.col("doc_id").isin(1, 2, 3, 4, 5) & (F.col("chunk_idx") == 0)

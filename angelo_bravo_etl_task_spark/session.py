@@ -74,6 +74,19 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = builder.master(master)
 
+    # Driver heap (optimization r11, guide section 5): PySpark's default is
+    # -Xmx1g, and in local[N] the "driver" JVM hosts every executor thread —
+    # N concurrent tasks were sharing ~0.36 GB of execution memory, so
+    # sorts/joins/aggregates spilled and GC dominated the long-suite tail
+    # (the round-8/9/10 "in-suite spike" class). 8g is sized to the harness
+    # (128 GiB box, a handful of concurrent sessions under pytest-shards);
+    # on a real cluster the submitter sets --driver-memory/--executor-memory
+    # and this env override keeps the knob parameterised, not hard-coded.
+    # Only effective at JVM launch: getOrCreate() reusing a live session
+    # keeps that session's heap (same rule as every other launch-time conf).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    builder = builder.config("spark.driver.memory", driver_mem)
+
     if shuffle_partitions is None:
         # local[N]: N cores → N shuffle partitions avoids tiny-task overhead;
         # on a cluster AQE coalescing makes the exact number less critical.
