@@ -233,12 +233,16 @@ def d5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the oracle must brute-force the same pairs; the unbounded path is
     LSH candidates → jaccard_pairs confirm). Ratio = raw IEEE division of
     exact set-size integers — bit-identical across engines."""
-    from .operators.dedup import shingles
+    from .operators.dedup import shingle_hashes
     from .operators.partitioning import spread
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    # Optimization r11 (guide §2.3): jaccard is a ratio of set SIZES —
+    # grams live as 64-bit hashes, the all-pairs intersects compare int64
+    # arrays instead of strings (identical modulo in-doc collisions;
+    # tri-SF oracle-verified).
     sh = spread(d.select("doc_id", "text")).select(
-        F.col("doc_id"), shingles(F.col("text"), 3).alias("_sh")
+        F.col("doc_id"), shingle_hashes(F.col("text"), 3).alias("_sh")
     ).localCheckpoint(eager=True)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sa"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_sb"))
@@ -918,13 +922,18 @@ def d6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation. Bounded oracle demo by design — the UNBOUNDED scale path
     is d7 (LSH candidates feeding the same connected_components), which is
     also oracle-checked; d8 adds the survivor-selection step."""
-    from .operators.dedup import shingles
+    from .operators.dedup import shingle_hashes
     from .operators.graph import connected_components
     from .operators.partitioning import spread
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    # Optimization r11 (guide §2.3): the released columns are cluster ids
+    # only — jaccard is an internal threshold — so grams live as 64-bit
+    # hashes (no shingle-string materialization; the broadcast and the
+    # 45k pairwise intersect/unions compare int64 arrays, not strings).
+    # Identical modulo in-doc xxhash64 collisions; tri-SF oracle-verified.
     sh = spread(d.select("doc_id", "text")).select(
-        F.col("doc_id"), shingles(F.col("text"), 3).alias("_sh")
+        F.col("doc_id"), shingle_hashes(F.col("text"), 3).alias("_sh")
     ).localCheckpoint(eager=True)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sa"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_sb"))

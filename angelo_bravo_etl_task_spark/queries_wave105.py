@@ -69,14 +69,18 @@ def d11_simhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the certificate costs one extra equi-join per side of
     the (tiny) flagged-pair set plus a scalar aggregate — the audit any
     production near-dup pass should ship with."""
-    from .operators.dedup import shingles, simhash_near_dups
+    from .operators.dedup import shingle_hashes, simhash_near_dups
     from .operators.partitioning import spread
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = simhash_near_dups(docs, "text", "doc_id", max_hamming=3)
+    # Optimization r11 (guide §2.3): the certificate releases only a
+    # thresholded RATIO of set sizes — 2-grams live as 64-bit hashes, no
+    # shingle-string materialization (identical modulo in-doc collisions;
+    # tri-SF oracle-verified).
     sh = (
         spread(docs)
-        .select(F.col("doc_id"), shingles(F.col("text"), 2).alias("_sh"))
+        .select(F.col("doc_id"), shingle_hashes(F.col("text"), 2).alias("_sh"))
         .localCheckpoint(eager=True)
     )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sa"))

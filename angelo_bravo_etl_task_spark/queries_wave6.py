@@ -2265,14 +2265,17 @@ def d9_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     window as d5 so the oracle can brute-force it; the unbounded path is
     d3's LSH candidates with this confirm formula instead of Jaccard.
     Ratio = IEEE division of exact set-size integers."""
-    from .operators.dedup import shingles
+    from .operators.dedup import shingle_hashes
     from .operators.partitioning import spread
 
     d = spread(
         _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     )
+    # Optimization r11 (guide §2.3): containment is a ratio of set SIZES —
+    # grams live as 64-bit hashes (identical modulo in-doc collisions;
+    # tri-SF oracle-verified). shingle_hashes is already distinct.
     sh = d.select(
-        "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("grams")
+        "doc_id", shingle_hashes(F.col("text"), 3).alias("grams")
     ).persist()
     a = sh.select(
         F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a")
