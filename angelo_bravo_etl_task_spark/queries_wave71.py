@@ -100,19 +100,13 @@ def apri1_support_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
     # higher-order functions (cost Σ(basket choose k), identical to the
     # self-join form but with zero extra shuffles and no re-scan), so
     # the three support tables share the same persisted basket frame.
-    # Eager checkpoint, not lazy persist (optimization r11, guide §5):
-    # the 30-row top frame is built on the broadcast-exchange THREAD,
-    # concurrently with the main stream — with persist() both jobs race
-    # before the cache fills and each recomputes the scan+collect_set
-    # (profiled: two full lineitem scans, ~16 s of duplicate executor
-    # work at sf0.1). Checkpoint materializes once, up front.
     baskets = (
         spread(
             _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
         )
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
     item_supp = (
         baskets.select(F.explode("ps").alias("l_partkey"))
