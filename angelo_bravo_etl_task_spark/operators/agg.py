@@ -18,6 +18,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .localframe import local_rows_df
+
 
 def dec(col: str | Column, precision: int = 18, scale: int = 2) -> Column:
     """Cast to exact decimal before summing — order-independent, engine-
@@ -129,7 +131,7 @@ def exact_quantiles(
         F.sum("_c").over(w_cum).alias("_cum"),
         F.sum("_c").over(w_all).alias("_n"),
     )
-    q_frame = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    q_frame = local_rows_df(spark, [(float(q),) for q in qs], "q double")
     return (
         cum.crossJoin(F.broadcast(q_frame))
         .where(F.col("_cum") >= F.ceil(F.col("q") * F.col("_n")))

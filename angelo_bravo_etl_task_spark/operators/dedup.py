@@ -427,6 +427,52 @@ def banded_minhash(
     return _band_explode(sig, id_col, num_hashes, bands)
 
 
+def _self_join_candidates(banded: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, band_hash) → distinct (id_a < id_b) bucket collisions —
+    the ONE self-join body shared by the string-input and precomputed-hash
+    LSH candidate functions (ADVICE r11: join fixes land in one place)."""
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def _probe_join_candidates(
+    bp: DataFrame, bi: DataFrame, id_col: str
+) -> DataFrame:
+    """Banded probe frame × banded index frame → distinct
+    (probe_id, index_id) bucket hits — the shared probe-join body."""
+    bp = bp.alias("p")
+    bi = bi.alias("i")
+    return (
+        bp.join(
+            bi,
+            on=[
+                F.col("p.band") == F.col("i.band"),
+                F.col("p.band_hash") == F.col("i.band_hash"),
+            ],
+        )
+        .select(
+            F.col(f"p.{id_col}").alias("probe_id"),
+            F.col(f"i.{id_col}").alias("index_id"),
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from .operators import dedup as D
 from .operators import joins as J
+from .operators.localframe import local_rows_df
 from .operators import similarity as SIM
 from .operators import text as TX
 from .operators.agg import davg, dec, dsum
@@ -408,7 +409,7 @@ def j2_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval containment) join with bucketed candidate pruning —
     equi-join on the bucket key instead of a nested-loop cross product."""
     li = _t(spark, sf_dir, "lineitem")
-    bands = spark.createDataFrame(
+    bands = local_rows_df(spark, 
         [(0, 10, "xs"), (10, 20, "s"), (20, 30, "m"), (30, 40, "l"), (40, 51, "xl")],
         "band_lo INT, band_hi INT, band_name STRING",
     )

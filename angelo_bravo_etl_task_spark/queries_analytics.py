@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 
 from .operators.agg import dec
 from .queries import _register, _t
+from .operators.localframe import local_rows_df
 
 # =========================================================================
 # mg1: merge/upsert (the MERGE INTO shape every warehouse ETL runs)
@@ -520,9 +521,7 @@ def fz1_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     and one that doesn't (for |probes| large, the d3/d4 LSH paths are the
     blocking prefilter)."""
     part = _t(spark, sf_dir, "part")
-    probes = spark.createDataFrame(
-        [(p,) for p in _FZ1_PROBES], ["probe"]
-    )
+    probes = local_rows_df(spark, [(p,) for p in _FZ1_PROBES], "probe string")
     dist = F.levenshtein(F.lower(F.col("p_name")), F.col("probe"))
     return (
         part.crossJoin(F.broadcast(probes))

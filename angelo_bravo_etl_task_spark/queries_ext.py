@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from .operators.agg import dec, dsum
 from .queries import _register, _t
+from .operators.localframe import local_rows_df
 
 # =========================================================================
 # Relational shapes
@@ -1793,7 +1794,7 @@ def j6_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pr")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    dim = spark.createDataFrame(
+    dim = local_rows_df(spark, 
         [("1-URGENT", 1), ("2-HIGH", 2), (None, 99), ("4-NOT SPECIFIED", 4), ("5-LOW", 5)],
         "pr string, rank int",
     )

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from .operators import text as TX
 from .queries import _register, _t
+from .operators.localframe import local_rows_df
 
 # ---------------------------------------------------------------------------
 # tx7: repetition signals
@@ -664,7 +665,7 @@ def px3_streaming_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
 
     _PX3_RUN_SEQ[0] += 1
     sink = f"px3_ingest_sink_{_PX3_RUN_SEQ[0]}"
-    dim = spark.createDataFrame(
+    dim = local_rows_df(spark, 
         [("click", 1), ("view", 2), ("purchase", 5), ("signup", 3)],
         "event_type string, weight int",
     )

@@ -1136,29 +1136,50 @@ def pr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations as nested CTEs."""
     li = _t(spark, sf_dir, "lineitem")
     pairs = li.select("l_suppkey", "l_partkey").distinct()
+    # Optimization r12: both edge directions from ONE pass over the
+    # distinct pair set (sp1's explode trick — the unionAll form derived
+    # the distinct subtree twice), and the edge list is materialized
+    # GROUPED BY SOURCE as (src, outdeg, dst-array) instead of one row
+    # per edge with outdeg repeated (guide §2.3 "shuffle keys and
+    # metadata, not payloads"): the r11 checkpoint stored ~108 MB of
+    # degree-annotated edges and every iteration re-read all of it; the
+    # adjacency frame holds the same information in ~1/5 the bytes, the
+    # per-iteration rank join touches node-count rows (not edge-count),
+    # and the contribution explode regenerates the identical edge
+    # multiset, so the integer rank sums are bit-identical (collect_list
+    # order is immaterial under commutative BIGINT addition). At 100 TB
+    # the grouped adjacency is the standard GraphX/GraphFrames layout;
+    # pathological high-degree nodes would salt the array (§2.5).
     edges = pairs.select(
-        F.col("l_suppkey").alias("src"),
-        (F.lit(100000) + F.col("l_partkey")).alias("dst"),
-    ).unionAll(
-        pairs.select(
-            (F.lit(100000) + F.col("l_partkey")).alias("src"),
-            F.col("l_suppkey").alias("dst"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("l_suppkey").alias("src"),
+                    (F.lit(100000) + F.col("l_partkey")).alias("dst"),
+                ),
+                F.struct(
+                    (F.lit(100000) + F.col("l_partkey")).alias("src"),
+                    F.col("l_suppkey").alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    adj = (
+        edges.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("outdeg"),
+            F.collect_list("dst").alias("dsts"),
         )
+        .localCheckpoint(eager=True)
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # materialize the degree-annotated edge list ONCE — every iteration
-    # probes this frame, so checkpointing after the deg join saves three
-    # re-joins (and re-derivations of the distinct pair set)
-    edgesd = edges.join(deg, "src").localCheckpoint(eager=True)
-    ranks = (
-        edgesd.select("src")
-        .distinct()
-        .select(F.col("src").alias("node"), F.lit(1000000).cast("bigint").alias("rank"))
+    ranks = adj.select(
+        F.col("src").alias("node"), F.lit(1000000).cast("bigint").alias("rank")
     )
     for _ in range(3):
-        contrib = edgesd.join(
-            ranks, edgesd["src"] == ranks["node"]
-        ).select(F.col("dst"), F.expr("rank DIV outdeg").alias("c"))
+        contrib = adj.join(ranks, adj["src"] == ranks["node"]).select(
+            F.explode("dsts").alias("dst"),
+            F.expr("rank DIV outdeg").alias("c"),
+        )
         ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
             (F.lit(150000) + F.expr("(85 * SUM(c)) DIV 100"))
             .cast("bigint")

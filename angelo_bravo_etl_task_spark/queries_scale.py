@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from .operators.agg import dec
 from .queries import _register, _t
+from .operators.localframe import local_rows_df
 
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
 
@@ -65,7 +66,7 @@ def sk1_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.partitioning import salted_join
 
     li = _t(spark, sf_dir, "lineitem")
-    dim = spark.createDataFrame(_FLAG_DIM, "flag string, flag_desc string")
+    dim = local_rows_df(spark, _FLAG_DIM, "flag string, flag_desc string")
     fact = li.select(
         F.col("l_returnflag").alias("flag"),
         (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("_rev"),
@@ -500,7 +501,7 @@ def e8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _E8_RUN_SEQ[0] += 1
     sink = f"e8_enrich_sink_{_E8_RUN_SEQ[0]}"
-    dim = spark.createDataFrame(
+    dim = local_rows_df(spark, 
         [
             ("click", "engagement", 1),
             ("view", "engagement", 2),

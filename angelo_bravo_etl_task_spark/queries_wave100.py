@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .queries import _register, _t
+from .operators.localframe import local_rows_df
 
 _SCRATCH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
@@ -129,7 +130,7 @@ def e15_checkpoint_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert n_a + n_b == total, (n_a, n_b, total)
         assert n_b < total, "restart re-read tranche A (offset log lost)"
         out = spark.table(sink)
-        return spark.createDataFrame(out.collect(), out.schema).select(
+        return local_rows_df(spark, out.collect(), out.schema).select(
             "event_type",
             F.col("n_events").cast("long").alias("n_events"),
             F.col("sum_event_ids").cast("long").alias("sum_event_ids"),

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .queries import _register, _t
+from .operators.localframe import local_rows_df
 
 _SEQ = [0]  # memory-sink names are session-global; make each run unique
 
@@ -134,7 +135,7 @@ def e16_dedup_state_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         for tally in emitted:
             for k, v in tally.items():
                 combined[k] = combined.get(k, 0) + v
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             [(k, v) for k, v in combined.items()],
             "event_type string, n_first_seen bigint",
         )
@@ -210,7 +211,7 @@ def e17_bounded_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_files,
         )
         out = spark.table(sink)
-        return spark.createDataFrame(out.collect(), out.schema).select(
+        return local_rows_df(spark, out.collect(), out.schema).select(
             "event_type",
             F.col("n_events").cast("long").alias("n_events"),
             F.col("sum_event_ids").cast("long").alias("sum_event_ids"),

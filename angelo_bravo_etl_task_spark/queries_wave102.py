@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .queries import _register, _t
+from .operators.localframe import local_rows_df
 
 _EV_SCHEMA = T.StructType(
     [
@@ -93,7 +94,7 @@ def src12_corrupt_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         res = lenient.collect()
-        return spark.createDataFrame(res, lenient.schema)
+        return local_rows_df(spark, res, lenient.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -166,6 +167,6 @@ def src13_ignore_missing_files(
             F.sum("event_id").alias("sum_surviving_ids"),
         )
         res = out.collect()
-        return spark.createDataFrame(res, out.schema)
+        return local_rows_df(spark, res, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)

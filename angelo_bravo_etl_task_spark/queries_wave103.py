@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries import _register, _t
+from .operators.localframe import local_rows_df
 
 _SRC14_SQL = """
 SELECT event_type,
@@ -94,6 +95,6 @@ def src14_python_datasource_writer(
         )
         res = out.collect()
         assert all(r["event_type"] != "ORPHAN" for r in res)
-        return spark.createDataFrame(res, out.schema)
+        return local_rows_df(spark, res, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .queries import _register, _t
+from .operators.localframe import local_rows_df
 
 _EV_SCHEMA = T.StructType(
     [
@@ -102,7 +103,7 @@ def obs2_stream_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in spark.table(sink).collect():
             sink_rows += r["n_events"]
             sink_types += 1
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             [(observed_rows, observed_sum, sink_rows, sink_types)],
             "observed_rows bigint, observed_sum_ids bigint, "
             "sink_rows bigint, sink_types bigint",

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .queries import _register, _t
+from .operators.localframe import local_rows_df
 
 _E18_SQL = """
 SELECT event_type,
@@ -141,7 +142,11 @@ def e18_txn_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             crash_seen = True
         assert crash_seen and crashed[0], "injected crash never fired"
-        time.sleep(0.5)
+        # r12: wait on the actual condition (the failed query leaving the
+        # active list) instead of a fixed 0.5 s sleep — safer AND faster
+        _dl = time.time() + 5
+        while time.time() < _dl and spark.streams.active:
+            time.sleep(0.02)
         _run()  # kill-and-resume on the same checkpoint
 
         truth_n = ev.count()
@@ -154,7 +159,7 @@ def e18_txn_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = [
             (etype, int(n), int(s)) for etype, (n, s) in sorted(txn.items())
         ]
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             rows, "event_type string, n_events bigint, sum_event_ids bigint"
         )
     finally:

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .queries import _register, _t
+from .operators.localframe import local_rows_df
 
 _SRC15_SQL = """
 SELECT event_type,
@@ -112,7 +113,7 @@ def src15_state_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         # the two views of the same store must agree exactly
         assert from_state == sink_rows, (from_state, sink_rows)
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             [(r.event_type, r.n_events, r.sum_event_ids) for r in out],
             "event_type string, n_events bigint, sum_event_ids bigint",
         )

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .queries import _register, _t
+from .operators.localframe import local_rows_df
 
 _SRC16_SQL = """
 SELECT event_type,
@@ -126,7 +127,7 @@ def src16_python_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()
         )
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             rows, "event_type string, n_events bigint, sum_event_ids bigint"
         )
     finally:

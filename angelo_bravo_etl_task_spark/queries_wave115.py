@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries import _register, _t
+from .operators.localframe import local_rows_df
 
 _RTF1_SQL = """
 SELECT l.l_returnflag,
@@ -80,7 +81,7 @@ def rtf1_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize under the temporary confs so the asserted plan is
         # the executed one
         rows = out.collect()
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             rows, "l_returnflag string, n_rows bigint, qty_c bigint"
         )
     finally:

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries import _register, _t
+from .operators.localframe import local_rows_df
 
 _TT1_SQL = """
 WITH r AS (
@@ -108,7 +109,7 @@ def tt1_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)), F.sum("price_c")
         ).collect()[0]
         assert (out[0][1], out[0][2]) == (int(truth1[0]), int(truth1[1]))
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             out, "version bigint, n_rows bigint, sum_c bigint"
         )
     finally:

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries import _register, _t
+from .operators.localframe import local_rows_df
 
 # The oracle replays MERGE as the INSERT/UPDATE/DELETE end-state it is
 # equivalent to: base rows keyed to (file_id, pos) exactly like dv1's
@@ -361,7 +362,7 @@ def skew2_aqe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "AQE did not split the planted skewed partition:\n"
                 + plan[:2000]
             )
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             rows,
             "status string, n_rows bigint, qty_sum_c bigint, "
             "payload_len_sum bigint",

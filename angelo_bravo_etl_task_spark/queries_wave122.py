@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries import _register, _t
+from .operators.localframe import local_rows_df
 
 # ==========================================================================
 # x12: planted-duplicate LSH recall — TRUE by construction, not measurement
@@ -173,7 +174,7 @@ def exch1_reused_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
             "the twice-referenced aggregate did not reuse its exchange:\n"
             + plan[:2000]
         )
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows,
         "yr bigint, total_c bigint, n_orders bigint, best_yr bigint,"
         " best_total_c bigint, best_n_orders bigint, gap_c bigint",

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries import _register, _t
+from .operators.localframe import local_rows_df
 
 # ==========================================================================
 # d14: planted-clone SimHash recall — TRUE by construction, not measurement
@@ -214,16 +215,43 @@ def px9_table_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "file_id", F.col("pos").cast("bigint").alias("pos"), "k", "price_c"
     )
-    # Optimization r11 (guide §5): the per-file writes below filter this
-    # frame once per file_id — checkpoint so the scan+window chain runs
-    # once, not once per output file (same for app/compacted below).
-    base = base.localCheckpoint(eager=True)
+    # Optimization r12 (guide §2.6): every version's per-file outputs are
+    # written by ONE partitioned job instead of one sequential driver job
+    # per file (r11 had checkpoint + 4 filtered writes for the base alone;
+    # the wall-clock of this query is almost pure driver-side job latency).
+    # With a single consumer per frame the r11 eager checkpoints are dead
+    # weight and are dropped.
 
     root = tempfile.mkdtemp(prefix="sg_px9_")
     try:
         def _write(df: DataFrame, name: str) -> str:
-            df.repartition(1).write.parquet(os.path.join(root, name))
+            # coalesce, not repartition: the single output file needs no
+            # round-robin exchange (and no sort-before-repartition)
+            df.coalesce(1).write.parquet(os.path.join(root, name))
             return name
+
+        def _write_files(df: DataFrame, names: dict[int, str]) -> None:
+            """One job writes every per-file output of a version: split by
+            file_id via a partitioned write into a staging dir, then rename
+            each partition dir up to its manifest file name, so the on-disk
+            layout the manifests/vacuum see (and the released orphan
+            accounting) is identical to the per-file form. file_id stays a
+            data column (the partition column is a duplicate)."""
+            tmp = os.path.join(root, "_stage")
+            (
+                df.withColumn("fidp", F.col("file_id"))
+                .write.partitionBy("fidp")
+                .parquet(tmp)
+            )
+            for fid, name in names.items():
+                src = os.path.join(tmp, f"fidp={fid}")
+                if os.path.isdir(src):
+                    os.rename(src, os.path.join(root, name))
+                else:
+                    # a residue class can be empty at tiny SFs — fall back
+                    # to a per-file write so the directory always exists
+                    _write(df.where(F.col("file_id") == fid), name)
+            shutil.rmtree(tmp, ignore_errors=True)
 
         def _manifest(version: int, data: list[str], dv: list[str]) -> None:
             path = os.path.join(root, f"_manifest-v{version}.json")
@@ -246,9 +274,8 @@ def px9_table_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             return data, len(m["data_files"]) + len(m["dv_files"])
 
-        # ---- v1: initial commit, 4 base files -------------------------
-        for fid in range(4):
-            _write(base.where(F.col("file_id") == fid), f"F{fid}")
+        # ---- v1: initial commit, 4 base files (ONE write job) ----------
+        _write_files(base, {fid: f"F{fid}" for fid in range(4)})
         _manifest(1, [f"F{i}" for i in range(4)], [])
 
         # ---- v2: MERGE upsert, merge-on-read ---------------------------
@@ -279,9 +306,8 @@ def px9_table_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "file_id", F.col("pos").cast("bigint").alias("pos"),
             "k", "price_c",
-        ).localCheckpoint(eager=True)
-        for fid in (4, 5):
-            _write(app.where(F.col("file_id") == fid), f"F{fid}")
+        )
+        _write_files(app, {4: "F4", 5: "F5"})
         _manifest(2, [f"F{i}" for i in range(6)], ["DV1"])
 
         # ---- v3: DELETE every 13th live key ----------------------------
@@ -306,9 +332,8 @@ def px9_table_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "file_id", F.col("pos").cast("bigint").alias("pos"),
             "k", "price_c",
-        ).localCheckpoint(eager=True)
-        for fid in (6, 7):
-            _write(compacted.where(F.col("file_id") == fid), f"C{fid}")
+        )
+        _write_files(compacted, {6: "C6", 7: "C7"})
         _manifest(4, ["C6", "C7"], [])
 
         # ---- time-travel reads of every version ------------------------
@@ -374,7 +399,7 @@ def px9_table_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
              never_deleted_live)
             for stage, n, s, f in out
         ]
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             rows,
             "stage string, n_rows bigint, sum_c bigint, n_files bigint, "
             "files_deleted bigint, files_kept bigint, "

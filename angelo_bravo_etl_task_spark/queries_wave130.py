@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries import _register, _t
+from .operators.localframe import local_rows_df
 
 # ---------------------------------------------------------------------------
 # px10: entity resolution end-to-end
@@ -391,7 +392,7 @@ def prc1_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     swept = pairs.crossJoin(
         F.broadcast(
-            pairs.sparkSession.createDataFrame(
+            local_rows_df(pairs.sparkSession, 
                 [(t,) for t in _PRC_THETAS], "theta int"
             )
         )

@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 
 from .operators.agg import dec
 from .queries import _register, _t
+from .operators.localframe import local_rows_df
 
 # =========================================================================
 # geo1: grid-bucketed spatial nearest neighbor (radius-bounded kNN)
@@ -3914,7 +3915,7 @@ def an3_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-min comparison. Levels failing k stay visible with their
     min_bucket, so the utility/privacy tradeoff is in the output."""
     o = _t(spark, sf_dir, "orders")
-    lv = spark.createDataFrame(
+    lv = local_rows_df(spark, 
         [(0, 1000), (1, 10000), (2, 100000), (3, 1000000)],
         "level BIGINT, divisor BIGINT",
     )
@@ -4336,7 +4337,7 @@ def ndcg1_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     be merge-order-dependent), and NDCG is one guarded division. The
     discount table broadcasts; everything heavy is one window over the
     per-source top-10."""
-    disc = spark.createDataFrame(_NDCG1_DISCOUNTS, "pos INT, d DOUBLE")
+    disc = local_rows_df(spark, _NDCG1_DISCOUNTS, "pos INT, d DOUBLE")
     d = _t(spark, sf_dir, "documents")
     rel = F.when(F.col("doc_id") % 4 == 0, 2).otherwise(
         F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)
@@ -4698,9 +4699,16 @@ def bpe2_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize per round or every consumer recomputes the chain
         # (measured: 7.6s -> ~2s at sf0.1)
         txts = txts.localCheckpoint(eager=True)
-        arr = F.split(F.trim(F.col("txt")), " ")
+        # Optimization r12 (guide §1.2 "per-task work"): tokenize ONCE per
+        # row into a materialized column. The previous form re-derived
+        # split(trim(txt)) INSIDE the transform lambda (twice per bigram
+        # position), and Generate is not whole-stage-codegen'd, so no CSE
+        # hoisted it — an O(tokens²) re-split per document that also drove
+        # the GC pressure behind this query's 32-core anti-scaling.
+        toks = txts.select(F.split(F.trim(F.col("txt")), " ").alias("arr"))
+        arr = F.col("arr")
         pairs = (
-            txts.where(F.size(arr) >= 2)
+            toks.where(F.size(arr) >= 2)
             .select(
                 F.explode(
                     F.transform(
@@ -5134,7 +5142,7 @@ def dq4_missing_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("day")
     )
     types = ev.select("event_type").distinct().unionAll(
-        ev.sparkSession.createDataFrame([("heartbeat",)], "event_type STRING")
+        local_rows_df(ev.sparkSession, [("heartbeat",)], "event_type STRING")
     )
     expected = days.crossJoin(F.broadcast(types))
     actual = ev.select(

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries import _register
+from .operators.localframe import local_rows_df
 
 _SRC9_N_ROWS = 840  # 7 sensors x 120 readings; step 120 -> 7 micro-batches
 _SRC9_STEP = 120
@@ -77,10 +78,23 @@ def _run_stream_to_memory(
         try:
             deadline = time.time() + timeout
             while time.time() < deadline:
-                n = spark.table(sink).count()
-                if n >= _SRC9_N_ROWS:
+                # Optimization r12 (guide §5 "the driver should do almost
+                # no data work"): poll STATUS, not the sink — the previous
+                # spark.table(sink).count() launched a full Spark job per
+                # 0.3 s poll that competed with the stream's own batches.
+                # recentProgress is a driver-local status read (no job);
+                # a batch's rows are in the memory sink before its
+                # progress event is published, so the break condition is
+                # unchanged. The final count() assertion below still
+                # verifies the sink itself.
+                done = sum(
+                    int(p["numInputRows"])
+                    for p in (q.recentProgress or [])
+                    if p
+                )
+                if done >= _SRC9_N_ROWS:
                     break
-                time.sleep(0.3)
+                time.sleep(0.05)
         finally:
             q.stop()
         # Derive the batch count AFTER stop() from recentProgress (max
@@ -227,8 +241,11 @@ def e13_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             deadline = time.time() + 120
+            # 0.05 s poll (r12): seen[0] is a local-dict read, so a tight
+            # poll costs nothing and shaves the post-final-batch tail that
+            # a 0.3 s sleep added to every run.
             while time.time() < deadline and seen[0] < _SRC9_N_ROWS:
-                time.sleep(0.3)
+                time.sleep(0.05)
         finally:
             q.stop()
     assert seen[0] == _SRC9_N_ROWS, ("upsert stream did not drain", seen[0])
@@ -236,7 +253,7 @@ def e13_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(s), int(n), int(last_id), int(val))
         for s, (n, last_id, val) in state.items()
     ]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows,
         "sensor_id bigint, n_readings bigint, "
         "last_reading_id bigint, last_value bigint",

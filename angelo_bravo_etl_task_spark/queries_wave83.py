@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from .queries import _register, _t
+from .operators.localframe import local_rows_df
 
 # Expected accounting, computed from the SOURCE table with the same
 # modular corruption rules — the oracle never reads the fixture, it
@@ -255,7 +256,7 @@ def e14_stream_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_files,
     )
     total = acc["good"] + acc["repaired"] + acc["dead"]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [
             (
                 total,

@@ -112,7 +112,13 @@ def px6_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries to their single bucket (bm25_1's serving shape). All
     ranking ties break on (doc, chunk); distances are the bit-shared
     fold (x1/km1 discipline)."""
-    d = _t(spark, sf_dir, "documents")
+    from .operators.partitioning import spread
+
+    # spread (r12, guide §2.5 "input skew"): the documents file is ONE
+    # scan split at harness scale, so chunk+embed+assign ran on a single
+    # core; a narrow repartition restores map parallelism for the
+    # compute-heavy embed/argmin stage (no-op cost at cluster scale).
+    d = spread(_t(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id",
         F.filter(
@@ -164,32 +170,36 @@ def px6_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
 
-    # IVF assignment as a MAP-SIDE argmin (optimization r11): the previous
-    # form exploded emb x cent through a BroadcastNestedLoopJoin (|chunks| x
-    # |centroids| rows), shuffled every pair into a per-chunk window and
-    # sorted each group just to keep rank 1. The centroid table is by
-    # construction dimension-sized (doc_id % 50 == 0, chunk 0), so it
-    # collapses to ONE row carrying an array<struct(cid, cv)>; each chunk
-    # row then folds over that array and keeps min(struct(d2, cid)) —
-    # lexicographic struct ordering IS the old ORDER BY (d2, cid) tiebreak,
-    # and d2 stays the bit-shared left fold, so the chosen cid is identical.
-    # Plan effect: BNLJ keeps a 1-ROW build side, the pair materialization,
-    # the per-pair Exchange and the per-chunk Sort all disappear
-    # (guide section 2.4 "remove shuffles outright" / 3.3 explode-after).
-    cents1 = cent.agg(
-        F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents")
-    )
-    best = F.array_min(
-        F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                d2(F.col("v"), c["cv"]).alias("d"), c["cid"].alias("cid")
-            ),
-        )
-    )
+    # IVF assignment as a broadcast-pair PARTIAL-AGG argmin (optimization
+    # r12, superseding r11's collected-array fold; guide §2.4/§3.1/§5).
+    # r11 collapsed ALL centroids into ONE row's array<struct> and folded
+    # per chunk — no shuffle, but a single unbounded array element is a
+    # 2 GB-element wall at 100 TB (centroid count is |docs|/50 by
+    # construction), a harder limit than the broadcast it replaced
+    # (VERDICT r11 item 3). This form broadcasts the centroid TABLE
+    # (bounded by the ordinary broadcast machinery, spillable build side),
+    # pairs each chunk with it through a BroadcastNestedLoopJoin, and
+    # reduces the pairs MAP-SIDE with min(struct(d2, cid)) — partial
+    # aggregation means pair rows never cross the network; the exchange
+    # carries one row per chunk. min(struct(d, cid)) is the same
+    # lexicographic (d2, cid) tiebreak as r11's array_min fold and r10's
+    # ORDER BY rank-1, so the chosen cid is identical; the per-chunk Sort
+    # and Window of r10 stay gone. min("v") over the per-chunk-constant
+    # embedding rides the same aggregate (exact: all group rows carry the
+    # identical array), so no re-join is needed to keep v.
     assign_ = (
-        emb.crossJoin(F.broadcast(cents1))
-        .select("doc_id", "chunk_idx", "v", best["cid"].alias("cid"))
+        emb.crossJoin(F.broadcast(cent))
+        .groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.min(
+                F.struct(
+                    d2(F.col("v"), F.col("cv")).alias("d"),
+                    F.col("cid").alias("cid"),
+                )
+            ).alias("best"),
+            F.min("v").alias("v"),
+        )
+        .select("doc_id", "chunk_idx", "v", F.col("best.cid").alias("cid"))
         # assign_ feeds both the probe-query selection and the retrieval
         # join; persisting stops the embed+argmin map work running twice
         .persist()

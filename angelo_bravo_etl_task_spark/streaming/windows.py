@@ -32,9 +32,14 @@ from ..schemas import TESTDATA_SCHEMAS
 # State-store partitions for the one-shot streaming queries: streaming
 # snapshots/commits one state store PER shuffle partition PER micro-batch,
 # a fixed overhead that dwarfs the data at harness volume (measured in
-# queries_px.e3: 8.9 s @ 32 partitions vs 1.6 s @ 8). Size state partitions
-# to state volume, not core count; env-overridable for cluster runs.
-STREAM_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8")
+# queries_px.e3: 8.9 s @ 32 partitions vs 1.6 s @ 8; r12 floor probe:
+# stream-stream joins carry 4 store instances per partition, and 4
+# partitions beat 8 on every probed query but one — e5 4.0→3.4 s,
+# e12 4.6→3.6, e11 4.4→3.8, px3 3.9→3.2, e16 3.5→3.1, e6/e9/e15/e17/e3
+# −0.1..−0.3, e10 neutral, obs2 one +0.5 sample re-adjudicated neutral
+# by interleaved A/B). Size state partitions to state volume, not core
+# count; env-overridable for cluster runs.
+STREAM_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_PARTS", "4")
 
 
 @contextlib.contextmanager

@@ -157,6 +157,42 @@ def main() -> None:
         print(f"# median {name}: {timings[name]}s of {sorted(samples)}",
               file=sys.stderr, flush=True)
 
+    # Scaling probe (VERDICT r11 item 6): the main sweep pins 8 shuffle
+    # partitions below sf1 (measured justification above), which makes the
+    # driver's low-core/high-core comparison structurally blind — shuffle
+    # parallelism is identical in both runs. These ADDITIVE entries re-run
+    # three shuffle-bound heavies with shuffle_partitions = $SPARK_GRAFT_CPUS
+    # so the cross-core ratio can show parallelism. The main methodology is
+    # untouched: same timed action, same scale, same confs for every
+    # pre-existing entry; probe entries are new names (never replacing or
+    # renaming old ones) and are median-of-3 so the cross-run ratio is not
+    # single-sample noise.
+    _PROBE = ["d6_dup_clusters", "cf1_item_item", "ssj2_shingle_prefix_join"]
+    _cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    _prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        _cpus_env if _cpus_env.isdigit() else "32",
+    )
+    for name in _PROBE:
+        if name not in QUERIES:
+            continue
+        probe_key = f"scaleprobe_{name}"
+        try:
+            samples = [run_once(name) for _ in range(3)]
+        except Exception as exc:
+            timings[probe_key] = -1.0
+            print(f"# bench error {probe_key}: {exc}",
+                  file=sys.stderr, flush=True)
+            continue
+        t, median_backed = settle_samples(samples)
+        timings[probe_key] = t
+        if median_backed:
+            median_of[probe_key] = len(samples)
+        print(f"# {probe_key}: {t}s of {sorted(samples)}",
+              file=sys.stderr, flush=True)
+    spark.conf.set("spark.sql.shuffle.partitions", _prev_parts)
+
     # Environment markers (verdict r8 item 2, adjudicated in
     # bench_isolation.json: the r7->r8 heavy-tail drift is a MACHINE-era
     # effect, not suite aging — fresh JVMs on an idle machine reproduce
